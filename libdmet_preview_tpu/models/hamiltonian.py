@@ -1,0 +1,196 @@
+"""
+Model Hamiltonians (TPU-native rewrite of reference system/hamiltonian.py:18-330).
+
+`HamNonInt` is a plain container of stripe H1/Fock + local-format H2;
+the factories build Hubbard-family Hamiltonians from lattice geometry.
+"""
+
+import numpy as np
+
+from libdmet_preview_tpu.utils import logger as log
+
+
+class HamNonInt(object):
+    """Non-interacting lattice Hamiltonian + local two-body interaction.
+
+    H1 shape ((spin,) ncells, nao, nao) stripe; H2 format is detected from
+    its shape: 'local' (nao^4), 'nearest' (ncells, nao^4), 'full'
+    (ncells^3, nao^4), 'spin local' (spin_dim, nao^4)
+    (reference hamiltonian.py:18-117).
+    """
+
+    def __init__(self, lattice, H1, H2, Fock=None, ImpJK=None,
+                 kspace_input=False, spin_dim_H2=None, H0=0.0):
+        ncells = lattice.ncells
+        nao = lattice.nao
+        H1 = np.asarray(H1)
+        H2 = np.asarray(H2)
+        log.eassert(H1.shape[-3:] == (ncells, nao, nao),
+                    "H1 shape %s not compatible with lattice", H1.shape)
+        if kspace_input:
+            H1 = np.asarray(lattice.k2R(H1))
+        self.H1 = H1
+        if Fock is None:
+            self.Fock = self.H1
+        else:
+            Fock = np.asarray(Fock)
+            if kspace_input:
+                Fock = np.asarray(lattice.k2R(Fock))
+            self.Fock = Fock
+
+        self.spin_dim_H2 = spin_dim_H2
+        nao_pair = nao * (nao + 1) // 2
+        if spin_dim_H2 is None:
+            if H2.shape == (nao,) * 4 or H2.shape == (nao_pair, nao_pair):
+                self.H2_format = "local"
+            elif H2.shape == (ncells,) + (nao,) * 4 \
+                    or H2.shape == (ncells, nao_pair, nao_pair):
+                self.H2_format = "nearest"
+            elif H2.shape == (ncells,) * 3 + (nao,) * 4 \
+                    or H2.shape == (ncells,) * 3 + (nao_pair, nao_pair):
+                self.H2_format = "full"
+            else:
+                raise ValueError("H2 shape %s not compatible" % str(H2.shape))
+        else:
+            if H2.shape == (spin_dim_H2,) + (nao,) * 4:
+                self.H2_format = "spin local"
+            elif H2.shape == (spin_dim_H2, ncells) + (nao,) * 4:
+                self.H2_format = "spin nearest"
+            else:
+                raise ValueError("H2 shape %s not compatible" % str(H2.shape))
+        self.H2 = H2
+        self.ImpJK = ImpJK
+        self.H0 = H0
+
+    def getH0(self):
+        return self.H0
+
+    def getH1(self):
+        return self.H1
+
+    def getH2(self):
+        return self.H2
+
+    def getFock(self):
+        return self.Fock
+
+    def getImpJK(self):
+        return self.ImpJK
+
+
+def HubbardHamiltonian(lattice, U, tlist=(1.0,), obc=False, tol=1e-10,
+                       return_H1=False):
+    """1-band Hubbard model: H = -t <ij> - t' <<ij>> ... + U n_up n_dn
+    (reference hamiltonian.py:118-165)."""
+    ncells = lattice.ncells
+    nsc = lattice.nscsites
+    H1 = np.zeros((ncells, nsc, nsc))
+    search_range = 0 if obc else 1
+    for order, t in enumerate(tlist):
+        if abs(t) < tol:
+            continue
+        log.eassert(order < len(lattice.neighborDist),
+                    "%dth neighbor distance unspecified", order + 1)
+        dis = lattice.neighborDist[order]
+        pairs = lattice.neighbor(dis=dis, sitesA=range(nsc),
+                                 search_range=search_range)
+        for i, j in pairs:
+            H1[j // nsc, j % nsc, i] = -t
+    if return_H1:
+        return H1
+    H2 = np.zeros((nsc,) * 4)
+    np.fill_diagonal(H2, U)
+    return HamNonInt(lattice, H1, H2)
+
+
+def Hubbard3band(lattice, Ud, Up, ed, tpd, tpp, tpp1=0.0, Vpd=0.0,
+                 ignore_intercell=True, tol=1e-10):
+    """3-band (Emery) Hubbard model for cuprates
+    (reference hamiltonian.py:213-330).
+
+    Site name convention from the lattice factories: "Cu" = d orbital,
+    "O" = p orbital. Hole representation with positive t as input sign
+    conventions of the reference (t, ed negative typically).
+    """
+    ncells = lattice.ncells
+    nsc = lattice.nscsites
+    names = lattice.supercell.names
+    H1 = np.zeros((ncells, nsc, nsc))
+    if not ignore_intercell and abs(Vpd) > 1e-12:
+        raise NotImplementedError("intercell Vpd not implemented")
+    H2 = np.zeros((nsc,) * 4)
+
+    d_pd = lattice.neighborDist[0]
+    d_pp = lattice.neighborDist[1]
+    d_pp1 = lattice.neighborDist[2] if len(lattice.neighborDist) > 2 else None
+
+    # on-site energies and U
+    for s in range(nsc):
+        if names[s] == "Cu":
+            H2[s, s, s, s] = Ud
+            H1[0, s, s] = ed if abs(ed) > tol else 0.0
+        else:
+            H2[s, s, s, s] = Up
+
+    def phase_pd(ri, rj):
+        # sign structure of d-p hopping: +- alternation (standard Emery model)
+        d = rj - ri
+        ax = int(np.argmax(np.abs(d)))
+        return 1.0 if d[ax] > 0 else -1.0
+
+    # tpd between nearest Cu-O
+    if abs(tpd) > tol:
+        pairs = lattice.neighbor(dis=d_pd, sitesA=range(nsc))
+        for i, j in pairs:
+            ni = names[i % nsc] if i < nsc else None
+            # i within first supercell guaranteed by sitesA
+            nj_name = lattice.supercell.names[j % nsc]
+            ni_name = names[i]
+            if {ni_name, nj_name} == {"Cu", "O"}:
+                sgn = phase_pd(lattice.sites[i], lattice.sites[j])
+                H1[j // nsc, j % nsc, i] = tpd * sgn
+
+    # tpp between nearest O-O
+    if abs(tpp) > tol:
+        pairs = lattice.neighbor(dis=d_pp, sitesA=range(nsc))
+        for i, j in pairs:
+            if names[i] == "O" and lattice.supercell.names[j % nsc] == "O":
+                d = lattice.sites[j] - lattice.sites[i]
+                sgn = 1.0 if d[0] * d[1] > 0 else -1.0
+                H1[j // nsc, j % nsc, i] = tpp * sgn
+
+    # tpp' between next-nearest O-O (same sublattice)
+    if d_pp1 is not None and abs(tpp1) > tol:
+        pairs = lattice.neighbor(dis=d_pp1, sitesA=range(nsc))
+        for i, j in pairs:
+            if names[i] == "O" and lattice.supercell.names[j % nsc] == "O":
+                H1[j // nsc, j % nsc, i] = tpp1
+
+    return HamNonInt(lattice, H1, H2)
+
+
+def Hubbard3band_ref(lattice, name="Hanke", min_model=False, hole_rep=False,
+                     factor=1.0, ignore_intercell=True):
+    """Literature parameter sets for the 3-band model
+    (reference hamiltonian.py:253-330)."""
+    params = {
+        "Hanke":      dict(Ud=12.0, Up=5.25, ed=-3.75, tpd=1.5, tpp=0.75, tpp1=0.0, Vpd=0.0),
+        "Hybertsen":  dict(Ud=10.5, Up=4.0,  ed=-3.6,  tpd=1.3, tpp=0.65, tpp1=0.0, Vpd=1.2),
+        "Martin":     dict(Ud=16.5, Up=5.5,  ed=-4.3,  tpd=1.8, tpp=0.6,  tpp1=0.0, Vpd=0.0),
+        "Wagner":     dict(Ud=8.4,  Up=2.0,  ed=-2.75, tpd=1.2, tpp=0.7,  tpp1=0.0, Vpd=0.0),
+    }
+    log.eassert(name in params, "unknown 3-band parameter set %s", name)
+    p = {k: v * factor for k, v in params[name].items()}
+    if min_model:
+        p["tpp"] = 0.0
+        p["tpp1"] = 0.0
+    if hole_rep:
+        return Hubbard3band(lattice, p["Ud"], p["Up"], p["ed"], p["tpd"],
+                            p["tpp"], p["tpp1"], Vpd=p["Vpd"],
+                            ignore_intercell=ignore_intercell)
+    else:
+        # electron representation: particle-hole transform of on-site terms
+        return Hubbard3band(lattice, p["Ud"], p["Up"],
+                            -p["ed"] - p["Ud"] + 2.0 * p["Vpd"] * 0.0,
+                            p["tpd"], p["tpp"], p["tpp1"], Vpd=p["Vpd"],
+                            ignore_intercell=ignore_intercell)

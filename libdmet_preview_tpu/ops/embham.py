@@ -1,0 +1,377 @@
+"""
+Schmidt bath construction and embedding-Hamiltonian transforms (TPU-native).
+
+Replaces reference routine/slater.py:98-688 and routine/slater_helper.py:22-157.
+All transforms are batched einsums on device:
+
+  * bath = SVD of the (env x imp) block of the lattice 1-RDM (one svd per
+    spin, device);
+  * 1-body transform uses the k-space identity
+        H_emb = (1/Nk) sum_k C_k^H H_k C_k        (transform_trans_inv_k)
+    as one batched GEMM chain;
+  * local-operator and local-ERI transforms contract over the cell axis of
+    the R-space basis in single einsums (MXU-friendly).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from libdmet_preview_tpu.utils import logger as log
+from libdmet_preview_tpu.utils.misc import add_spin_dim
+from libdmet_preview_tpu.models.integral import Integral
+
+
+# ----------------------------------------------------------------------
+# basic transforms
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _trans_inv_k_pair(Cr, Ci, Hr, Hi):
+    """Re[(1/nk) sum_k C_k^H H_k C_k] with (re, im) pairs; shapes
+    (spin, nk, nlo, neo) and (spin, nk, nlo, nlo) -> (spin, neo, neo)."""
+    nkpts = Cr.shape[1]
+    Pr = jnp.einsum("skpq, skqj -> skpj", Hr, Cr) \
+        - jnp.einsum("skpq, skqj -> skpj", Hi, Ci)
+    Pi = jnp.einsum("skpq, skqj -> skpj", Hr, Ci) \
+        + jnp.einsum("skpq, skqj -> skpj", Hi, Cr)
+    res = jnp.einsum("skpi, skpj -> sij", Cr, Pr) \
+        + jnp.einsum("skpi, skpj -> sij", Ci, Pi)
+    return res / nkpts
+
+
+def transform_h1(H1_k, basis_k):
+    """Embedding transform of a k-space one-body operator.
+
+    H1_k: (re, im) pair with shape ((spin,) nk, n, n);
+    basis_k: (re, im) pair (spin, nk, n, neo).
+    Returns real (spin, neo, neo).  Reference slater_helper.py:37-51."""
+    Cr, Ci = jnp.asarray(basis_k[0]), jnp.asarray(basis_k[1])
+    spin = Cr.shape[0]
+    Hr, Hi = jnp.asarray(H1_k[0]), jnp.asarray(H1_k[1])
+    if Hr.ndim == 3:
+        Hr = jnp.broadcast_to(Hr[None], (spin,) + Hr.shape)
+        Hi = jnp.broadcast_to(Hi[None], (spin,) + Hi.shape)
+    elif Hr.shape[0] != spin:
+        Hr = jnp.broadcast_to(Hr[:1], (spin,) + Hr.shape[1:])
+        Hi = jnp.broadcast_to(Hi[:1], (spin,) + Hi.shape[1:])
+    return _trans_inv_k_pair(Cr, Ci, Hr, Hi)
+
+
+foldRho_k = transform_h1  # rdm1_lo_k folded to embedding space
+
+
+@jax.jit
+def transform_local(basis_R, H):
+    """Local (single-cell) operator to embedding space:
+    sum_R basis[R].T H basis[R].  basis_R: (ncells, nlo, neo), H: (nlo, nlo).
+    Reference slater_helper.py:75-82."""
+    return jnp.einsum("Rpi, pq, Rqj -> ij", basis_R, H, basis_R)
+
+
+@jax.jit
+def transform_imp(basis_R, H):
+    """Impurity-cell-only operator: basis[0].T H basis[0]
+    (reference slater_helper.py:104)."""
+    return basis_R[0].T @ H @ basis_R[0]
+
+
+@jax.jit
+def transform_eri_local(basis_R, H2):
+    """Local lattice ERI to embedding space, interacting-bath formalism
+    (reference slater_helper.py:138-157).
+
+    basis_R: (spin, ncells, nlo, neo); H2: (nlo,)*4 (same for both spins) or
+    (3, nlo^4) spin-blocked.  Returns (spin*(spin+1)/2, neo^4) in libdmet
+    order [aa, bb, ab].
+    """
+    spin = basis_R.shape[0]
+    if H2.ndim == 4:
+        H2aa = H2bb = H2ab = H2
+    else:
+        H2aa, H2bb, H2ab = H2[0], H2[1], H2[2]
+
+    def t4(H, ba, bb):
+        # sum over cells R: (pqrs, Rpi, Rqj, Rrk, Rsl -> ijkl); two-step
+        # contraction keeps it a chain of GEMMs
+        tmp = jnp.einsum("pqrs, Rpi, Rqj -> Rijrs", H, ba, ba, optimize=True)
+        return jnp.einsum("Rijrs, Rrk, Rsl -> ijkl", tmp, bb, bb, optimize=True)
+
+    if spin == 1:
+        return t4(H2aa, basis_R[0], basis_R[0])[None]
+    else:
+        eri_aa = t4(H2aa, basis_R[0], basis_R[0])
+        eri_bb = t4(H2bb, basis_R[1], basis_R[1])
+        eri_ab = t4(H2ab, basis_R[0], basis_R[1])
+        return jnp.stack([eri_aa, eri_bb, eri_ab])
+
+
+def unit2emb(H2_unit, neo):
+    """Pad a unit-cell ERI into the impurity corner of the embedding ERI
+    (reference slater_helper.py:494-529)."""
+    H2_unit = np.asarray(H2_unit)
+    spin_pair = H2_unit.shape[0]
+    n = H2_unit.shape[-1]
+    H2 = np.zeros((spin_pair,) + (neo,) * 4)
+    H2[:, :n, :n, :n, :n] = H2_unit
+    return H2
+
+
+# ----------------------------------------------------------------------
+# JK builders from embedding ERI (reference solver/scf.py:255-353,
+# slater.py:478-524)
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _get_veff_rhf(rdm1_tot, eri):
+    """Restricted veff = J(rho_tot) - 0.5 K(rho_tot); rdm1_tot is the
+    spin-traced density (reference scf.py:345-353 with spin == 1)."""
+    vj = jnp.einsum("ijkl, kl -> ij", eri, rdm1_tot)
+    vk = jnp.einsum("ilkj, kl -> ij", eri, rdm1_tot)
+    return (vj - vk * 0.5)[None]
+
+
+@jax.jit
+def _get_veff_uhf(rdm1, eri_aa, eri_bb, eri_ab):
+    """Unrestricted veff; rdm1 (2, neo, neo), eri blocks in chemists'
+    notation (ij|kl)."""
+    rho_a, rho_b = rdm1[0], rdm1[1]
+    vj_aa = jnp.einsum("ijkl, kl -> ij", eri_aa, rho_a)
+    vj_bb = jnp.einsum("ijkl, kl -> ij", eri_bb, rho_b)
+    vj_ab = jnp.einsum("ijkl, kl -> ij", eri_ab, rho_b)  # alpha feels beta
+    vj_ba = jnp.einsum("klij, kl -> ij", eri_ab, rho_a)  # beta feels alpha
+    vk_aa = jnp.einsum("ilkj, kl -> ij", eri_aa, rho_a)
+    vk_bb = jnp.einsum("ilkj, kl -> ij", eri_bb, rho_b)
+    va = vj_aa + vj_ab - vk_aa
+    vb = vj_bb + vj_ba - vk_bb
+    return jnp.stack([va, vb])
+
+
+def get_veff(rdm1, eri):
+    """Dispatch on spin structure (reference slater.py:478-524).
+    rdm1: (spin, neo, neo); eri: (1 or 3, neo^4)."""
+    rdm1 = jnp.asarray(rdm1)
+    eri = jnp.asarray(eri)
+    if rdm1.ndim == 2:
+        rdm1 = rdm1[None]
+    spin = rdm1.shape[0]
+    if spin == 1:
+        return _get_veff_rhf(rdm1[0], eri[0])
+    else:
+        return _get_veff_uhf(rdm1, eri[0], eri[1], eri[2])
+
+
+# ----------------------------------------------------------------------
+# bath construction
+# ----------------------------------------------------------------------
+
+def get_emb_basis(lattice, rdm1=None, local=True, kind="svd", **kwargs):
+    """Embedding basis C_lo_eo, shape (spin, ncells, nlo, neo)
+    (reference slater.py:98-220)."""
+    if rdm1 is None:
+        rdm1 = lattice.rdm1_lo_R
+    rdm1 = np.asarray(rdm1).real
+    if kind == "svd":
+        return _get_emb_basis_svd(lattice, rdm1, **kwargs)
+    raise ValueError("unknown bath kind %s" % kind)
+
+
+embBasis = get_emb_basis
+
+
+def _get_emb_basis_svd(lattice, rdm1, **kwargs):
+    imp_idx = list(kwargs.get("imp_idx", lattice.imp_idx))
+    val_idx = list(kwargs.get("val_idx", lattice.val_idx))
+    valence_bath = kwargs.get("valence_bath", True)
+    orth = kwargs.get("orth", True)
+    tol_bath = kwargs.get("tol_bath", 1e-9)
+    nbath = kwargs.get("nbath", None)
+
+    ncells = lattice.ncells
+    nlo = lattice.nscsites
+    imp_idx_bath = val_idx if valence_bath else imp_idx
+    env_idx = []
+    virt_mask = []
+    imp_set = set(imp_idx)
+    bath_set = set(imp_idx_bath)
+    for i in range(ncells * nlo):
+        if i not in bath_set:
+            env_idx.append(i)
+            virt_mask.append(i in imp_set)
+    env_idx = np.asarray(env_idx, dtype=int)
+    virt_mask = np.asarray(virt_mask, dtype=bool)
+    nimp = len(imp_idx)
+
+    if rdm1.ndim == 3:
+        rdm1 = rdm1[None]
+    spin = rdm1.shape[0]
+
+    if len(imp_idx_bath) > 0 and np.max(imp_idx_bath) >= nlo:
+        big = lattice.expand(rdm1)
+        rdm1_env_imp = big[:, env_idx][:, :, imp_idx_bath]
+    else:
+        rdm1_env_imp = rdm1.reshape(spin, ncells * nlo, nlo)[:, env_idx][:, :, imp_idx_bath]
+
+    nbath_cols = len(imp_idx_bath)
+    # batched thin SVD on device
+    u, sigma, _ = np.linalg.svd(rdm1_env_imp, full_matrices=False) \
+        if rdm1_env_imp.shape[1] * rdm1_env_imp.shape[2] < 64 else \
+        [np.asarray(x) for x in jax.vmap(
+            partial(jnp.linalg.svd, full_matrices=False))(jnp.asarray(rdm1_env_imp))]
+
+    basis = np.zeros((spin, ncells * nlo, nimp + nbath_cols))
+    nbath_final = nbath_cols
+    for s in range(spin):
+        if nbath is None:
+            nbath_s = int((sigma[s] >= tol_bath).sum())
+        else:
+            nbath_s = nbath
+        if nbath_s < nbath_cols:
+            log.warn("bath: %d singular values below tol %.1e discarded",
+                     nbath_cols - nbath_s, tol_bath)
+        B = np.array(u[s][:, :nbath_s])
+        if nbath_s > 0 and orth and virt_mask.any():
+            B[virt_mask] = 0.0
+            B = vec_lowdin(B)
+        basis[s, imp_idx, :nimp] = np.eye(nimp)
+        basis[s, env_idx, nimp:nimp + nbath_s] = B
+        nbath_final = min(nbath_final, nbath_s)
+
+    basis = basis[:, :, :nimp + nbath_final].reshape(
+        spin, ncells, nlo, nimp + nbath_final)
+    return basis
+
+
+def vec_lowdin(B):
+    """Symmetric (Lowdin) orthogonalization of column vectors."""
+    S = B.T @ B
+    w, v = np.linalg.eigh(S)
+    w = np.maximum(w, 1e-14)
+    return B @ (v * (w ** -0.5)) @ v.T
+
+
+def basis_matching(basis):
+    """Rotate alpha/beta bath columns for maximal overlap via SVD
+    (reference dmet/HubPhSymm.py:37-48)."""
+    basisA, basisB = basis[0], basis[1]
+    S = np.tensordot(basisA, basisB, axes=((0, 1), (0, 1)))
+    u, gamma, vt = np.linalg.svd(S)
+    log.debug(0, "basis matching overlap: mean %.6f min %.6f",
+              float(np.average(gamma)), float(np.min(gamma)))
+    basisA = np.tensordot(basisA, u, axes=(2, 0))
+    basisB = np.tensordot(basisB, vt, axes=(2, 1))
+    return np.asarray([basisA, basisB])
+
+
+# ----------------------------------------------------------------------
+# embedding Hamiltonian
+# ----------------------------------------------------------------------
+
+def get_emb_Ham(lattice, basis, vcor, local=True, int_bath=True, **kwargs):
+    """Build the embedding Hamiltonian Integral object
+    (reference slater.py:320-688)."""
+    basis = np.asarray(basis)
+    spin = basis.shape[0]
+    neo = basis.shape[-1]
+
+    H2 = _emb_H2(lattice, basis, vcor, int_bath=int_bath, **kwargs)
+    H1, ovlp_emb = _emb_H1(lattice, basis, vcor, H2, int_bath=int_bath, **kwargs)
+    H0 = lattice.getH0()
+    ImpHam = Integral(neo, spin == 1, False, H0, {"cd": H1}, {"ccdd": H2},
+                      ovlp=ovlp_emb)
+    return ImpHam, None
+
+
+embHam = get_emb_Ham
+
+
+def _emb_H2(lattice, basis, vcor, int_bath=True, **kwargs):
+    spin = basis.shape[0]
+    neo = basis.shape[-1]
+    nsc = lattice.nscsites
+    if not lattice.is_model:
+        raise NotImplementedError("ab initio ERI path: use eri_transform")
+    LatH2 = np.asarray(lattice.getH2(kspace=False))
+    npair = spin * (spin + 1) // 2
+    if lattice.H2_format == "local":
+        if int_bath:
+            H2 = np.asarray(transform_eri_local(jnp.asarray(basis),
+                                                jnp.asarray(LatH2)))
+        else:
+            H2 = unit2emb(np.asarray((LatH2,) * npair), neo)
+    elif lattice.H2_format == "nearest":
+        if int_bath:
+            raise NotImplementedError
+        H2 = np.zeros((npair,) + (neo,) * 4)
+        H2[:, :nsc, :nsc, :nsc, :nsc] = LatH2[0]
+    elif lattice.H2_format == "full":
+        if int_bath:
+            raise NotImplementedError
+        H2 = np.zeros((npair,) + (neo,) * 4)
+        H2[:, :nsc, :nsc, :nsc, :nsc] = LatH2[0, 0, 0]
+    elif lattice.H2_format == "spin local":
+        if int_bath:
+            raise NotImplementedError
+        H2 = np.zeros((npair,) + (neo,) * 4)
+        for i in range(npair):
+            H2[i, :nsc, :nsc, :nsc, :nsc] = LatH2[i]
+    else:
+        raise ValueError("unknown H2 format %s" % lattice.H2_format)
+    return H2
+
+
+def _emb_H1(lattice, basis, vcor, H2_emb, int_bath=True, add_vcor=False,
+            **kwargs):
+    spin = basis.shape[0]
+    basis_j = jnp.asarray(basis)
+    basis_k = lattice.R2k_basis(basis)
+    hcore_k = lattice.getH1(kspace=True)
+    fock_k = lattice.getFock(kspace=True)
+    ovlp_k = lattice.get_ovlp(kspace=True)
+
+    hcore_emb = np.asarray(transform_h1(hcore_k, basis_k))
+    ovlp_emb = np.asarray(transform_h1(ovlp_k, basis_k))
+    if ovlp_emb.ndim == 3 and ovlp_emb.shape[0] == 1:
+        ovlp_emb = ovlp_emb[0]
+
+    if int_bath:
+        rdm1_emb = np.asarray(foldRho_k(lattice.rdm1_lo_k, basis_k))
+        H1 = np.asarray(transform_h1(fock_k, basis_k))
+        JK_emb = np.asarray(get_veff(rdm1_emb, jnp.asarray(H2_emb)))
+        H1 = H1 - JK_emb
+        lattice.JK_core = H1 - hcore_emb
+    else:
+        add_vcor = True
+        if lattice.use_hcore_as_emb_ham:
+            H1 = hcore_emb.copy()
+            lattice.JK_core = None
+        else:
+            H1 = np.asarray(transform_h1(fock_k, basis_k))
+            JK_imp = lattice.getImpJK()
+            if JK_imp is not None:
+                JK_imp = np.asarray(JK_imp)
+                if JK_imp.ndim == 2:
+                    JK_emb = np.asarray([
+                        np.asarray(transform_imp(basis_j[s], jnp.asarray(JK_imp)))
+                        for s in range(spin)])
+                else:
+                    JK_emb = np.asarray([
+                        np.asarray(transform_imp(basis_j[s], jnp.asarray(JK_imp[s])))
+                        for s in range(spin)])
+            else:
+                rdm1_emb = np.asarray(foldRho_k(lattice.rdm1_lo_k, basis_k))
+                JK_emb = np.asarray(get_veff(rdm1_emb, jnp.asarray(H2_emb)))
+            H1 = H1 - JK_emb
+            lattice.JK_core = H1 - hcore_emb
+
+    if add_vcor:
+        log.eassert(vcor.islocal(), "nonlocal vcor not supported here")
+        vmat = np.asarray(vcor.get())
+        for s in range(spin):
+            # vcor acts on the environment only: add everywhere, subtract the
+            # impurity-cell copy (reference slater.py:668-688)
+            H1[s] += np.asarray(transform_local(basis_j[s], jnp.asarray(vmat[s])))
+            if not kwargs.get("fitting", False):
+                H1[s] -= np.asarray(transform_imp(basis_j[s], jnp.asarray(vmat[s])))
+    return H1, ovlp_emb

@@ -1,0 +1,363 @@
+"""
+Correlation-potential fitting (TPU-native rewrite of reference
+routine/slater.py:820-1714 + routine/fit.py).
+
+FitVcorEmb minimizes || rho_mf(param) - rho_corr ||_F over the embedding
+space.  The whole objective -- assemble V_emb from the parameter vector,
+generalized eigh, zero-T occupation, density build, residual -- is one jitted
+function; the gradient is the analytic occ-virt first-order perturbation
+formula (the reference's slater.py:1092-1230) evaluated on device, batched
+over spin.  The outer optimizer is a host CG/BFGS loop driving the jitted
+value/grad kernels.
+"""
+
+import copy
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from libdmet_preview_tpu.utils import logger as log
+from libdmet_preview_tpu.utils.misc import Iterable
+from libdmet_preview_tpu.ops import embham
+
+
+# ----------------------------------------------------------------------
+# vcor helpers (reference slater.py:758-818)
+# ----------------------------------------------------------------------
+
+def addDiag(v, val, idx_range=None):
+    rep = v.get()
+    spin = rep.shape[0]
+    if not isinstance(val, Iterable):
+        val = [val] * spin
+    if idx_range is None:
+        idx_range = getattr(v, "idx_range", list(range(rep.shape[-1])))
+    rep = np.array(rep, copy=True)
+    for s in range(min(spin, 2)):
+        rep[s, idx_range, idx_range] += val[s]
+    v.assign(rep)
+    return v
+
+
+def vcor_diag_average(v, idx_range=None):
+    rep = v.get()
+    if idx_range is None:
+        idx_range = getattr(v, "idx_range", list(range(rep.shape[-1])))
+    return np.average(rep[:, idx_range, idx_range], axis=1)
+
+
+def make_vcor_trace_unchanged(v_new, v_old, idx_range=None):
+    v_mat_old = v_old.get()
+    v_mat_new = v_new.get()
+    if idx_range is None:
+        idx_range = getattr(v_new, "idx_range", list(range(v_mat_new.shape[-1])))
+    dv_ave = np.average((v_mat_new - v_mat_old)[:, idx_range, idx_range], axis=1)
+    addDiag(v_new, -dv_ave, idx_range=idx_range)
+    return v_new
+
+
+# ----------------------------------------------------------------------
+# dV/dparam in the embedding basis
+# ----------------------------------------------------------------------
+
+def get_dV_dparam(vcor, basis):
+    """dV_emb/dparam, dense (nparam, spin, neo, neo).
+
+    basis: (spin, ncells, nlo, neo) R-space; local vcor only
+    (reference slater.py:851-908)."""
+    grad = jnp.asarray(vcor.gradient()[:, :basis.shape[0]])  # (P, spin, n, n)
+    b = jnp.asarray(basis)
+    dV = jnp.einsum("sRpi, Pspq, sRqj -> Psij", b, grad, b, optimize=True)
+    return np.asarray(dV)
+
+
+# ----------------------------------------------------------------------
+# jitted objective / gradient kernels
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nelec", "thr_deg"))
+def _fit_rho(param, embH1, dV, ovlp_chol_inv, fit_mask, nelec, thr_deg=1e-3):
+    """Return (rho1_masked, ew, ev_orth) for the current parameters.
+
+    Generalized eigenproblem handled by the Cholesky congruence
+    L^-1 H L^-H; for orthonormal embedding bases L = I.
+    nelec: per-spin occupation tuple (static).
+    """
+    spin = embH1.shape[0]
+    Li = ovlp_chol_inv
+    Heff = embH1 + jnp.einsum("P, Psij -> sij", param, dV)
+    Horth = jnp.einsum("spq, sqr, skr -> spk", Li, Heff, Li)
+    ew, ev = jnp.linalg.eigh(Horth)
+
+    occs = []
+    for s in range(spin):
+        ne = nelec[s]
+        mu = 0.5 * (ew[s, ne - 1] + ew[s, ne])
+        below = (ew[s] < mu - thr_deg).astype(embH1.dtype)
+        deg = (jnp.abs(ew[s] - mu) <= thr_deg).astype(embH1.dtype)
+        nrem = ne - jnp.sum(below)
+        frac = jnp.where(jnp.sum(deg) > 0, nrem / jnp.maximum(jnp.sum(deg), 1.0), 0.0)
+        occs.append(below + frac * deg)
+    ewocc = jnp.stack(occs)
+    rho_orth = jnp.einsum("spi, si, sqi -> spq", ev, ewocc, ev)
+    # back to the original (non-orthogonal) basis: C = Li^T C'
+    rho1 = jnp.einsum("sqp, sqr, srk -> spk", Li, rho_orth, Li)
+    rho1_masked = rho1 * fit_mask
+    return rho1_masked, ew, ev, ewocc
+
+
+@partial(jax.jit, static_argnames=("nelec", "thr_deg"))
+def _fit_err(param, embH1, dV, ovlp_chol_inv, fit_mask, rho_target, nelec,
+             thr_deg=1e-3):
+    spin = embH1.shape[0]
+    rho1, _, _, _ = _fit_rho(param, embH1, dV, ovlp_chol_inv, fit_mask, nelec,
+                             thr_deg)
+    drho = rho1 - rho_target
+    return jnp.linalg.norm(drho) / jnp.sqrt(1.0 * spin)
+
+
+@partial(jax.jit, static_argnames=("nelec", "thr_deg"))
+def _fit_err_grad(param, embH1, dV, ovlp_chol_inv, fit_mask, rho_target,
+                  nelec, thr_deg=1e-3):
+    """Analytic zero-T gradient via occ-virt perturbation theory
+    (reference slater.py:1092-1155), batched over spin on device."""
+    spin = embH1.shape[0]
+    neo = embH1.shape[-1]
+    rho1, ew, ev, ewocc = _fit_rho(param, embH1, dV, ovlp_chol_inv, fit_mask,
+                                   nelec, thr_deg)
+    drho = rho1 - rho_target
+    val = jnp.linalg.norm(drho)
+    val_safe = jnp.maximum(val, 1e-30)
+
+    Li = ovlp_chol_inv
+    # chain rule through rho_orig = Li^T rho_orth Li:
+    # dw/drho_orth = Li (dw/drho_orig) Li^T
+    D = jnp.einsum("spq, sqr, skr -> spk", Li, drho, Li)
+    Gs = []
+    for s in range(spin):
+        ne = nelec[s]
+        eocc, evirt = ew[s, :ne], ew[s, ne:]
+        Cocc, Cvirt = ev[s][:, :ne], ev[s][:, ne:]
+        e_mn = 1.0 / (eocc[None, :] - evirt[:, None])
+        temp = (Cvirt.T @ D[s] @ Cocc) * e_mn / (val_safe * jnp.sqrt(1.0 * spin))
+        A = Cvirt @ temp @ Cocc.T
+        Gs.append(A + A.T)
+    G = jnp.stack(Gs)
+    # transform back through the congruence: dH_orth = Li dH Li^T
+    # => dw/dH = Li^T G_orth Li
+    G = jnp.einsum("sqp, sqr, srk -> spk", Li, G, Li)
+    grad = jnp.einsum("Psij, sij -> P", dV, G)
+    err = val / jnp.sqrt(1.0 * spin)
+    return err, grad
+
+
+# ----------------------------------------------------------------------
+# host optimizer: CG with ytol/gtol stopping (reference fit.py semantics)
+# ----------------------------------------------------------------------
+
+def minimize_cg(fun_grad, x0, max_iter=300, ytol=1e-7, gtol=1e-3, dx_tol=1e-7):
+    """Polak-Ribiere CG with backtracking-Armijo line search."""
+    x = np.asarray(x0, dtype=float).copy()
+    f, g = fun_grad(x)
+    d = -g
+    n_small = 0
+    step0 = 1.0
+    for it in range(max_iter):
+        gnorm = np.max(np.abs(g))
+        if gnorm < gtol * 0.1:
+            break
+        # line search
+        dg = np.dot(g, d)
+        if dg >= 0:
+            d = -g
+            dg = -np.dot(g, g)
+        alpha = step0
+        f_new, g_new = None, None
+        for _ in range(30):
+            x_new = x + alpha * d
+            f_try, g_try = fun_grad(x_new)
+            if f_try <= f + 1e-4 * alpha * dg:
+                f_new, g_new = f_try, g_try
+                break
+            alpha *= 0.4
+        if f_new is None:
+            break
+        step0 = min(max(alpha * 2.5, 1e-4), 1.0)
+        dx = np.max(np.abs(alpha * d)) if d.size else 0.0
+        beta = max(0.0, np.dot(g_new, g_new - g) / max(np.dot(g, g), 1e-30))
+        d = -g_new + beta * d
+        df = f - f_new
+        x, f, g = x_new, f_new, g_new
+        if df < ytol:
+            n_small += 1
+            if n_small >= 2:
+                break
+        else:
+            n_small = 0
+        if dx < dx_tol:
+            break
+    return x, f, np.max(np.abs(g))
+
+
+def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
+               imp_idx=None, det=False, det_idx=None, CG_check=False,
+               BFGS=False, **kwargs):
+    """Fit vcor in the fixed embedding basis (reference slater.py:909-1330).
+
+    Returns (vcor, err_begin, err_end)."""
+    param_begin = vcor.param.copy()
+    basis = np.asarray(basis)
+    spin = basis.shape[0]
+    neo = basis.shape[-1]
+    basis_k = lattice.R2k_basis(basis)
+
+    nelec = kwargs.get("nelec", None)
+    if nelec is None:
+        ne = lattice.ncore + lattice.nval
+        nelec = (ne,) * spin
+    elif not isinstance(nelec, Iterable):
+        nelec = (int(nelec),) * spin
+    else:
+        nelec = tuple(int(x) for x in nelec)
+    thr_deg = float(kwargs.get("tol_deg", 1e-3))
+
+    if lattice.use_hcore_as_emb_ham:
+        fock_k = lattice.getH1(kspace=True)
+    else:
+        fock_k = lattice.getFock(kspace=True)
+    ovlp_k = lattice.get_ovlp(kspace=True)
+
+    embH1 = np.asarray(embham.transform_h1(fock_k, basis_k))
+    vcor_mat = kwargs.get("vcor_mat", None)
+    if vcor_mat is not None:
+        embH1 = embH1 + np.asarray(vcor_mat)
+    ovlp_emb = np.asarray(embham.transform_h1(ovlp_k, basis_k))
+
+    # Cholesky factor of the embedding overlap (identity for orthonormal LOs)
+    Li = np.empty_like(ovlp_emb)
+    for s in range(spin):
+        L = np.linalg.cholesky(ovlp_emb[s])
+        Li[s] = np.linalg.inv(L)
+
+    dV = get_dV_dparam(vcor, basis)
+
+    # fit index mask (imp_fit / det options; reference slater.py:986-1018)
+    if imp_fit:
+        imp_idx, det_idx = list(range(lattice.nimp)), []
+    elif det:
+        imp_idx, det_idx = [], list(range(lattice.nimp))
+    elif imp_idx is None:
+        if det_idx is None:
+            imp_idx, det_idx = list(range(neo)), []
+        else:
+            imp_idx = []
+    elif det_idx is None:
+        det_idx = []
+    mask = np.zeros((spin, neo, neo))
+    ii = np.asarray(imp_idx, dtype=int)
+    if ii.size:
+        mask[np.ix_(range(spin), ii, ii)] = 1.0
+    dd = np.asarray(det_idx, dtype=int)
+    if dd.size:
+        mask[:, dd, dd] = 1.0
+
+    rho_target = np.asarray(rho) * mask
+
+    args = (jnp.asarray(embH1), jnp.asarray(dV), jnp.asarray(Li),
+            jnp.asarray(mask), jnp.asarray(rho_target))
+
+    if beta < np.inf:
+        raise NotImplementedError("finite-beta fit: next round")
+
+    def fun_grad(p):
+        e, g = _fit_err_grad(jnp.asarray(p), *args, nelec=nelec,
+                             thr_deg=thr_deg)
+        return float(e), np.asarray(g)
+
+    err_begin = fun_grad(vcor.param)[0]
+    if kwargs.get("test_grad", False):
+        _test_grad(vcor.param, fun_grad)
+
+    x, err_end, gnorm = minimize_cg(fun_grad, vcor.param, max_iter=MaxIter,
+                                    ytol=kwargs.get("ytol", 1e-7),
+                                    gtol=kwargs.get("gtol", 1e-3))
+
+    if CG_check or BFGS or gnorm > 1e-3:
+        from scipy import optimize as opt
+        res = opt.minimize(lambda p: fun_grad(p)[0], x,
+                           jac=lambda p: fun_grad(p)[1],
+                           method="BFGS" if BFGS else "CG",
+                           options={"maxiter": min(len(x) * 10, MaxIter),
+                                    "gtol": max(gnorm * 0.1, 5e-5)})
+        if res.fun < err_end:
+            x, err_end = res.x, float(res.fun)
+
+    vcor.update(x)
+    log.info("FitVcorEmb: err %20.12f -> %20.12f (|g|=%.2e)",
+             err_begin, err_end, gnorm)
+    return vcor, err_begin, err_end
+
+
+def _test_grad(param0, fun_grad, dx=1e-5):
+    f0, g_ana = fun_grad(param0)
+    g_num = np.zeros_like(g_ana)
+    for i in range(len(param0)):
+        p1 = param0.copy()
+        p1[i] += dx
+        p2 = param0.copy()
+        p2[i] -= dx
+        g_num[i] = (fun_grad(p1)[0] - fun_grad(p2)[0]) / (2 * dx)
+    log.info("grad check: max |ana - num| = %.3e",
+             np.abs(g_ana - g_num).max())
+    return g_ana, g_num
+
+
+def FitVcorFull(rho, lattice, basis, vcor, beta, filling, MaxIter=20, **kwargs):
+    """Whole-lattice fit stage (reference slater.py:1352-1683): re-solve the
+    lattice mean field at each step and match the folded rdm1."""
+    from libdmet_preview_tpu.ops import mfd
+
+    basis = np.asarray(basis)
+    spin = basis.shape[0]
+    basis_k = lattice.R2k_basis(basis)
+    rho_target = np.asarray(rho)
+    restricted = (spin == 1)
+
+    def cost(p):
+        vcor.update(p)
+        rhoT, mu, _, res = mfd.HF(lattice, vcor, filling, restricted,
+                                  beta=beta, ires=True)
+        rho1 = np.asarray(embham.foldRho_k(res["rho_k"], basis_k))
+        return float(np.linalg.norm(rho1 - rho_target) / np.sqrt(spin))
+
+    from scipy import optimize as opt
+    p0 = vcor.param.copy()
+    err_begin = cost(p0)
+    res = opt.minimize(cost, p0, method="Powell",
+                       options={"maxiter": MaxIter, "xtol": 1e-7})
+    if res.fun <= err_begin:
+        vcor.update(res.x)
+        return vcor, err_begin, float(res.fun)
+    vcor.update(p0)
+    return vcor, err_begin, err_begin
+
+
+def FitVcorTwoStep(rho, lattice, basis, vcor, beta, filling, MaxIter1=300,
+                   MaxIter2=0, **kwargs):
+    """Two-step fit wrapper (reference slater.py:1684-1714)."""
+    vcor_new = copy.deepcopy(vcor)
+    err_begin = err_end = None
+    if MaxIter1 > 0:
+        vcor_new, err_begin, err_end = FitVcorEmb(rho, lattice, basis,
+                                                  vcor_new, beta,
+                                                  MaxIter=MaxIter1, **kwargs)
+    if MaxIter2 > 0:
+        vcor_new, err_begin2, err_end = FitVcorFull(rho, lattice, basis,
+                                                    vcor_new, beta, filling,
+                                                    MaxIter=MaxIter2, **kwargs)
+        if err_begin is None:
+            err_begin = err_begin2
+    log.result("residue (begin) = %20.12f", err_begin)
+    log.result("residue (end)   = %20.12f", err_end)
+    return vcor_new, err_end

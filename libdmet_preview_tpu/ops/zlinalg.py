@@ -1,0 +1,154 @@
+"""
+Complex linear algebra as real-pair arithmetic (TPU-native).
+
+TPU XLA does not support complex128, so every k-space quantity in this
+framework is carried as a pair of real float64 arrays (re, im).  The two
+key primitives:
+
+  * zeigh: Hermitian eigendecomposition via the real symmetric embedding
+        W = [[A, -B], [B, A]],  H = A + iB
+    whose spectrum is that of H doubled.  Matrix functions commute with the
+    embedding, so densities/occupation-weighted projectors are extracted
+    from F(W) block-wise without ever disentangling paired eigenvectors --
+    this is exact even for degenerate spectra (k/-k pairs).
+
+  * DFT-by-matmul phase tables (cos/sin) replacing complex FFTs; the cell
+    meshes in DMET are small (nk <= O(10^3)), so the O(nk^2) matmul DFT is
+    faster on the MXU than a complex FFT would be, and it shards trivially
+    over a k-mesh axis.
+"""
+
+from functools import lru_cache
+import itertools as it
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------
+# real-pair helpers
+# ----------------------------------------------------------------------
+
+def zpair(x):
+    """numpy/jnp complex array -> (re, im) pair."""
+    x = np.asarray(x)
+    return np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag)
+
+
+def to_complex(z):
+    re, im = z
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
+def zmatmul(a, b):
+    """(re,im) @ (re,im) on the last two axes."""
+    ar, ai = a
+    br, bi = b
+    return (ar @ br - ai @ bi, ar @ bi + ai @ br)
+
+
+# ----------------------------------------------------------------------
+# Hermitian eigh via real embedding
+# ----------------------------------------------------------------------
+
+@jax.jit
+def zeigh(h_re, h_im):
+    """Batched Hermitian eigendecomposition of H = h_re + i h_im.
+
+    h_re/h_im: (..., n, n).  Returns (w2, V) where w2 (..., 2n) is the
+    doubled spectrum (each eigenvalue of H appears twice) and V (..., 2n, 2n)
+    the real eigenvectors of the embedding W."""
+    n = h_re.shape[-1]
+    top = jnp.concatenate([h_re, -h_im], axis=-1)
+    bot = jnp.concatenate([h_im, h_re], axis=-1)
+    W = jnp.concatenate([top, bot], axis=-2)
+    return jnp.linalg.eigh(W)
+
+
+@jax.jit
+def zfunc_from_eig(V, f2):
+    """Matrix function F(H) from the embedding eigensystem.
+
+    V: (..., 2n, 2n) eigenvectors of W; f2: (..., 2n) function values on the
+    doubled spectrum (paired eigenvalues must get equal values).
+    Returns (F_re, F_im) with F_re = F(W)[:n,:n], F_im = F(W)[n:, :n]."""
+    n = V.shape[-1] // 2
+    FW = jnp.einsum("...pi, ...i, ...qi -> ...pq", V, f2, V)
+    return FW[..., :n, :n], FW[..., n:, :n]
+
+
+# ----------------------------------------------------------------------
+# DFT phase tables for cell meshes
+# ----------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def dft_tables(kmesh):
+    """cos/sin tables for the C-ordered cell mesh.
+
+    Returns (cos_kR, sin_kR), each (nk, nk), entry [k, R] for scaled kpts
+    (fftfreq per axis) and integer cell positions, phase = 2*pi*k.R."""
+    kmesh = tuple(int(x) for x in kmesh)
+    kfrac = np.array(list(it.product(*[np.fft.fftfreq(m) for m in kmesh])))
+    cells = np.array(list(it.product(*[range(m) for m in kmesh])), dtype=float)
+    phase = 2.0 * np.pi * (kfrac @ cells.T)
+    return np.cos(phase), np.sin(phase)
+
+
+@jax.jit
+def _dft_R2k(A_re, A_im, cos_t, sin_t):
+    """A(k) = sum_R e^{-i k.R} A(R) over the leading cell axis."""
+    re = jnp.einsum("kR, R... -> k...", cos_t, A_re) \
+        + jnp.einsum("kR, R... -> k...", sin_t, A_im)
+    im = jnp.einsum("kR, R... -> k...", cos_t, A_im) \
+        - jnp.einsum("kR, R... -> k...", sin_t, A_re)
+    return re, im
+
+
+@jax.jit
+def _dft_k2R(A_re, A_im, cos_t, sin_t):
+    """A(R) = (1/nk) sum_k e^{+i k.R} A(k) over the leading k axis."""
+    nk = cos_t.shape[0]
+    re = (jnp.einsum("kR, k... -> R...", cos_t, A_re)
+          - jnp.einsum("kR, k... -> R...", sin_t, A_im)) / nk
+    im = (jnp.einsum("kR, k... -> R...", cos_t, A_im)
+          + jnp.einsum("kR, k... -> R...", sin_t, A_re)) / nk
+    return re, im
+
+
+def R2k(A, kmesh):
+    """Stripe real (or pair) operator R -> k.  A: ((spin,) ncells, n, m) real
+    array or (re, im) pair; the cell axis is the -3rd."""
+    cos_t, sin_t = dft_tables(tuple(int(x) for x in kmesh))
+    cos_t, sin_t = jnp.asarray(cos_t), jnp.asarray(sin_t)
+    if isinstance(A, tuple):
+        A_re, A_im = jnp.asarray(A[0]), jnp.asarray(A[1])
+    else:
+        A_re = jnp.asarray(A)
+        A_im = jnp.zeros_like(A_re)
+    moved = A_re.ndim > 3
+    if moved:
+        # move spin in front of einsum batch: treat leading axes by vmap
+        re, im = jax.vmap(lambda r, i: _dft_R2k(r, i, cos_t, sin_t))(A_re, A_im)
+    else:
+        re, im = _dft_R2k(A_re, A_im, cos_t, sin_t)
+    return re, im
+
+
+def k2R(A, kmesh, real=True):
+    """k -> stripe R.  A is a (re, im) pair (or real array); returns real
+    stripe if real=True else a pair."""
+    cos_t, sin_t = dft_tables(tuple(int(x) for x in kmesh))
+    cos_t, sin_t = jnp.asarray(cos_t), jnp.asarray(sin_t)
+    if isinstance(A, tuple):
+        A_re, A_im = jnp.asarray(A[0]), jnp.asarray(A[1])
+    else:
+        A_re = jnp.asarray(A)
+        A_im = jnp.zeros_like(A_re)
+    if A_re.ndim > 3:
+        re, im = jax.vmap(lambda r, i: _dft_k2R(r, i, cos_t, sin_t))(A_re, A_im)
+    else:
+        re, im = _dft_k2R(A_re, A_im, cos_t, sin_t)
+    if real:
+        return re
+    return re, im

@@ -1,0 +1,5 @@
+from libdmet_preview_tpu.utils import logger
+from libdmet_preview_tpu.utils.misc import (
+    max_abs, mdot, add_spin_dim, Iterable, pack_tril, unpack_tril,
+    tril_diag_indices, triu_diag_indices, format_idx,
+)
