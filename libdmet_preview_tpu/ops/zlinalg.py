@@ -18,7 +18,7 @@ key primitives:
     over a k-mesh axis.
 """
 
-from functools import lru_cache
+from functools import lru_cache, partial
 import itertools as it
 
 import numpy as np
@@ -76,6 +76,101 @@ def zfunc_from_eig(V, f2):
     n = V.shape[-1] // 2
     FW = jnp.einsum("...pi, ...i, ...qi -> ...pq", V, f2, V)
     return FW[..., :n, :n], FW[..., n:, :n]
+
+
+# ----------------------------------------------------------------------
+# differentiable Fermi density matrix (degenerate-safe custom JVP)
+# ----------------------------------------------------------------------
+
+def _fermi(x, mu, beta):
+    z = jnp.clip(beta * (x - mu), -100.0, 100.0)
+    return 1.0 / (jnp.exp(z) + 1.0)
+
+
+def _bisect_mu(ew, nelec, beta, n_iter=80):
+    from jax import lax
+    # bracket from the spectrum itself (also keeps the carry "varying"
+    # under shard_map's vma typing when ew came from a collective)
+    pad = jnp.maximum(jnp.asarray(10.0, ew.dtype), 1.0 / beta)
+    lo = jnp.min(ew) - pad
+    hi = jnp.max(ew) + pad
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        n_mid = jnp.sum(_fermi(ew, mid, beta))
+        too_low = n_mid < nelec
+        return (jnp.where(too_low, mid, lo), jnp.where(too_low, hi, mid))
+
+    lo, hi = lax.fori_loop(0, n_iter, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(2, 3))
+def zrho_fermi(h_re, h_im, nelec, beta):
+    """Grand-canonical density matrix rho = f_beta(H - mu) at fixed total
+    electron number, batched over leading axes, with a DEGENERATE-SAFE
+    derivative (the analytic finite-T gradient of reference
+    routine/ftsystem.py:147-292, as a first-class differentiable op).
+
+    h_re/h_im: (..., n, n) Hermitian real pair; `nelec` is the target count
+    on the DOUBLED spectrum of the real embedding (2x physical; see zeigh).
+    Returns (rho_re, rho_im, mu).  jax.grad through this op is exact even
+    for exactly degenerate spectra (k/-k pairs, embedding doubling) via
+    Daleckii-Krein divided differences + chemical-potential feedback
+    (d mu from dN = 0).
+    """
+    ew, V = zeigh(h_re, h_im)
+    mu = _bisect_mu(ew, nelec, beta)
+    occ = _fermi(ew, mu, beta)
+    rho_re, rho_im = zfunc_from_eig(V, occ)
+    return rho_re, rho_im, mu
+
+
+@zrho_fermi.defjvp
+def _zrho_fermi_jvp(nelec, beta, primals, tangents):
+    h_re, h_im = primals
+    dh_re, dh_im = tangents
+    n = h_re.shape[-1]
+
+    ew, V = zeigh(h_re, h_im)
+    mu = _bisect_mu(ew, nelec, beta)
+    f = _fermi(ew, mu, beta)
+    rho_re, rho_im = zfunc_from_eig(V, f)
+
+    # dW in the embedding, rotated to the eigenbasis: M = V^T dW V
+    top = jnp.concatenate([dh_re, -dh_im], axis=-1)
+    bot = jnp.concatenate([dh_im, dh_re], axis=-1)
+    dW = jnp.concatenate([top, bot], axis=-2)
+    M = jnp.einsum("...pi, ...pq, ...qj -> ...ij", V, dW, V)
+
+    fp = -beta * f * (1.0 - f)                      # df/d lambda
+    dlam = jnp.einsum("...ii -> ...i", M)
+    # chemical potential feedback: sum_i f'_i (dlam_i - dmu) = 0
+    denom = jnp.sum(fp)
+    dmu = jnp.where(jnp.abs(denom) > 1e-300,
+                    jnp.sum(fp * dlam) / jnp.where(jnp.abs(denom) > 1e-300,
+                                                   denom, 1.0),
+                    0.0)
+
+    # divided differences K_ij = (f_i - f_j)/(lam_i - lam_j); -> f' as
+    # lam_i -> lam_j (degenerate-safe)
+    lam_i = ew[..., :, None]
+    lam_j = ew[..., None, :]
+    dl = lam_i - lam_j
+    small = jnp.abs(dl) < 1e-9
+    f_i = f[..., :, None]
+    f_j = f[..., None, :]
+    favg = 0.5 * (lam_i + lam_j)
+    fp_pair = -beta * _fermi(favg, mu, beta) * (1.0 - _fermi(favg, mu, beta))
+    K = jnp.where(small, fp_pair, (f_i - f_j) / jnp.where(small, 1.0, dl))
+
+    dF_eig = K * M - jnp.einsum(
+        "...i, ij -> ...ij", fp, jnp.eye(ew.shape[-1], dtype=ew.dtype)) * dmu
+    dFW = jnp.einsum("...pi, ...ij, ...qj -> ...pq", V, dF_eig, V)
+    drho_re = dFW[..., :n, :n]
+    drho_im = dFW[..., n:, :n]
+    return (rho_re, rho_im, mu), (drho_re, drho_im, dmu)
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,194 @@
+"""
+k-point sharded DMET kernels (TPU-native replacement of the reference's MPI
+pool: /root/reference/libdmet/routine/mfd_mpi.py:33-213 and
+/root/reference/libdmet/basis_transform/eri_transform_mpi.py:28-394).
+
+The reference shards the k loop over MPI ranks with static work assignment
+and allreduces the results.  Here the same axis is a `jax.sharding.Mesh`
+axis: per-k eigendecompositions run as batched `eigh` on each device's k
+shard inside `shard_map`, and the reductions (chemical potential search,
+R-space density matrix, embedding-H1 k sums) are `lax.psum` over ICI.
+
+Everything is a pure function of arrays -> jit/shard_map composable; no
+host round trips inside the step.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from libdmet_preview_tpu.ops import zlinalg
+from libdmet_preview_tpu.ops.ftsystem import fermi_occ_jnp
+
+K_AXIS = "k"
+
+
+def make_mesh(n_devices=None, axis=K_AXIS, devices=None):
+    """1D device mesh over the k-point axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+# ----------------------------------------------------------------------
+# sharded differentiable Fermi density (psum'd chemical potential)
+# ----------------------------------------------------------------------
+
+def _fermi(x, mu, beta):
+    z = jnp.clip(beta * (x - mu), -100.0, 100.0)
+    return 1.0 / (jnp.exp(z) + 1.0)
+
+
+def _mu_global(ew, nelec, beta, axis):
+    """Global chemical potential: one all_gather of the (small) spectrum,
+    then a LOCAL bisection replicated deterministically on every device.
+    A single collective instead of one psum per bisection step -- critical
+    when many virtual devices share few host cores, and cheaper on ICI too.
+    """
+    ew_all = lax.all_gather(ew, axis)          # (ndev, ..., nloc)
+    from libdmet_preview_tpu.ops.zlinalg import _bisect_mu
+    return _bisect_mu(ew_all, nelec, beta)
+
+
+def make_zrho_fermi_sharded(nelec, beta, axis=K_AXIS):
+    """Shard-aware version of ops.zlinalg.zrho_fermi: the chemical potential
+    (and its tangent) are global over the k mesh axis; the eigenwork stays
+    on each device's k shard.  Use INSIDE shard_map.
+
+    Returns a function (h_re, h_im) -> (rho_re, rho_im, mu) with a
+    degenerate-safe custom JVP (same math as zlinalg.zrho_fermi).
+    """
+    nelec = float(nelec)
+    beta = float(beta)
+
+    @jax.custom_jvp
+    def rho_fn(h_re, h_im):
+        ew, V = zlinalg.zeigh(h_re, h_im)
+        mu = _mu_global(ew, nelec, beta, axis)
+        occ = _fermi(ew, mu, beta)
+        rho_re, rho_im = zlinalg.zfunc_from_eig(V, occ)
+        return rho_re, rho_im, mu
+
+    @rho_fn.defjvp
+    def rho_jvp(primals, tangents):
+        h_re, h_im = primals
+        dh_re, dh_im = tangents
+        n = h_re.shape[-1]
+        ew, V = zlinalg.zeigh(h_re, h_im)
+        mu = _mu_global(ew, nelec, beta, axis)
+        f = _fermi(ew, mu, beta)
+        rho_re, rho_im = zlinalg.zfunc_from_eig(V, f)
+
+        top = jnp.concatenate([dh_re, -dh_im], axis=-1)
+        bot = jnp.concatenate([dh_im, dh_re], axis=-1)
+        dW = jnp.concatenate([top, bot], axis=-2)
+        M = jnp.einsum("...pi, ...pq, ...qj -> ...ij", V, dW, V)
+        fp = -beta * f * (1.0 - f)
+        dlam = jnp.einsum("...ii -> ...i", M)
+        # NB: denom is a primal quantity, num is linear in the tangents --
+        # keep them in separate psums so the transpose stays well-typed
+        denom = lax.psum(jnp.sum(fp), axis)
+        num = lax.psum(jnp.sum(fp * dlam), axis)
+        dmu = jnp.where(jnp.abs(denom) > 1e-300,
+                        num / jnp.where(jnp.abs(denom) > 1e-300, denom, 1.0),
+                        0.0)
+        lam_i, lam_j = ew[..., :, None], ew[..., None, :]
+        dl = lam_i - lam_j
+        small = jnp.abs(dl) < 1e-9
+        favg = 0.5 * (lam_i + lam_j)
+        fp_pair = -beta * _fermi(favg, mu, beta) * (1.0 - _fermi(favg, mu, beta))
+        K = jnp.where(small, fp_pair,
+                      (f[..., :, None] - f[..., None, :])
+                      / jnp.where(small, 1.0, dl))
+        dF_eig = K * M - jnp.einsum(
+            "...i, ij -> ...ij", fp,
+            jnp.eye(ew.shape[-1], dtype=ew.dtype)) * dmu
+        dFW = jnp.einsum("...pi, ...ij, ...qj -> ...pq", V, dF_eig, V)
+        # psum output is axis-invariant; the primal mu is "varying" (it came
+        # through all_gather) -- match the vma types for custom_jvp
+        dmu = lax.pcast(dmu, axis, to="varying")
+        return (rho_re, rho_im, mu), (dFW[..., :n, :n], dFW[..., n:, :n], dmu)
+
+    return rho_fn
+
+
+# ----------------------------------------------------------------------
+# sharded mean field
+# ----------------------------------------------------------------------
+
+def _hf_shard(f_re, f_im, cos_t, sin_t, nelec2, beta, axis):
+    """Per-shard body: diag local k block, global mu, local rho(k), psum'ed
+    R-space rho.  f_re/f_im: (spin, nk_local, n, n); cos_t/sin_t:
+    (nk_local, nR) phase-table rows for this shard's k points."""
+    ew2, V = zlinalg.zeigh(f_re, f_im)
+    mu = _mu_global(ew2, nelec2, beta, axis)
+    occ2 = fermi_occ_jnp(mu, ew2, beta)
+    rho_re, rho_im = zlinalg.zfunc_from_eig(V, occ2)
+    # rho_R = (1/nk) sum_k e^{+ikR} rho(k), psum over shards
+    nk = lax.psum(f_re.shape[1], axis)
+    re = (jnp.einsum("kR, sk... -> sR...", cos_t, rho_re)
+          - jnp.einsum("kR, sk... -> sR...", sin_t, rho_im)) / nk
+    rho_R = lax.psum(re, axis)
+    nelec_check = lax.psum(jnp.sum(occ2), axis)
+    return rho_R, mu, nelec_check
+
+
+def hf_rho_sharded(mesh, f_re, f_im, kmesh, nelec2, beta, axis=K_AXIS):
+    """k-sharded lattice mean field -> (rho_R, mu, nelec).
+
+    f_re/f_im: (spin, nk, n, n) Fock real pair (vcor already added).
+    kmesh: tuple of cell-mesh dims (prod = nk).  nelec2: electron count on
+    the DOUBLED spectrum (2x physical; see ops/zlinalg.zeigh).  All
+    occupations use Fermi smearing at `beta` (finite; use beta~1e4+ for an
+    effectively zero-T gapped system).
+    Returns rho_R real (spin, nR, n, n) replicated on every device.
+    """
+    cos_t, sin_t = zlinalg.dft_tables(tuple(int(x) for x in kmesh))
+    spec_k = P(None, axis, None, None)
+    spec_t = P(axis, None)
+    fn = shard_map(
+        partial(_hf_shard, nelec2=jnp.asarray(nelec2, f_re.dtype),
+                beta=jnp.asarray(beta, f_re.dtype), axis=axis),
+        mesh=mesh,
+        in_specs=(spec_k, spec_k, spec_t, spec_t),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(fn)(jnp.asarray(f_re), jnp.asarray(f_im),
+                       jnp.asarray(cos_t), jnp.asarray(sin_t))
+
+
+# ----------------------------------------------------------------------
+# sharded embedding-H1 transform
+# ----------------------------------------------------------------------
+
+def _transform_h1_shard(H_re, H_im, b_re, b_im, axis):
+    """sum_k C(k)^H H(k) C(k) / nk over this shard's k points, psum'ed.
+
+    H: (spin, nk_local, n, n); b: (spin, nk_local, n, neo)."""
+    nk = lax.psum(H_re.shape[1], axis)
+    hb_re = jnp.einsum("skpq, skqj -> skpj", H_re, b_re) \
+        - jnp.einsum("skpq, skqj -> skpj", H_im, b_im)
+    hb_im = jnp.einsum("skpq, skqj -> skpj", H_re, b_im) \
+        + jnp.einsum("skpq, skqj -> skpj", H_im, b_re)
+    out = jnp.einsum("skpi, skpj -> sij", b_re, hb_re) \
+        + jnp.einsum("skpi, skpj -> sij", b_im, hb_im)
+    return lax.psum(out, axis) / nk
+
+
+def transform_h1_sharded(mesh, H1_k, basis_k, axis=K_AXIS):
+    """k-sharded embedding transform of a 1-body lattice operator
+    (reference slater_helper.py:22-80 / eri_transform_mpi's allreduce
+    pattern).  H1_k, basis_k: (re, im) pairs shaped (spin, nk, n, n) and
+    (spin, nk, n, neo)."""
+    spec = P(None, axis, None, None)
+    fn = shard_map(partial(_transform_h1_shard, axis=axis), mesh=mesh,
+                   in_specs=(spec, spec, spec, spec), out_specs=P())
+    return jax.jit(fn)(jnp.asarray(H1_k[0]), jnp.asarray(H1_k[1]),
+                       jnp.asarray(basis_k[0]), jnp.asarray(basis_k[1]))
