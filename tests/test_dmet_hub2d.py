@@ -1,0 +1,91 @@
+"""
+End-to-end DMET: 2D Hubbard 40x40, 2x2 impurity, half filling,
+spin-unrestricted (AFM) mean field, FCI solver.
+
+Reference energies (same configs, libdmet integration tests):
+  non-interacting bath, U/t=6: E/site = -0.652114179764
+      (/root/reference/libdmet/test/test_hub2d_nib.py:121)
+  interacting bath,     U/t=2: E/site = -1.179836342898
+      (/root/reference/libdmet/test/test_hub2d_ib.py:133)
+"""
+
+import numpy as np
+import pytest
+
+
+def run_hub2d(U, int_bath, max_iter=20):
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.ops.diis import DIIS, FDiisContext
+
+    LatSize = (40, 40)
+    ImpSize = (2, 2)
+    Filling = 0.5
+    Mu = U * Filling
+    last_dmu = 0.0
+    DiisStart = 4
+    TraceStart = 3
+    DiisDim = 4
+    adiis = DIIS(space=DiisDim)
+    dc = FDiisContext(DiisDim)
+
+    Lat = dmet.SquareLattice(*LatSize, *ImpSize)
+    Ham = dmet.Ham(Lat, U)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    vcor = dmet.AFInitGuess(ImpSize, U, Filling)
+
+    solver = FCI(restricted=False, tol=1e-10)
+    mu_solver = dmet.MuSolver(adaptive=True)
+
+    E_old = 0.0
+    conv = False
+    EnergyImp = None
+    for it in range(max_iter):
+        rho, Mu, res = dmet.HartreeFock(Lat, vcor, Filling, Mu, ires=True)
+        if int_bath:
+            Lat.update_Ham(rho)
+
+        ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                                  matching=False,
+                                                  int_bath=int_bath)
+        ImpHam = dmet.apply_dmu(Lat, ImpHam, basis, last_dmu)
+
+        solver_args = {"nelec": (Lat.ncore + Lat.nval) * 2}
+        rhoEmb, EnergyEmb, ImpHam, dmu = mu_solver(
+            Lat, Filling, ImpHam, basis, solver, solver_args)
+        last_dmu += dmu
+        rhoImp, EnergyImp, nelecImp = dmet.transformResults(
+            rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat,
+            last_dmu=last_dmu, int_bath=int_bath, solver=solver,
+            solver_args=solver_args)
+
+        vcor_new, err = dmet.FitVcor(rhoEmb, Lat, basis, vcor, np.inf,
+                                     Filling, MaxIter2=0)
+        if it >= TraceStart:
+            ddiagV = np.average(np.diagonal(
+                (vcor_new.get() - vcor.get())[:2], 0, 1, 2))
+            vcor_new = dmet.addDiag(vcor_new, -ddiagV)
+
+        if it >= DiisStart:
+            pvcor = adiis.update(np.hstack(vcor_new.param))
+        else:
+            pvcor = np.hstack(vcor_new.param)
+
+        dVcor_per_ele = np.linalg.norm(pvcor - vcor.param) / len(vcor.param)
+        vcor.update(pvcor)
+        dE = EnergyImp - E_old
+        E_old = EnergyImp
+        if dVcor_per_ele < 1e-5 and abs(dE) < 1e-5 and it > 3:
+            conv = True
+            break
+    return EnergyImp, conv
+
+
+def test_hub2d_nib():
+    E, conv = run_hub2d(U=6.0, int_bath=False)
+    assert abs(E - (-0.652114179764)) < 1e-4
+
+
+def test_hub2d_ib():
+    E, conv = run_hub2d(U=2.0, int_bath=True)
+    assert abs(E - (-1.179836342898)) < 1e-4
