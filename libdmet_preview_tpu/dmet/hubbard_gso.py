@@ -1,0 +1,127 @@
+"""
+GSO (spinless / superconducting) DMET facade
+(TPU-native rewrite of reference /root/reference/libdmet/dmet/HubbardGSO.py).
+
+Workflow:
+  GH1, GH0   = spinless.transform_H1_k(lattice H1(k))
+  GV2, GV1, GV0 = spinless.transform_H2_local(lattice H2)
+  GRho, mu   = GHartreeFock(...)          # mu fit to the physical filling
+  basis      = ConstructImpHam -> spinless bath + embedding Integral
+  solve with FCI(ghf=True) under a dmu loop fixing the impurity's
+  physical electron count, then transformResults.
+"""
+
+import numpy as np
+
+from libdmet_preview_tpu.utils import logger as log
+from libdmet_preview_tpu.ops import spinless
+from libdmet_preview_tpu.models.lattice import (
+    ChainLattice, SquareLattice, CubicLattice)
+from libdmet_preview_tpu.models.hamiltonian import HubbardHamiltonian as Ham
+
+
+class GSOHam(object):
+    """Transformed (spinless) lattice Hamiltonian bundle."""
+
+    def __init__(self, lattice, vcor_mat3=None):
+        H1_k = lattice.getH1(kspace=True)
+        GH1_c, GH0_H1 = spinless.transform_H1_k(H1_k)
+        self.GH1_k = spinless.combine_H1_k(GH1_c)          # (nk, nso, nso)
+        H2 = np.asarray(lattice.getH2(kspace=False))
+        log.eassert(lattice.H2_format == "local",
+                    "GSO path implemented for local H2")
+        self.GV2, self.GV1, self.GV0 = spinless.transform_H2_local(H2)
+        self.GH0 = GH0_H1
+        self.lattice = lattice
+        self.nao = lattice.nao
+        self.nso = 2 * lattice.nao
+
+    def H0_total(self, mu):
+        """Constant of H_phys - mu N_phys in the transformed frame,
+        per cell: GH0 + GV0 - mu*nao."""
+        return self.GH0 + self.GV0 - mu * self.nao
+
+
+def GHartreeFock(gham, filling, mu0=0.0, vcor_mat=None, beta=np.inf,
+                 **kwargs):
+    """Mean field of the transformed lattice with a physical-mu fit.
+
+    Includes the GV1 one-body correction on every cell.  Returns
+    (GRho_R, mu, res)."""
+    lattice = gham.lattice
+    nso = gham.nso
+    # NOTE: GV1 (one-body from the interaction's ph-transform) does NOT
+    # enter the bare mean field -- it belongs to the (impurity-truncated)
+    # embedding interaction, mirroring the UHF hcore-based mean field
+    vmat = np.zeros((nso, nso)) if vcor_mat is None else vcor_mat
+    GH1 = (gham.GH1_k[0], gham.GH1_k[1])
+    return spinless.GHF_mu_fit(lattice, GH1, vmat, filling, mu0=mu0,
+                               beta=beta, **kwargs)
+
+
+def ConstructImpHam(gham, GRho_R, mu, vcor_mat=None, **kwargs):
+    basis = spinless.get_emb_basis(gham.lattice, GRho_R, **kwargs)
+    # H0 carries only the PHYSICAL per-cell constants (GH0 + GV0); the mu
+    # operator terms are cancelled inside transform_results, so no mu
+    # constant belongs here
+    ImpHam = spinless.get_emb_Ham(gham.lattice, basis, gham.GH1_k,
+                                  gham.GV2, gham.GV1,
+                                  gham.GH0 + gham.GV0, mu,
+                                  vcor_gso=vcor_mat, **kwargs)
+    return ImpHam, None, basis
+
+
+apply_dmu = spinless.apply_dmu
+
+
+def SolveImpHam_with_fitting(gham, filling, ImpHam, basis, solver,
+                             solver_args=None, dmu0=0.0, thrnelec=1e-5,
+                             max_iter=12, step=0.2):
+    """Adaptive dmu fit: secant iteration on the impurity-cell physical
+    electron count (reference MuSolver role for the GSO path)."""
+    solver_args = dict(solver_args or {})
+    nao = gham.nao
+    neo = basis.shape[-1]
+    nelec_T = neo // 2
+    target = filling * 2.0 * nao
+
+    def solve(dmu):
+        Ham_d = copy_integral(ImpHam)
+        Ham_d = spinless.apply_dmu(gham.lattice, Ham_d, basis, dmu)
+        rdm, E = solver.run(Ham_d, nelec=nelec_T, **solver_args)
+        GRhoImp, _, n = spinless.transform_results(rdm, None, basis, Ham_d,
+                                                   gham.lattice, 0.0)
+        return rdm, E, n * nao, Ham_d
+
+    dmu = dmu0
+    rdm, E, n, Ham_d = solve(dmu)
+    if abs(n - target) < thrnelec:
+        return rdm, E, Ham_d, dmu
+    dmu_old, n_old = dmu, n
+    dmu = dmu + (step if n < target else -step)
+    for it in range(max_iter):
+        rdm, E, n, Ham_d = solve(dmu)
+        if abs(n - target) < thrnelec:
+            break
+        if abs(n - n_old) > 1e-12:
+            dmu_new = dmu + (target - n) * (dmu - dmu_old) / (n - n_old)
+        else:
+            dmu_new = dmu + (step if n < target else -step)
+        dmu_old, n_old = dmu, n
+        dmu = np.clip(dmu_new, dmu - 1.0, dmu + 1.0)
+    return rdm, E, Ham_d, dmu
+
+
+def copy_integral(Ham):
+    from libdmet_preview_tpu.models.integral import Integral
+    return Integral(Ham.norb, Ham.restricted, Ham.bogoliubov, Ham.H0,
+                    {"cd": np.array(Ham.H1["cd"], copy=True)},
+                    {"ccdd": np.array(Ham.H2["ccdd"], copy=True)},
+                    ovlp=Ham.ovlp)
+
+
+def transformResults(GRhoEmb, E_emb, basis, ImpHam, gham, mu, last_dmu=0.0,
+                     **kwargs):
+    return spinless.transform_results(GRhoEmb, E_emb, basis, ImpHam,
+                                      gham.lattice, mu, last_dmu=last_dmu,
+                                      **kwargs)

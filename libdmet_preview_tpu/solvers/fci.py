@@ -403,6 +403,11 @@ class FCI(object):
         norb = Ham.norb
         if nelec is None:
             raise ValueError("FCI.run requires nelec")
+        if self.ghf:
+            # spinless / generalized-spin-orbital FCI: a single fermion
+            # species over all norb orbitals (reference solver/fci.py
+            # ghf=True path); nelec counts transformed particles
+            return self._run_ghf(Ham, nelec, calc_rdm2=calc_rdm2, **kwargs)
         nelec_a = (nelec + self.Sz) // 2
         nelec_b = (nelec - self.Sz) // 2
         assert nelec_a >= 0 and nelec_b >= 0 and nelec_a + nelec_b == nelec
@@ -442,7 +447,31 @@ class FCI(object):
         self.optimized = True
         return self.onepdm, E
 
+    def _run_ghf(self, Ham, nelec, calc_rdm2=False, **kwargs):
+        norb = Ham.norb
+        self.nelec = (nelec, 0)
+        self.norb = norb
+        h1 = np.asarray(Ham.H1["cd"][0])
+        h2 = np.asarray(Ham.H2["ccdd"][0])
+        ci0 = self.ci if (self.ci is not None and
+                          self.ci.shape == (num_strings(norb, nelec), 1)) \
+            else None
+        E, self.ci = fci_kernel(h1, h2, norb, self.nelec,
+                                ecore=float(Ham.H0), tol=self.conv_tol,
+                                ci0=ci0, max_cycle=self.max_cycle)
+        ga, gb = make_rdm1s(self.ci, norb, self.nelec)
+        self.onepdm = ga[None]
+        if calc_rdm2:
+            self.make_rdm2(Ham)
+        self.E = E
+        self.optimized = True
+        return self.onepdm, E
+
     def make_rdm2(self, Ham):
+        if self.ghf:
+            Gaa, Gbb, Gab = make_rdm2s(self.ci, self.norb, self.nelec)
+            self.twopdm = Gaa[None]
+            return self.twopdm
         Gaa, Gbb, Gab = make_rdm2s(self.ci, self.norb, self.nelec)
         if Ham.restricted:
             self.twopdm = (Gaa + Gbb + Gab + Gab.transpose(2, 3, 0, 1))[None]
@@ -456,6 +485,12 @@ class FCI(object):
         self.make_rdm2(Ham)
         r1 = self.onepdm
         r2 = self.twopdm
+        if self.ghf:
+            h1 = np.asarray(Ham.H1["cd"][0])
+            h2 = np.asarray(Ham.H2["ccdd"][0])
+            E1 = np.einsum("pq, qp", h1, r1[0])
+            E2 = np.einsum("pqrs, pqrs", h2, r2[0]) * 0.5
+            return E1 + E2 + Ham.H0
         if Ham.restricted:
             h1 = np.asarray(Ham.H1["cd"][0])
             h2 = np.asarray(Ham.H2["ccdd"][0])

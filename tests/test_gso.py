@@ -1,0 +1,131 @@
+"""
+GSO / spinless formalism tests (reference analog:
+libdmet/test/test_spinless_model.py).
+
+Oracles:
+  * particle-hole transform exactness: FCI of the transformed spinless
+    Hamiltonian at fixed transformed particle number == FCI of the
+    physical Hamiltonian with -mu*N, up to the transform constants.
+  * one-shot GSO-DMET == one-shot spin-unrestricted DMET (zero pairing),
+    the same check the reference asserts at test_spinless_model.py:117.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_ph_transform_exact():
+    """Molecular (single cell) 4-site Hubbard ring at half filling."""
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.ops import spinless
+
+    nao, U = 4, 3.0
+    h = np.zeros((nao, nao))
+    for i in range(nao):
+        h[i, (i + 1) % nao] = h[(i + 1) % nao, i] = -1.0
+    g = np.zeros((nao,) * 4)
+    for i in range(nao):
+        g[i, i, i, i] = U
+    mu = U / 2.0  # ph-symmetric point: half filling is gapped in mu
+
+    # physical FCI at half filling
+    Ham = Integral(nao, True, False, 0.0, {"cd": h[None]}, {"ccdd": g[None]})
+    _, E_phys = FCI(restricted=True, tol=1e-12).run(Ham, nelec=nao)
+    E_grand = E_phys - mu * nao
+
+    # transformed spinless FCI at N_T = nao
+    GH1_c, GH0 = spinless.transform_H1_k(((h[None]), (np.zeros_like(h)[None])))
+    GH1 = spinless.combine_H1_k(GH1_c)
+    GV2, GV1, GV0 = spinless.transform_H2_local(g)
+    nso = 2 * nao
+    H1_so = GH1[0][0].copy()
+    H1_so[:nao, :nao] += GV1[0]
+    H1_so[nao:, nao:] += GV1[1]
+    H1_so += spinless.mu_matrix(mu, nao)
+    eye_basis = np.eye(nso).reshape(1, nso, nso)
+    g_so = spinless.transform_eri_local_gso(eye_basis[:, :nao, :],
+                                            eye_basis[:, nao:, :], GV2)
+    H0 = GH0 + GV0 - mu * nao
+    GHam = Integral(nso, True, False, H0, {"cd": H1_so[None]},
+                    {"ccdd": g_so[None]})
+    _, E_T = FCI(restricted=True, ghf=True, tol=1e-12).run(GHam, nelec=nao)
+    assert abs(E_T - E_grand) < 1e-9
+
+
+def afm_vcor(nao_imp, m):
+    """Fixed AFM staggered potential [va, vb] (gapped at half filling)."""
+    stag = np.diag([(-1.0) ** i for i in range(nao_imp)])
+    return np.asarray([m * stag, -m * stag])
+
+
+def run_uhf_dmet_1shot(L, nao_imp, U, filling, m=0.0):
+    """One-shot spin-unrestricted DMET (NIB, FCI), fixed vcor."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.solvers import FCI
+
+    Lat = dmet.ChainLattice(L, nao_imp)
+    Ham = dmet.Ham(Lat, U)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    vcor = dmet.VcorLocal(False, False, nao_imp)
+    vcor.assign(afm_vcor(nao_imp, m))
+
+    rho, Mu, res = dmet.HartreeFock(Lat, vcor, filling, U * filling,
+                                    ires=True)
+    ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                              matching=False, int_bath=False)
+    solver = FCI(restricted=False, tol=1e-12)
+    mu_solver = dmet.MuSolver(adaptive=True)
+    solver_args = {"nelec": (Lat.ncore + Lat.nval) * 2}
+    # large dmu needed away from half filling: iterate the mu fit,
+    # accumulating last_dmu (as the DMET loop does across iterations)
+    last_dmu = 0.0
+    for _ in range(12):
+        rhoEmb, EnergyEmb, ImpHam, dmu = mu_solver(
+            Lat, filling, ImpHam, basis, solver, solver_args, step=0.4)
+        last_dmu += dmu
+        _, _, nelecImp = dmet.transformResults(
+            rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat,
+            last_dmu=last_dmu, int_bath=False, solver=solver,
+            solver_args=solver_args)
+        if abs(nelecImp - 2 * filling) < 1e-6:
+            break
+    rhoImp, EnergyImp, nelecImp = dmet.transformResults(
+        rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat,
+        last_dmu=last_dmu, int_bath=False, solver=solver,
+        solver_args=solver_args)
+    return EnergyImp, nelecImp
+
+
+def run_gso_dmet_1shot(L, nao_imp, U, filling, m=0.0):
+    from libdmet_preview_tpu.dmet import hubbard_gso as dmet
+    from libdmet_preview_tpu.ops import spinless
+    from libdmet_preview_tpu.solvers import FCI
+
+    Lat = dmet.ChainLattice(L, nao_imp)
+    Ham = dmet.Ham(Lat, U)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    gham = dmet.GSOHam(Lat)
+    va, vb = afm_vcor(nao_imp, m)
+    vmat = spinless.combine_vcor([va, vb, np.zeros_like(va)])
+    GRho, mu, res = dmet.GHartreeFock(gham, filling, mu0=U * filling,
+                                      vcor_mat=vmat)
+    ImpHam, _, basis = dmet.ConstructImpHam(gham, GRho, mu, vcor_mat=vmat)
+    solver = FCI(restricted=True, ghf=True, tol=1e-12)
+    rdm, E_emb, ImpHam_d, dmu = dmet.SolveImpHam_with_fitting(
+        gham, filling, ImpHam, basis, solver, thrnelec=1e-7)
+    GRhoImp, Efrag, n = dmet.transformResults(rdm, E_emb, basis, ImpHam_d,
+                                              gham, mu, last_dmu=dmu)
+    return Efrag, n
+
+
+def test_gso_1shot_equals_uhf():
+    # half filling + fixed AFM vcor: gapped, frames agree (the condition
+    # under which the reference asserts GSO == UHF,
+    # test_spinless_model.py:117)
+    L, nimp, U, filling, m = 12, 2, 4.0, 0.5, 0.5
+    E_uhf, n_uhf = run_uhf_dmet_1shot(L, nimp, U, filling, m=m)
+    E_gso, n_gso = run_gso_dmet_1shot(L, nimp, U, filling, m=m)
+    assert abs(n_uhf - 2 * filling) < 1e-5
+    assert abs(n_gso - 2 * filling) < 1e-5
+    assert abs(E_gso - E_uhf) < 1e-6
