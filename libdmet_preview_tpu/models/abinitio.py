@@ -1,0 +1,127 @@
+"""
+Ab initio periodic lattices from the native Gaussian engine
+(reference analog: Lattice.set_Ham ingesting a converged PySCF kmf + GDF,
+/root/reference/libdmet/system/lattice.py:416-515, plus the HChain helper
+lattice.py:1262-1310).
+
+The periodic model is a Born-von-Karman H ring: exact cyclic translational
+symmetry with the full 1/r Coulomb interaction.  This exercises every ab
+initio DMET component (Lowdin/IAO localization, interacting bath with
+JK double counting, factorized ERI transform, CCSD/FCI solvers) with a
+self-contained integral path -- no external quadrature or Ewald code.
+
+Pipeline:
+    mole (ring)  ->  S, hcore, ERI (ints.gto)
+    C_ao_lo = S^{-1/2}      (Lowdin; translationally symmetric)
+    molecular RHF           (solvers.scf on the full ring)
+    fold to stripes         (hcore/fock/rdm1 in LO, R stripe)
+    Cholesky of ERI_LO      (ops.eri_transform.cholesky_eri)
+"""
+
+import numpy as np
+import scipy.linalg as sla
+
+from libdmet_preview_tpu.utils import logger as log
+from libdmet_preview_tpu.models.lattice import ChainLattice
+from libdmet_preview_tpu.models.integral import Integral
+from libdmet_preview_tpu.ints.gto import Mole, h_ring
+from libdmet_preview_tpu.ops.eri_transform import cholesky_eri
+
+
+def lowdin(S):
+    w, v = np.linalg.eigh(S)
+    assert np.all(w > 1e-10), "overlap matrix not positive definite"
+    return (v / np.sqrt(w)) @ v.T
+
+
+class AbInitioHam(object):
+    """Duck-typed Ham object for Lattice.set_Ham (cholesky H2 format)."""
+
+    def __init__(self, H1_R, fock_R, chol_L, eri_imp, H0):
+        self.H1_R = H1_R
+        self.fock_R = fock_R
+        self.chol_L = chol_L
+        self.eri_imp = eri_imp
+        self.H0 = H0
+        self.H2_format = "cholesky"
+        self.ImpJK = None
+
+    def getH1(self):
+        return self.H1_R
+
+    def getFock(self):
+        return self.fock_R
+
+    def getH2(self):
+        return self.chol_L
+
+    def getH0(self):
+        return self.H0
+
+    def getImpJK(self):
+        return self.ImpJK
+
+
+def make_h_ring_lattice(ncells, atoms_per_cell=1, r_bond=1.8,
+                        basis="sto-6g", chol_tol=1e-10):
+    """Build an ab initio DMET lattice from an H ring.
+
+    Returns (Lat, meta) where Lat has hcore/fock/rdm1 in the Lowdin-LO
+    basis (R stripes), Cholesky ERI factors, and the molecular results in
+    meta (mole, E_hf, C_ao_lo, eri_lo)."""
+    atoms = h_ring(ncells * atoms_per_cell, r_bond)
+    mol = Mole(atoms, basis=basis)
+    nao_atom = mol.nao // (ncells * atoms_per_cell)
+    nlo = nao_atom * atoms_per_cell          # LOs per cell
+    nsite = mol.nao
+
+    S = mol.intor_ovlp()
+    hcore = mol.intor_hcore()
+    eri = mol.intor_eri()
+    e_nuc = mol.energy_nuc()
+
+    # Lowdin orthogonalization: S^-1/2 of the full (circulant) overlap is
+    # itself circulant -> the LOs are translationally symmetric
+    C = lowdin(S)
+    h_lo = C.T @ hcore @ C
+    import jax.numpy as jnp
+    import jax
+    eri_lo = np.asarray(jax.jit(lambda g, c: jnp.einsum(
+        "pqrs, pi, qj, rk, sl -> ijkl", g, c, c, c, c,
+        optimize=True))(jnp.asarray(eri), jnp.asarray(C)))
+
+    # molecular RHF in the LO basis (ovlp = I)
+    from libdmet_preview_tpu.solvers.scf import SCF
+    Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": h_lo[None]},
+                       {"ccdd": eri_lo[None]})
+    myscf = SCF()
+    myscf.set_system(mol.nelectron, 0, False, True)
+    myscf.set_integral(Ham_mol)
+    E_hf, dm = myscf.HF(tol=1e-12, MaxIter=200)
+    rdm1_lo = dm[0] + dm[1]   # spin-traced total (lattice convention for
+    #                           restricted rdm1_lo_R, cf. update_Ham usage)
+    from libdmet_preview_tpu.solvers.scf import _veff_uhf
+    va = np.asarray(_veff_uhf(jnp.asarray(dm[0]), jnp.asarray(dm[1]),
+                              jnp.asarray(eri_lo), jnp.asarray(eri_lo),
+                              jnp.asarray(eri_lo))[0])
+    fock_lo = h_lo + va
+
+    # fold to R stripes; convention: A[R] = <0 | M | R> block
+    def stripe(M):
+        return np.asarray([M[:nlo, R * nlo:(R + 1) * nlo]
+                           for R in range(ncells)])
+
+    h_R = stripe(h_lo)
+    fock_R = stripe(fock_lo)
+    rdm1_R = stripe(rdm1_lo)
+
+    chol_L = cholesky_eri(eri_lo, tol=chol_tol)
+    eri_imp = eri_lo[:nlo, :nlo, :nlo, :nlo].copy()
+
+    Lat = ChainLattice(ncells * nlo, nlo)
+    Ham = AbInitioHam(h_R, fock_R, chol_L, eri_imp, e_nuc / ncells)
+    Lat.set_Ham_abinitio(Ham, rdm1=rdm1_R[None])
+    meta = {"mole": mol, "E_hf": E_hf, "C_ao_lo": C, "eri_lo": eri_lo,
+            "h_lo": h_lo, "fock_lo": fock_lo, "rdm1_lo": rdm1_lo,
+            "nlo": nlo}
+    return Lat, meta

@@ -305,6 +305,27 @@ class LatticeModel(object):
 
     set_Ham = setHam = setHam_model = set_Ham_model
 
+    def set_Ham_abinitio(self, Ham, rdm1=None, use_hcore_as_emb_ham=False):
+        """Ingest an ab initio Hamiltonian (reference lattice.py:416-515
+        set_Ham role): hcore/fock in the LO basis as R stripes, two-body as
+        Cholesky/DF factors (H2_format 'cholesky')."""
+        self.Ham = Ham
+        self.hcore_lo_R = np.asarray(Ham.getH1())
+        self.hcore_lo_k = self._pairify(self.R2k(self.hcore_lo_R))
+        self.ovlp_lo_R = np.zeros((self.ncells, self.nao, self.nao))
+        self.ovlp_lo_R[0] = np.eye(self.nao)
+        self.ovlp_lo_k = self._pairify(self.R2k(self.ovlp_lo_R))
+        self.fock_lo_R = np.asarray(Ham.getFock())
+        self.fock_lo_k = self._pairify(self.R2k(self.fock_lo_R))
+        self.rdm1_lo_R = rdm1
+        if rdm1 is not None:
+            self.rdm1_lo_k = self._pairify(self.R2k(np.asarray(rdm1)))
+        self.use_hcore_as_emb_ham = use_hcore_as_emb_ham
+        self.has_Ham = True
+        self.is_model = False
+        self.H2_format = "cholesky"
+        self.H0 = Ham.getH0()
+
     def update_Ham(self, rdm1_lo_R, fock_lo_k=None):
         """DMET charge self-consistency: rebuild the lattice Fock from a new
         rdm1 (reference lattice.py:927-974).

@@ -290,10 +290,15 @@ def _emb_H2(lattice, basis, vcor, int_bath=True, **kwargs):
     spin = basis.shape[0]
     neo = basis.shape[-1]
     nsc = lattice.nscsites
-    if not lattice.is_model:
-        raise NotImplementedError("ab initio ERI path: use eri_transform")
-    LatH2 = np.asarray(lattice.getH2(kspace=False))
     npair = spin * (spin + 1) // 2
+    if lattice.H2_format == "cholesky":
+        # ab initio path: factorized ERI transform (the reference
+        # eri_transform.get_emb_eri role)
+        from libdmet_preview_tpu.ops.eri_transform import get_emb_eri_chol
+        if int_bath:
+            return get_emb_eri_chol(lattice.Ham.getH2(), basis)
+        return unit2emb(np.asarray((lattice.Ham.eri_imp,) * npair), neo)
+    LatH2 = np.asarray(lattice.getH2(kspace=False))
     if lattice.H2_format == "local":
         if int_bath:
             H2 = np.asarray(transform_eri_local(jnp.asarray(basis),
