@@ -193,6 +193,25 @@ class Mole(object):
         return eri
 
 
+def cross_ovlp(mol1, mol2):
+    """Overlap between the AOs of two Mole objects (same geometry or not):
+    S12[i, j] = <chi_i^{(1)} | chi_j^{(2)}> (s shells)."""
+    S = np.zeros((mol1.nao, mol2.nao))
+    for i, (ci, prim_i) in enumerate(mol1.shells):
+        ai = np.asarray([p[0] for p in prim_i])
+        di = np.asarray([p[1] for p in prim_i])
+        for j, (cj, prim_j) in enumerate(mol2.shells):
+            aj = np.asarray([p[0] for p in prim_j])
+            dj = np.asarray([p[1] for p in prim_j])
+            a = ai[:, None]
+            b = aj[None, :]
+            p = a + b
+            AB2 = np.sum((ci - cj) ** 2)
+            val = (np.pi / p) ** 1.5 * np.exp(-a * b / p * AB2)
+            S[i, j] = np.sum(di[:, None] * dj[None, :] * val)
+    return S
+
+
 def boys0(x):
     """Boys function F0(x) = 0.5 sqrt(pi/x) erf(sqrt(x)), stable at 0."""
     x = np.asarray(x, dtype=float)

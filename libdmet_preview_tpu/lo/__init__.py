@@ -1,0 +1,3 @@
+from libdmet_preview_tpu.lo.lowdin import lowdin_orth, vec_lowdin, check_orthonormal
+from libdmet_preview_tpu.lo.iao import get_iao, get_iao_virt
+from libdmet_preview_tpu.lo.scdm import scdm

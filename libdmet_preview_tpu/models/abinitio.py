@@ -63,15 +63,21 @@ class AbInitioHam(object):
 
 
 def make_h_ring_lattice(ncells, atoms_per_cell=1, r_bond=1.8,
-                        basis="sto-6g", chol_tol=1e-10):
+                        basis="sto-6g", chol_tol=1e-10,
+                        localization="lowdin", minimal_ref="sto-6g"):
     """Build an ab initio DMET lattice from an H ring.
 
-    Returns (Lat, meta) where Lat has hcore/fock/rdm1 in the Lowdin-LO
-    basis (R stripes), Cholesky ERI factors, and the molecular results in
-    meta (mole, E_hf, C_ao_lo, eri_lo)."""
+    localization:
+      'lowdin' -- S^{-1/2} LOs, all valence (minimal-basis workflow)
+      'iao'    -- Knizia IAOs (valence) + projected-AO virtuals, the
+                  reference's get_C_ao_lo_iao workflow
+                  (make_basis.py:212-454) for split bases like 3-21G
+    Returns (Lat, meta) with hcore/fock/rdm1 in the LO basis (R stripes),
+    Cholesky ERI factors, and molecular results in meta."""
     atoms = h_ring(ncells * atoms_per_cell, r_bond)
     mol = Mole(atoms, basis=basis)
-    nao_atom = mol.nao // (ncells * atoms_per_cell)
+    natom = ncells * atoms_per_cell
+    nao_atom = mol.nao // natom
     nlo = nao_atom * atoms_per_cell          # LOs per cell
     nsite = mol.nao
 
@@ -80,30 +86,65 @@ def make_h_ring_lattice(ncells, atoms_per_cell=1, r_bond=1.8,
     eri = mol.intor_eri()
     e_nuc = mol.energy_nuc()
 
-    # Lowdin orthogonalization: S^-1/2 of the full (circulant) overlap is
-    # itself circulant -> the LOs are translationally symmetric
-    C = lowdin(S)
-    h_lo = C.T @ hcore @ C
+    # molecular RHF in the AO basis (general overlap)
+    from libdmet_preview_tpu.solvers.scf import SCF, _veff_uhf
     import jax.numpy as jnp
     import jax
-    eri_lo = np.asarray(jax.jit(lambda g, c: jnp.einsum(
-        "pqrs, pi, qj, rk, sl -> ijkl", g, c, c, c, c,
-        optimize=True))(jnp.asarray(eri), jnp.asarray(C)))
-
-    # molecular RHF in the LO basis (ovlp = I)
-    from libdmet_preview_tpu.solvers.scf import SCF
-    Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": h_lo[None]},
-                       {"ccdd": eri_lo[None]})
+    Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
+                       {"ccdd": eri[None]}, ovlp=S)
     myscf = SCF()
     myscf.set_system(mol.nelectron, 0, False, True)
     myscf.set_integral(Ham_mol)
     E_hf, dm = myscf.HF(tol=1e-12, MaxIter=200)
-    rdm1_lo = dm[0] + dm[1]   # spin-traced total (lattice convention for
-    #                           restricted rdm1_lo_R, cf. update_Ham usage)
-    from libdmet_preview_tpu.solvers.scf import _veff_uhf
-    va = np.asarray(_veff_uhf(jnp.asarray(dm[0]), jnp.asarray(dm[1]),
-                              jnp.asarray(eri_lo), jnp.asarray(eri_lo),
-                              jnp.asarray(eri_lo))[0])
+
+    if localization == "lowdin":
+        # S^-1/2 of the circulant overlap is circulant -> the LOs are
+        # translationally symmetric; AO order is already cell-major
+        C = lowdin(S)
+        nval_cell, nvirt_cell = nlo, 0
+    elif localization == "iao":
+        from libdmet_preview_tpu.ints.gto import cross_ovlp
+        from libdmet_preview_tpu.lo.iao import get_iao, get_iao_virt
+        mol_min = Mole(atoms, basis=minimal_ref)
+        nmin_atom = mol_min.nao // natom
+        S12 = cross_ovlp(mol, mol_min)
+        S2 = mol_min.intor_ovlp()
+        nocc = mol.nelectron // 2
+        C_occ = myscf.mo_coeff[0][:, :nocc]
+        C_iao = get_iao(S, S12, S2, C_occ)
+        # PAOs from the AO shells absent in the minimal basis (per atom:
+        # shells nmin_atom..nao_atom)
+        virt_idx = [a * nao_atom + s for a in range(natom)
+                    for s in range(nmin_atom, nao_atom)]
+        C_pao = get_iao_virt(S, C_iao, virt_ao_idx=virt_idx)
+        # cell-major column order: [cell vals..., cell virts...] per cell
+        niao_cell = nmin_atom * atoms_per_cell
+        npao_cell = nlo - niao_cell
+        cols = []
+        for c in range(ncells):
+            for a in range(atoms_per_cell):
+                for s in range(nmin_atom):
+                    cols.append(C_iao[:, (c * atoms_per_cell + a)
+                                      * nmin_atom + s])
+            for a in range(atoms_per_cell):
+                for s in range(nao_atom - nmin_atom):
+                    cols.append(C_pao[:, (c * atoms_per_cell + a)
+                                      * (nao_atom - nmin_atom) + s])
+        C = np.asarray(cols).T
+        nval_cell, nvirt_cell = niao_cell, npao_cell
+    else:
+        raise ValueError("unknown localization %s" % localization)
+
+    # operators to LO basis; density with the S metric
+    h_lo = C.T @ hcore @ C
+    eri_lo = np.asarray(jax.jit(lambda g, c: jnp.einsum(
+        "pqrs, pi, qj, rk, sl -> ijkl", g, c, c, c, c,
+        optimize=True))(jnp.asarray(eri), jnp.asarray(C)))
+    SC = S @ C
+    rdm1_lo = SC.T @ (dm[0] + dm[1]) @ SC   # spin-traced total
+    va = np.asarray(_veff_uhf(
+        jnp.asarray(SC.T @ dm[0] @ SC), jnp.asarray(SC.T @ dm[1] @ SC),
+        jnp.asarray(eri_lo), jnp.asarray(eri_lo), jnp.asarray(eri_lo))[0])
     fock_lo = h_lo + va
 
     # fold to R stripes; convention: A[R] = <0 | M | R> block
@@ -121,7 +162,9 @@ def make_h_ring_lattice(ncells, atoms_per_cell=1, r_bond=1.8,
     Lat = ChainLattice(ncells * nlo, nlo)
     Ham = AbInitioHam(h_R, fock_R, chol_L, eri_imp, e_nuc / ncells)
     Lat.set_Ham_abinitio(Ham, rdm1=rdm1_R[None])
+    if nvirt_cell > 0:
+        Lat.set_val_virt_core(nval_cell, nvirt_cell, 0)
     meta = {"mole": mol, "E_hf": E_hf, "C_ao_lo": C, "eri_lo": eri_lo,
             "h_lo": h_lo, "fock_lo": fock_lo, "rdm1_lo": rdm1_lo,
-            "nlo": nlo}
+            "nlo": nlo, "nval": nval_cell, "nvirt": nvirt_cell}
     return Lat, meta

@@ -115,3 +115,63 @@ def test_hring_dmet_fci(hring6):
     assert E_dmet < E_hf - 1e-4              # captures correlation
     # within 30% of the full correlation energy of the exact answer
     assert abs(E_dmet - E_fci) < 0.3 * abs(E_hf - E_fci)
+
+
+@pytest.fixture(scope="module")
+def hring_321g():
+    from libdmet_preview_tpu.models.abinitio import make_h_ring_lattice
+    Lat, meta = make_h_ring_lattice(ncells=3, atoms_per_cell=2,
+                                    r_bond=1.8, basis="3-21g",
+                                    localization="iao",
+                                    minimal_ref="sto-6g")
+    return Lat, meta
+
+
+def test_hring_321g_iao_hf_oracle(hring_321g):
+    """IAO+PAO basis is complete and val/virt-split: the lattice mean
+    field reproduces the molecular RHF energy; PAOs carry ~zero HF
+    occupation (IAOs exactly span the occupied space)."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    Lat, meta = hring_321g
+    nlo = meta["nlo"]
+    assert meta["nval"] == 2 and meta["nvirt"] == 2
+    vcor = dmet.VcorLocal(True, False, nlo)
+    vcor.update(np.zeros(vcor.length()))
+    filling = meta["mole"].nelectron / (2.0 * meta["mole"].nao)
+    rho, mu, res = dmet.RHartreeFock(Lat, vcor, filling, None, ires=True)
+    assert abs(res["E"] - meta["E_hf"] / Lat.ncells) < 1e-8
+    # PAO occupations vanish at the HF level
+    rdm_cell0 = np.asarray(Lat.rdm1_lo_R)[0, 0]
+    assert np.max(np.abs(np.diag(rdm_cell0)[meta["nval"]:])) < 1e-10
+
+
+def test_hring_321g_dmet_ccsd(hring_321g):
+    """Valence-bath interacting-bath DMET + CCSD on the 3-21G ring:
+    HF-limit oracle with the HF solver, then CCSD captures correlation."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.solvers.scf import SCFSolver
+    from libdmet_preview_tpu.solvers.cc import CCSD
+    Lat, meta = hring_321g
+    nlo = meta["nlo"]
+    ncells = Lat.ncells
+    vcor = dmet.VcorLocal(True, False, nlo)
+    vcor.update(np.zeros(vcor.length()))
+    filling = meta["mole"].nelectron / (2.0 * meta["mole"].nao)
+    rho, mu, res = dmet.RHartreeFock(Lat, vcor, filling, None, ires=True)
+    ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                              matching=False, int_bath=True)
+    nelec_emb = (Lat.ncore + Lat.nval) * 2
+    # HF-limit oracle (valence bath exactly spans the occupied space)
+    hf = SCFSolver(restricted=True, tol=1e-11)
+    rhoEmb, E_emb = hf.run(ImpHam, nelec=nelec_emb)
+    _, E_hf_dmet, _ = dmet.transformResults(
+        rhoEmb, E_emb, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
+        int_bath=True, solver=hf, solver_args={"nelec": nelec_emb})
+    assert abs(E_hf_dmet * nlo - meta["E_hf"] / ncells) < 1e-7
+    # CCSD lowers the energy
+    cc = CCSD(restricted=True, tol=1e-9)
+    rhoEmb, E_emb = cc.run(ImpHam, nelec=nelec_emb)
+    _, E_cc_dmet, _ = dmet.transformResults(
+        rhoEmb, E_emb, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
+        int_bath=True, solver=cc, solver_args={"nelec": nelec_emb})
+    assert E_cc_dmet < E_hf_dmet - 1e-4
