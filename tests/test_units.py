@@ -1,0 +1,179 @@
+"""
+Per-layer unit tests (reference test strategy, SURVEY 4: system/test,
+routine/test, dmet/test unit suites).
+
+  * Fourier identities: R<->k round trips, stripe/expand consistency
+    (reference system/test/test_fourier.py)
+  * Integral I/O: FCIDUMP and HDF5 round trips
+    (reference system/test/test_integral.py)
+  * differentiable Fermi density: custom JVP vs finite differences,
+    including exactly degenerate spectra
+    (reference routine/test/test_ft_system.py)
+  * vcor parametrization: evaluate/gradient consistency
+    (reference routine/test/test_vcor.py)
+  * vcor fit: analytic gradient vs numerical (reference slater.py test_grad
+    used by routine/test/test_fit.py)
+  * quadratic mu extrapolation (reference dmet/test/test_quad_fit.py)
+"""
+
+import os
+import numpy as np
+import pytest
+
+
+def test_fourier_roundtrip():
+    from libdmet_preview_tpu.ops import zlinalg
+    rng = np.random.RandomState(0)
+    kmesh = (3, 2)
+    nk = 6
+    A = rng.randn(nk, 4, 4)
+    B = zlinalg.R2k(A, kmesh)
+    A2 = zlinalg.k2R(B, kmesh)
+    assert np.max(np.abs(np.asarray(A2) - A)) < 1e-12
+    # Parseval-like identity: k-sum of |A(k)|^2 == nk * R-sum of |A(R)|^2
+    norm_k = float(np.sum(np.asarray(B[0]) ** 2 + np.asarray(B[1]) ** 2))
+    assert abs(norm_k - nk * float(np.sum(A ** 2))) < 1e-9
+
+
+def test_lattice_expand_stripe():
+    from libdmet_preview_tpu.models.lattice import ChainLattice
+    rng = np.random.RandomState(1)
+    Lat = ChainLattice(8, 2)
+    stripe = rng.randn(1, Lat.ncells, 2, 2)
+    full = Lat.expand(stripe)
+    back = Lat.extract_stripe(full)
+    assert np.max(np.abs(back - stripe)) < 1e-12
+    # expanded matrix is block-circulant: check one translated block
+    assert np.max(np.abs(full[0, 2:4, 2:4] - full[0, 0:2, 0:2])) < 1e-12
+
+
+def test_fcidump_roundtrip(tmp_path):
+    from libdmet_preview_tpu.models.integral import (
+        Integral, dump_FCIDUMP, read_FCIDUMP)
+    rng = np.random.RandomState(2)
+    n = 3
+    h = rng.randn(n, n)
+    h = h + h.T
+    A = rng.randn(4, n, n)
+    A = A + A.transpose(0, 2, 1)
+    g = np.einsum("xpq, xrs -> pqrs", A, A)
+    Ham = Integral(n, True, False, 0.25, {"cd": h[None]}, {"ccdd": g[None]})
+    path = str(tmp_path / "FCIDUMP")
+    dump_FCIDUMP(path, Ham, nelec=2)
+    Ham2 = read_FCIDUMP(path)
+    assert np.max(np.abs(np.asarray(Ham2.H1["cd"][0]) - h)) < 1e-9
+    from libdmet_preview_tpu.models.integral import restore_eri
+    g2 = restore_eri(np.asarray(Ham2.H2["ccdd"][0]), n, 1)
+    assert np.max(np.abs(g2 - g)) < 1e-9
+    assert abs(Ham2.H0 - 0.25) < 1e-12
+
+
+def test_integral_h5_roundtrip(tmp_path):
+    from libdmet_preview_tpu.models.integral import (
+        Integral, save_h5, load_h5)
+    rng = np.random.RandomState(3)
+    n = 3
+    h = rng.randn(2, n, n)
+    g = rng.randn(3, n, n, n, n)
+    Ham = Integral(n, False, False, -0.5, {"cd": h}, {"ccdd": g})
+    path = str(tmp_path / "ham.h5")
+    save_h5(path, Ham)
+    Ham2 = load_h5(path)
+    assert np.max(np.abs(np.asarray(Ham2.H1["cd"]) - h)) < 1e-12
+    assert np.max(np.abs(np.asarray(Ham2.H2["ccdd"]) - g)) < 1e-12
+    assert Ham2.restricted is False
+
+
+def test_zrho_fermi_jvp_vs_fd():
+    """Degenerate-safe Fermi-density derivative vs finite differences."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops.zlinalg import zrho_fermi
+    rng = np.random.RandomState(4)
+    n, nk, beta = 3, 4, 50.0
+    h = rng.randn(nk, n, n) * 0.5
+    h_re = 0.5 * (h + h.transpose(0, 2, 1))
+    # enforce an EXACT degeneracy: duplicate one k block
+    h_re[1] = h_re[0]
+    h_im = np.zeros_like(h_re)
+    nelec = 2.0 * nk * n * 0.5   # doubled spectrum, half filling
+
+    dh = rng.randn(nk, n, n) * 0.1
+    dh = 0.5 * (dh + dh.transpose(0, 2, 1))
+
+    def obj(t):
+        r_re, r_im, mu = zrho_fermi(jnp.asarray(h_re + t * dh),
+                                    jnp.asarray(h_im), nelec, beta)
+        return jnp.sum(r_re ** 3) + jnp.sum(r_re * jnp.asarray(dh))
+
+    g_ad = float(jax.grad(obj)(0.0))
+    eps = 1e-5
+    g_fd = (float(obj(eps)) - float(obj(-eps))) / (2 * eps)
+    assert abs(g_ad - g_fd) < 1e-6 * max(1.0, abs(g_fd))
+
+
+def test_vcor_gradient():
+    from libdmet_preview_tpu.ops.vcor import VcorLocal
+    rng = np.random.RandomState(5)
+    v = VcorLocal(False, False, 3)
+    p = rng.randn(v.length())
+    v.update(p)
+    V0 = np.array(v.get())
+    grad = np.asarray(v.gradient())   # (nparam, spin, n, n)
+    eps = 1e-6
+    for k in [0, 3, v.length() - 1]:
+        p1 = p.copy()
+        p1[k] += eps
+        v.update(p1)
+        dV = (np.array(v.get()) - V0) / eps
+        assert np.max(np.abs(dV - grad[k, :2])) < 1e-6
+
+
+def test_fit_gradient_vs_numerical():
+    """Analytic vcor-fit gradient (occ-virt perturbation theory) vs
+    numerical differences (reference slater.py:820 test_grad)."""
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops.fit import _fit_err, _fit_err_grad
+    rng = np.random.RandomState(6)
+    neo, nparam, spin = 6, 5, 2
+    embH1 = rng.randn(spin, neo, neo)
+    embH1 = 0.5 * (embH1 + embH1.transpose(0, 2, 1))
+    dV = rng.randn(nparam, spin, neo, neo)
+    dV = 0.5 * (dV + dV.transpose(0, 1, 3, 2))
+    Li = np.tile(np.eye(neo), (spin, 1, 1))
+    mask = np.ones((spin, neo, neo))
+    target = rng.rand(spin, neo, neo) * 0.1
+    target = 0.5 * (target + target.transpose(0, 2, 1))
+    nelec = (3, 3)
+    p0 = rng.randn(nparam) * 0.1
+
+    err, grad = _fit_err_grad(jnp.asarray(p0), jnp.asarray(embH1),
+                              jnp.asarray(dV), jnp.asarray(Li),
+                              jnp.asarray(mask), jnp.asarray(target), nelec)
+    grad = np.asarray(grad)
+    eps = 1e-6
+    for k in range(nparam):
+        p1 = p0.copy()
+        p1[k] += eps
+        p2 = p0.copy()
+        p2[k] -= eps
+        e1 = float(_fit_err(jnp.asarray(p1), jnp.asarray(embH1),
+                            jnp.asarray(dV), jnp.asarray(Li),
+                            jnp.asarray(mask), jnp.asarray(target), nelec))
+        e2 = float(_fit_err(jnp.asarray(p2), jnp.asarray(embH1),
+                            jnp.asarray(dV), jnp.asarray(Li),
+                            jnp.asarray(mask), jnp.asarray(target), nelec))
+        g_fd = (e1 - e2) / (2 * eps)
+        assert abs(grad[k] - g_fd) < 1e-5 * max(1.0, abs(g_fd))
+
+
+def test_quad_fit_mu():
+    from libdmet_preview_tpu.dmet.quad_fit import quad_fit_mu
+    # exact parabola: nelec(mu) = 1 + 0.8*(mu - 0.3) - 0.2*(mu - 0.3)**2
+    def n_of(mu):
+        return 1.0 + 0.8 * (mu - 0.3) - 0.2 * (mu - 0.3) ** 2
+    mus = np.asarray([0.0, 0.1, 0.2])
+    ns = np.asarray([n_of(m) for m in mus])
+    target_filling = 0.5   # target nelec = 1.0
+    dmu = quad_fit_mu(mus, ns, target_filling, step=1.0)
+    assert abs(n_of(dmu) - 1.0) < 1e-6
