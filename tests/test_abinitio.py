@@ -175,3 +175,60 @@ def test_hring_321g_dmet_ccsd(hring_321g):
         rhoEmb, E_emb, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
         int_bath=True, solver=cc, solver_args={"nelec": nelec_emb})
     assert E_cc_dmet < E_hf_dmet - 1e-4
+
+
+def test_hring_dmet_self_consistent(hring6):
+    """Full self-consistent DMET (vcor fit + DIIS) on the sto-6g ring:
+    must converge, improve on HF, and stay above... close to full FCI
+    (reference test_self_consistency.py workflow)."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.ops.diis import DIIS
+    from libdmet_preview_tpu.models.integral import Integral
+    Lat, meta = hring6
+    nlo = meta["nlo"]
+    ncells = Lat.ncells
+    mol = meta["mole"]
+    Ham_mol = Integral(mol.nao, True, False, mol.energy_nuc(),
+                       {"cd": meta["h_lo"][None]},
+                       {"ccdd": meta["eri_lo"][None]})
+    _, E_fci = FCI(restricted=True, tol=1e-11).run(Ham_mol,
+                                                   nelec=mol.nelectron)
+    E_hf = meta["E_hf"]
+
+    vcor = dmet.VcorLocal(True, False, nlo)
+    vcor.update(np.zeros(vcor.length()))
+    filling = mol.nelectron / (2.0 * mol.nao)
+    solver = FCI(restricted=True, tol=1e-11)
+    adiis = DIIS(space=4)
+    nelec_emb = (Lat.ncore + Lat.nval) * 2
+    solver_args = {"nelec": nelec_emb}
+
+    E_old, conv = 0.0, False
+    for it in range(15):
+        rho, mu, res = dmet.RHartreeFock(Lat, vcor, filling, None,
+                                         ires=True)
+        ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                                  matching=False,
+                                                  int_bath=True)
+        rhoEmb, E_emb = solver.run(ImpHam, nelec=nelec_emb)
+        rhoImp, EnergyImp, nelecImp = dmet.transformResults(
+            rhoEmb, E_emb, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
+            int_bath=True, solver=solver, solver_args=solver_args)
+        vcor_new, err = dmet.FitVcor(rhoEmb, Lat, basis, vcor, np.inf,
+                                     filling, MaxIter2=0)
+        if it >= 3:
+            pvcor = adiis.update(np.hstack(vcor_new.param))
+        else:
+            pvcor = np.hstack(vcor_new.param)
+        dV = np.linalg.norm(pvcor - vcor.param) / max(len(vcor.param), 1)
+        vcor.update(pvcor)
+        dE = EnergyImp - E_old
+        E_old = EnergyImp
+        if dV < 1e-6 and abs(dE) < 1e-7 and it > 2:
+            conv = True
+            break
+    E_dmet = E_old * nlo * ncells
+    assert conv
+    assert E_dmet < E_hf - 1e-4
+    assert abs(E_dmet - E_fci) < 0.5 * abs(E_hf - E_fci)
