@@ -343,6 +343,63 @@ def apply_dmu(lattice, ImpHam, basis, dmu):
     return ImpHam
 
 
+def FitVcorGSOEmb(GRhoEmb, lattice, basis, vcor, GH1_k, mu, MaxIter=300,
+                  imp_fit=False, **kwargs):
+    """Correlation-potential fit in the GSO frame, fixed embedding basis
+    (reference spinless.py:1090-2232 FitVcorEmb role).
+
+    vcor: a Bogoliubov Vcor ([va, vb, D] components); the fit cost is
+    || GRho_mf(param) - GRhoEmb || with GRho_mf from the eigenbasis of
+      embH1 + sum_P param_P dV_P,   embH1 = emb[GH1(k) + mu_mat]
+    at fixed transformed particle number neo/2.  Gradient via the same
+    degenerate-safe occ-virt machinery as the Slater fit (ops/fit.py).
+    """
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops import embham
+    from libdmet_preview_tpu.ops.fit import (_fit_err, _fit_err_grad,
+                                             minimize_cg)
+    basis = np.asarray(basis)
+    ncells, nso, neo = basis.shape[1], basis.shape[2], basis.shape[3]
+    nao = nso // 2
+    GRhoEmb = np.asarray(GRhoEmb)
+    if GRhoEmb.ndim == 3:
+        GRhoEmb = GRhoEmb[0]
+
+    basis_k = lattice.R2k_basis(basis)
+    f_re = np.asarray(GH1_k[0]) + mu_matrix(mu, nao)
+    embH1 = np.asarray(embham.transform_h1((f_re, GH1_k[1]), basis_k))
+
+    # dV/dparam: combine each gradient component and rotate to the
+    # embedding basis
+    grad3 = np.asarray(vcor.gradient())          # (P, 3, nao, nao)
+    nparam = grad3.shape[0]
+    dV_gso = np.asarray([combine_vcor(grad3[p]) for p in range(nparam)])
+    bR = jnp.asarray(basis)
+    dV = np.asarray(jnp.einsum("sRpi, Ppq, sRqj -> Psij", bR,
+                               jnp.asarray(dV_gso), bR, optimize=True))
+
+    mask = np.ones((1, neo, neo))
+    if imp_fit:
+        mask[:] = 0.0
+        mask[:, :nso, :nso] = 1.0
+    Li = np.eye(neo)[None]
+    nelec = (neo // 2,)
+    target = GRhoEmb[None]
+
+    def fun_grad(p):
+        e, g = _fit_err_grad(jnp.asarray(p), jnp.asarray(embH1),
+                             jnp.asarray(dV), jnp.asarray(Li),
+                             jnp.asarray(mask), jnp.asarray(target), nelec)
+        return float(e), np.asarray(g)
+
+    p0 = np.array(vcor.param, copy=True)
+    p_new, err, gmax = minimize_cg(fun_grad, p0, max_iter=MaxIter)
+    import copy
+    vcor_new = copy.deepcopy(vcor)
+    vcor_new.update(p_new)
+    return vcor_new, err
+
+
 def transform_results(GRhoEmb, E_emb, basis, ImpHam, lattice, mu,
                       last_dmu=0.0, **kwargs):
     """Embedded GSO results -> (GRhoImp, Efrag per cell, n_phys per cell)
