@@ -268,6 +268,30 @@ def basis_matching(basis):
 # embedding Hamiltonian
 # ----------------------------------------------------------------------
 
+def get_rho_glob_R(basis, lattice, rho_emb):
+    """Global lattice density matrix from the embedded rdm1 by democratic
+    partitioning over translated impurities
+    (reference slater_helper.py:183-310):
+
+      rho_glob[0p, Rq] = 1/2 (B_0 rho B_R^T + B_{-R} rho B_0^T)_pq
+
+    basis: (spin, ncells, nlo, neo); rho_emb: (spin, neo, neo).
+    Returns the stripe (spin, ncells, nlo, nlo)."""
+    basis = np.asarray(basis)
+    rho_emb = np.asarray(rho_emb)
+    if rho_emb.ndim == 2:
+        rho_emb = rho_emb[None]
+    spin, ncells, nlo, neo = basis.shape
+    b = jnp.asarray(basis)
+    r = jnp.asarray(rho_emb)
+    # two democratic estimates of the (0, R) stripe block (lattice stripe
+    # convention: rho[R]_pq = <R p| rho |0 q>)
+    row = jnp.einsum("spi, sij, sRqj -> sRqp", b[:, 0], r, b)
+    bm = b[:, (-np.arange(ncells)) % ncells]
+    col = jnp.einsum("sRpi, sij, sqj -> sRqp", bm, r, b[:, 0])
+    return np.asarray(0.5 * (row + col))
+
+
 def get_emb_Ham(lattice, basis, vcor, local=True, int_bath=True, **kwargs):
     """Build the embedding Hamiltonian Integral object
     (reference slater.py:320-688)."""

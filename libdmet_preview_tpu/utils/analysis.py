@@ -1,0 +1,96 @@
+"""
+Population / correlation analysis and order parameters
+(reference analogs: /root/reference/libdmet/system/analyze.py:185-258
+Mulliken populations, /root/reference/libdmet/utils/get_order_param.py:18-576
+AFM/SC order parameters).
+"""
+
+import numpy as np
+
+from libdmet_preview_tpu.utils import logger as log
+
+
+def mulliken_lo(rdm1_lo, labels=None):
+    """Mulliken populations in an orthonormal LO basis: pop_i = rho_ii.
+
+    rdm1_lo: ((spin,) nlo, nlo) impurity-cell density; restricted input is
+    interpreted as the per-spin density (reference analyze.py:185-258).
+    Returns (pop (spin, nlo), charges (nlo,), spin_density (nlo,))."""
+    rdm1_lo = np.asarray(rdm1_lo)
+    if rdm1_lo.ndim == 2:
+        rdm1_lo = np.asarray([rdm1_lo, rdm1_lo])
+    elif rdm1_lo.shape[0] == 1:
+        rdm1_lo = np.asarray([rdm1_lo[0], rdm1_lo[0]])
+    pop = np.asarray([np.diag(rdm1_lo[0]), np.diag(rdm1_lo[1])])
+    charge = pop[0] + pop[1]
+    spin_dens = pop[0] - pop[1]
+    if labels is not None:
+        for i, lab in enumerate(labels):
+            log.result("%-10s charge %10.6f  spin %10.6f", lab,
+                       charge[i], spin_dens[i])
+    return pop, charge, spin_dens
+
+
+def get_order_param_afm(rdm1_imp, stag=None):
+    """Staggered (AFM) magnetization of the impurity cell:
+    m = (1/nimp) sum_i (-1)^i (n_i^a - n_i^b) / 2
+    (reference get_order_param.py AFM order)."""
+    rdm1_imp = np.asarray(rdm1_imp)
+    assert rdm1_imp.ndim == 3 and rdm1_imp.shape[0] == 2
+    nimp = rdm1_imp.shape[-1]
+    if stag is None:
+        stag = np.asarray([(-1.0) ** i for i in range(nimp)])
+    sz = 0.5 * (np.diag(rdm1_imp[0]) - np.diag(rdm1_imp[1]))
+    return float(np.sum(stag * sz)) / nimp
+
+
+def get_order_param_sc(GRho_imp):
+    """s-wave superconducting order: mean |kappa_ii| over the impurity
+    (anomalous <a_i b_i>) from a GSO/BCS generalized density."""
+    from libdmet_preview_tpu.ops.spinless import extract_rdm
+    _, _, kappa = extract_rdm(np.asarray(GRho_imp))
+    return float(np.mean(np.abs(np.diag(kappa))))
+
+
+def bond_order(rdm1_lo, i, j):
+    """Simple LO-basis bond order: sum_s rho_s[i, j]
+    (reference analyze.py:598-740 simplified to the orthonormal case)."""
+    rdm1_lo = np.asarray(rdm1_lo)
+    if rdm1_lo.ndim == 2:
+        return 2.0 * rdm1_lo[i, j]
+    return float(np.sum(rdm1_lo[:, i, j]))
+
+
+def get_dos(mo_energy, ws=None, sigma=0.05, nw=400):
+    """Broadened density of states from (possibly k-resolved) orbital
+    energies (reference utils/plot.py:825-1006 get_dos core).
+
+    mo_energy: any-shape array of levels.  Returns (ws, dos)."""
+    e = np.asarray(mo_energy).ravel()
+    if ws is None:
+        ws = np.linspace(e.min() - 10 * sigma, e.max() + 10 * sigma, nw)
+    diff = ws[:, None] - e[None, :]
+    dos = np.sum(np.exp(-0.5 * (diff / sigma) ** 2), axis=1) \
+        / (sigma * np.sqrt(2 * np.pi))
+    return ws, dos
+
+
+def spin_corr_mean_field(rdm1, i, j):
+    """<S^z_i S^z_j> at the single-determinant level from the per-spin
+    rdm1 (Wick): (reference utils/plot.py:684-824 mean-field path)."""
+    rdm1 = np.asarray(rdm1)
+    assert rdm1.ndim == 3 and rdm1.shape[0] == 2
+    na_i, nb_i = rdm1[0, i, i], rdm1[1, i, i]
+    na_j, nb_j = rdm1[0, j, j], rdm1[1, j, j]
+    szi_szj = 0.25 * ((na_i - nb_i) * (na_j - nb_j))
+    if i == j:
+        szi_szj = 0.25 * (na_i + nb_i) \
+            - 0.5 * (rdm1[0, i, i] * rdm1[1, i, i]) \
+            - 0.25 * (rdm1[0, i, i] ** 2 + rdm1[1, i, i] ** 2) \
+            + 0.25 * (na_i - nb_i) ** 2
+        # exchange terms for i == j collapse; keep the direct expression
+        szi_szj = 0.25 * (na_i + nb_i - 2.0 * na_i * nb_i)
+    else:
+        szi_szj -= 0.25 * (rdm1[0, i, j] * rdm1[0, j, i]
+                           + rdm1[1, i, j] * rdm1[1, j, i])
+    return float(szi_szj)
