@@ -1,0 +1,109 @@
+"""
+External solver bridge: FCIDUMP out, subprocess run, energy/RDM back
+(TPU-native analog of the reference's out-of-process solver interfaces:
+DMRG /root/reference/libdmet/solver/block.py:281-900, SHCI shci.py:35-430,
+with executable paths in solver/settings.py).
+
+The reference hard-codes absolute binary paths and fails at import when
+missing; here the bridge takes the executable configuration explicitly
+and the solver degrades to "unavailable" (raises at run) so the library
+imports everywhere.  Output parsing is line-pattern based like the
+reference's grep readback.
+"""
+
+import os
+import re
+import subprocess
+import tempfile
+
+import numpy as np
+
+from libdmet_preview_tpu.utils import logger as log
+from libdmet_preview_tpu.models.integral import dump_FCIDUMP
+
+
+class ExternalFCIDUMPSolver(object):
+    """Generic FCIDUMP + subprocess impurity solver.
+
+    Config:
+      executable : argv list; '{fcidump}', '{workdir}', '{nelec}' are
+                   substituted
+      energy_pattern : regex with one float group, LAST match wins
+      rdm1_file : optional path (relative to workdir) of a text/npy rdm1
+      mpirun / nproc : optional MPI launcher prefix
+    """
+
+    def __init__(self, executable, energy_pattern=r"E\s*=\s*([-\d.eE+]+)",
+                 rdm1_file=None, mpirun=None, nproc=1, workdir=None,
+                 restricted=True, Sz=0, **kwargs):
+        self.executable = list(executable)
+        self.energy_pattern = energy_pattern
+        self.rdm1_file = rdm1_file
+        self.mpirun = mpirun
+        self.nproc = nproc
+        self.workdir = workdir
+        self.restricted = restricted
+        self.Sz = Sz
+        self.onepdm = None
+        self.e_tot = None
+
+    def available(self):
+        exe = self.executable[0]
+        return os.path.exists(exe) or any(
+            os.path.exists(os.path.join(d, exe))
+            for d in os.environ.get("PATH", "").split(os.pathsep) if d)
+
+    def run(self, Ham, nelec=None, **kwargs):
+        if nelec is None:
+            raise ValueError("run requires nelec")
+        if not self.available():
+            raise RuntimeError("external solver executable not found: %s"
+                               % self.executable[0])
+        workdir = self.workdir or tempfile.mkdtemp(prefix="ext_solver_")
+        os.makedirs(workdir, exist_ok=True)
+        fcidump = os.path.join(workdir, "FCIDUMP")
+        dump_FCIDUMP(fcidump, Ham, nelec=nelec, spin_sz=self.Sz)
+
+        argv = [a.format(fcidump=fcidump, workdir=workdir, nelec=nelec)
+                for a in self.executable]
+        if self.mpirun:
+            argv = [self.mpirun, "-np", str(self.nproc)] + argv
+        log.info("external solver: %s", " ".join(argv))
+        res = subprocess.run(argv, cwd=workdir, capture_output=True,
+                             text=True)
+        if res.returncode != 0:
+            raise RuntimeError("external solver failed (rc=%d):\n%s"
+                               % (res.returncode, res.stderr[-2000:]))
+        matches = re.findall(self.energy_pattern, res.stdout)
+        if not matches:
+            raise RuntimeError("energy pattern %r not found in solver "
+                               "output" % self.energy_pattern)
+        E = float(matches[-1])
+        self.e_tot = E
+        if self.rdm1_file is not None:
+            path = os.path.join(workdir, self.rdm1_file)
+            if path.endswith(".npy"):
+                rdm1 = np.load(path)
+            else:
+                rdm1 = np.loadtxt(path)
+            if rdm1.ndim == 2:
+                rdm1 = rdm1[None] * (0.5 if self.restricted else 1.0)
+            self.onepdm = rdm1
+        return self.onepdm, E
+
+    def cleanup(self):
+        pass
+
+
+def Block2Solver(executable="block2main", **kwargs):
+    """DMRG via block2 (if installed); reference solver/block.py:865."""
+    return ExternalFCIDUMPSolver(
+        [executable, "{fcidump}"],
+        energy_pattern=r"DMRG energy\s*=\s*([-\d.eE+]+)", **kwargs)
+
+
+def SHCISolver(executable="Dice", **kwargs):
+    """SHCI via Dice (if installed); reference solver/shci.py:35."""
+    return ExternalFCIDUMPSolver(
+        [executable, "{workdir}/input.dat"],
+        energy_pattern=r"PTEnergy:\s*([-\d.eE+]+)", **kwargs)

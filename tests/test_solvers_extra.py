@@ -1,0 +1,79 @@
+"""
+CASCI, external-solver bridge, profiling, config
+(reference analogs: solver/dmrgci.py CASCI, solver/block.py bridge,
+SURVEY 5 aux subsystems).
+"""
+
+import os
+import numpy as np
+import pytest
+
+
+def test_casci_full_space_equals_fci():
+    """CASCI with the full space as active == FCI."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cc import hubbard_integral
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.solvers.casci import CASCI
+    Ham = hubbard_integral(4, U=4.0, restricted=True)
+    _, E_fci = FCI(restricted=True, tol=1e-12).run(Ham, nelec=4)
+    cas = CASCI(ncas=4, nelecas=4)
+    rdm1, E_cas = cas.run(Ham, nelec=4)
+    assert abs(E_cas - E_fci) < 1e-9
+    assert abs(np.trace(rdm1[0]) * 2 - 4) < 1e-8
+
+
+def test_casci_frozen_core_sane():
+    """CASCI(2,2) on a gapped 4-orbital system: between HF and FCI."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cc import random_integral
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.solvers.scf import SCFSolver
+    from libdmet_preview_tpu.solvers.casci import CASCI
+    Ham = random_integral(4, restricted=True, seed=7)
+    _, E_fci = FCI(restricted=True, tol=1e-12).run(Ham, nelec=4)
+    _, E_hf = SCFSolver(restricted=True).run(Ham, nelec=4)
+    cas = CASCI(ncas=2, nelecas=2)
+    _, E_cas = cas.run(Ham, nelec=4)
+    assert E_fci - 1e-9 <= E_cas <= E_hf + 1e-9
+
+
+def test_external_bridge_roundtrip(tmp_path):
+    """Bridge mechanics with a stub 'solver' script: FCIDUMP is written,
+    the subprocess runs, energy is parsed, rdm1 is read back."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cc import hubbard_integral
+    from libdmet_preview_tpu.solvers.external import ExternalFCIDUMPSolver
+    script = tmp_path / "fake_solver.py"
+    script.write_text(
+        "import sys, numpy as np\n"
+        "assert open(sys.argv[1]).readline().startswith(' &FCI')\n"
+        "np.savetxt(sys.argv[2] + '/rdm1.txt', np.eye(4) * 0.5)\n"
+        "print('converged E = -2.718281828')\n")
+    solver = ExternalFCIDUMPSolver(
+        ["python", str(script), "{fcidump}", "{workdir}"],
+        energy_pattern=r"E\s*=\s*([-\d.eE+]+)",
+        rdm1_file="rdm1.txt", workdir=str(tmp_path / "run"))
+    Ham = hubbard_integral(4, U=1.0, restricted=True)
+    rdm1, E = solver.run(Ham, nelec=4)
+    assert abs(E - (-2.718281828)) < 1e-12
+    assert rdm1.shape == (1, 4, 4)
+    assert abs(rdm1[0, 0, 0] - 0.25) < 1e-12
+
+
+def test_profile_and_config():
+    from libdmet_preview_tpu.utils import profile
+    from libdmet_preview_tpu.utils.config import DmetConfig
+    import jax.numpy as jnp
+    with profile.phase("test_phase"):
+        x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+        x.block_until_ready()
+    stats = profile.report(reset=True)
+    assert stats["test_phase"]["calls"] == 1
+    cfg = DmetConfig(filling=0.5, solver="CCSD").validate()
+    assert cfg.int_bath
+    with pytest.raises(AssertionError):
+        DmetConfig(solver="NOPE").validate()
