@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from libdmet_preview_tpu.ops import zlinalg
 from libdmet_preview_tpu.ops.ftsystem import fermi_occ_jnp
@@ -130,6 +130,9 @@ def _hf_shard(f_re, f_im, cos_t, sin_t, nelec2, beta, axis):
     ew2, V = zlinalg.zeigh(f_re, f_im)
     mu = _mu_global(ew2, nelec2, beta, axis)
     occ2 = fermi_occ_jnp(mu, ew2, beta)
+    # mu is computed identically on every device from the gathered
+    # spectrum; a scalar pmax certifies replication for the vma checker
+    mu = lax.pmax(mu, axis)
     rho_re, rho_im = zlinalg.zfunc_from_eig(V, occ2)
     # rho_R = (1/nk) sum_k e^{+ikR} rho(k), psum over shards
     nk = lax.psum(f_re.shape[1], axis)
