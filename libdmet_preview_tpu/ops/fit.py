@@ -268,12 +268,39 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
             jnp.asarray(mask), jnp.asarray(rho_target))
 
     if beta < np.inf:
-        raise NotImplementedError("finite-beta fit: next round")
+        # finite temperature: differentiate straight through the
+        # degenerate-safe Fermi-density op (zlinalg.zrho_fermi custom JVP
+        # == reference ftsystem.get_rho_grad analytic machinery)
+        from libdmet_preview_tpu.ops.zlinalg import zrho_fermi
+        embH1_j = jnp.asarray(embH1)
+        dV_j = jnp.asarray(dV)
+        mask_j = jnp.asarray(mask)
+        target_j = jnp.asarray(rho_target)
+        Li_j = jnp.asarray(Li)
+        nelec2 = tuple(2 * int(x) for x in nelec)  # doubled spectrum
 
-    def fun_grad(p):
-        e, g = _fit_err_grad(jnp.asarray(p), *args, nelec=nelec,
-                             thr_deg=thr_deg)
-        return float(e), np.asarray(g)
+        def err_ft(p):
+            Heff = embH1_j + jnp.einsum("P, Psij -> sij", p, dV_j)
+            Horth = jnp.einsum("spq, sqr, skr -> spk", Li_j, Heff, Li_j)
+            errs = 0.0
+            for s in range(spin):
+                r_re, _, _ = zrho_fermi(Horth[s], jnp.zeros_like(Horth[s]),
+                                        nelec2[s], float(beta))
+                rho1 = jnp.einsum("qp, qr, rk -> pk", Li_j[s], r_re,
+                                  Li_j[s]) * mask_j[s]
+                errs = errs + jnp.sum((rho1 - target_j[s]) ** 2)
+            return jnp.sqrt(errs / spin)
+
+        err_vg = jax.value_and_grad(err_ft)
+
+        def fun_grad(p):
+            e, g = err_vg(jnp.asarray(p))
+            return float(e), np.asarray(g)
+    else:
+        def fun_grad(p):
+            e, g = _fit_err_grad(jnp.asarray(p), *args, nelec=nelec,
+                                 thr_deg=thr_deg)
+            return float(e), np.asarray(g)
 
     err_begin = fun_grad(vcor.param)[0]
     if kwargs.get("test_grad", False):

@@ -91,3 +91,59 @@ def test_hub1d_nib():
 def test_hub1d_ib():
     E, conv = run_hub1d(int_bath=True)
     assert abs(E - (-0.572957334871)) < 1e-4
+
+
+def test_hub1d_finite_T():
+    """Finite-temperature DMET: same loop at beta = 50 converges and lands
+    near the zero-T energy (smooth occupations; reference ftsystem-based
+    finite-beta fit path)."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.ops.diis import DIIS
+
+    U, LatSize, ImpSize, Filling, beta = 4.0, 18, 2, 0.5, 50.0
+    Mu = U * Filling
+    adiis = DIIS(space=4)
+    Lat = dmet.ChainLattice(LatSize, ImpSize)
+    Ham = dmet.Ham(Lat, U)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    vcor = dmet.PMInitGuess(ImpSize, U, Filling)
+    solver = FCI(restricted=True, tol=1e-11)
+    mu_solver = dmet.MuSolver(adaptive=True)
+    E_old, conv, EnergyImp = 0.0, False, None
+    last_dmu = 0.0
+    for it in range(20):
+        rho, Mu, res = dmet.RHartreeFock(Lat, vcor, Filling, Mu, beta=beta,
+                                         ires=True)
+        ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                                  matching=False,
+                                                  int_bath=False)
+        ImpHam = dmet.apply_dmu(Lat, ImpHam, basis, last_dmu)
+        solver_args = {"nelec": (Lat.ncore + Lat.nval) * 2}
+        rhoEmb, EnergyEmb, ImpHam, dmu = mu_solver(
+            Lat, Filling, ImpHam, basis, solver, solver_args)
+        last_dmu += dmu
+        rhoImp, EnergyImp, nelecImp = dmet.transformResults(
+            rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat,
+            last_dmu=last_dmu, int_bath=False, solver=solver,
+            solver_args=solver_args)
+        vcor_new, err = dmet.FitVcor(rhoEmb, Lat, basis, vcor, beta,
+                                     Filling, MaxIter2=0)
+        if it >= 3:
+            ddiagV = np.average(np.diagonal(
+                (vcor_new.get() - vcor.get())[:2], 0, 1, 2))
+            vcor_new = dmet.addDiag(vcor_new, -ddiagV)
+        if it >= 4:
+            pvcor = adiis.update(np.hstack(vcor_new.param))
+        else:
+            pvcor = np.hstack(vcor_new.param)
+        dV = np.linalg.norm(pvcor - vcor.param) / len(vcor.param)
+        vcor.update(pvcor)
+        dE = EnergyImp - E_old
+        E_old = EnergyImp
+        if dV < 1e-5 and abs(dE) < 1e-5 and it > 3:
+            conv = True
+            break
+    assert conv
+    # beta = 50 at U/t = 4: close to the T = 0 result
+    assert abs(EnergyImp - (-0.552733945102)) < 2e-2
