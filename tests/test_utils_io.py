@@ -1,0 +1,73 @@
+"""
+Utility-layer tests: structure I/O, DMRG extrapolation, DCA coarse
+graining, lattice plotting (reference utils/test suites)."""
+
+import os
+import numpy as np
+import pytest
+
+
+def test_poscar_roundtrip(tmp_path):
+    from libdmet_preview_tpu.utils.iotools import write_poscar, read_poscar
+    cell = np.diag([4.0, 5.0, 6.0])
+    symbols = ["Cu", "O", "O"]
+    frac = np.asarray([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0], [0.0, 0.5, 0.0]])
+    path = str(tmp_path / "POSCAR")
+    write_poscar(path, cell, symbols, frac)
+    cell2, sym2, frac2 = read_poscar(path)
+    assert np.allclose(cell2, cell)
+    assert sym2 == symbols
+    assert np.allclose(frac2, frac)
+
+
+def test_xyz_roundtrip(tmp_path):
+    from libdmet_preview_tpu.utils.iotools import write_xyz, read_xyz
+    symbols = ["H", "H"]
+    coords = np.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 0.74]])
+    path = str(tmp_path / "h2.xyz")
+    write_xyz(path, symbols, coords)
+    sym2, coords2 = read_xyz(path)
+    assert sym2 == symbols and np.allclose(coords2, coords)
+
+
+def test_extrapolate_M():
+    from libdmet_preview_tpu.utils.extrapolate import extrapolate_M
+    Ms = np.asarray([400, 800, 1600, 3200])
+    E_inf, a = -1.2345, 0.8
+    Es = E_inf + a / Ms
+    E_fit, coeffs = extrapolate_M(Ms, Es)
+    assert abs(E_fit - E_inf) < 1e-10
+
+
+def test_dca_coarse_grain():
+    from libdmet_preview_tpu.utils.dca import dca_coarse_grain
+    from libdmet_preview_tpu.ops import zlinalg
+    # 1D tight-binding dispersion on 12 k-points -> 4 cluster momenta
+    nk, nc = 12, 4
+    ks = 2 * np.pi * np.fft.fftfreq(nk)
+    H = (-2 * np.cos(ks))[:, None, None]
+    GK_re, GK_im = dca_coarse_grain((H, np.zeros_like(H)), (nk,), (nc,))
+    Ks = 2 * np.pi * np.fft.fftfreq(nc)
+    # patch average of -2 cos(k) around K: -2 cos(K) * sinc factor
+    # check monotone structure + exact patch means
+    for iK, K in enumerate(Ks):
+        members = [k for k in ks if
+                   abs((k - K + np.pi) % (2 * np.pi) - np.pi) <=
+                   np.pi / nc + 1e-9]
+        want = np.mean([-2 * np.cos(k) for k in members])
+        assert abs(GK_re[iK, 0, 0] - want) < 1e-9
+
+
+def test_lattice_plot_smoke(tmp_path):
+    pytest.importorskip("matplotlib")
+    from libdmet_preview_tpu.utils.lattice_plot import (plot_lattice,
+                                                        plot_dos)
+    coords = np.asarray([[0, 0], [1, 0], [0, 1], [1, 1]], dtype=float)
+    ax = plot_lattice(coords, charges=[1, 1, 1, 1],
+                      spins=[0.3, -0.3, -0.3, 0.3],
+                      bonds=[(0, 1, 0.5), (0, 2, 0.5)],
+                      filename=str(tmp_path / "latt.png"))
+    assert os.path.exists(str(tmp_path / "latt.png"))
+    ax2 = plot_dos(np.linspace(-2, 2, 20),
+                   filename=str(tmp_path / "dos.png"))
+    assert os.path.exists(str(tmp_path / "dos.png"))
