@@ -28,3 +28,6 @@ from libdmet_preview_tpu import models
 from libdmet_preview_tpu import ops
 from libdmet_preview_tpu import solvers
 from libdmet_preview_tpu import dmet
+from libdmet_preview_tpu import lo
+from libdmet_preview_tpu import ints
+from libdmet_preview_tpu import parallel

@@ -1,0 +1,1 @@
+from libdmet_preview_tpu.parallel import kmesh

@@ -466,3 +466,87 @@ class MP2(CCSD):
     """MP2 solver through the same response-RDM machinery."""
 
     energy_fn = staticmethod(_e_tot_mp2)
+
+
+class BCCSD(CCSD):
+    """Brueckner coupled cluster: rotate the orbitals until the singles
+    vanish, then CCD in the Brueckner basis (reference cc.py bcc=True
+    path, solver used by test_bcc_solver.py).
+
+    run() performs the Brueckner loop (orbital update by exp of the
+    occ-virt T1 generator), then delegates to CCSD.run-style response
+    RDMs at the final orbitals."""
+
+    def __init__(self, *args, bcc_tol=1e-6, bcc_max_cycle=20, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.bcc_tol = bcc_tol
+        self.bcc_max_cycle = bcc_max_cycle
+
+    def run(self, Ham, nelec=None, dm0=None, calc_rdm2=False, **kwargs):
+        import scipy.linalg as sla
+        if nelec is None:
+            raise ValueError("BCCSD.run requires nelec")
+        na = (nelec + self.Sz) // 2
+        nb = nelec - na
+        nocc = na + nb
+        self.scfsolver = SCF()
+        self.scfsolver.set_system(nelec, self.Sz, False, self.restricted)
+        self.scfsolver.set_integral(Ham)
+        e_hf, _ = self.scfsolver.HF(tol=min(self.conv_tol, 1e-10),
+                                    MaxIter=200, InitGuess=dm0)
+        mo = self.scfsolver.mo_coeff
+        Ca = np.array(mo[0], copy=True)
+        Cb = np.array(mo[1] if mo.shape[0] == 2 else mo[0], copy=True)
+        n = Ham.norb
+
+        h1a, h1b, g_aa, g_bb, g_ab = self._unpack(Ham)
+        opts = (("tol", self.conv_tol), ("max_cycle", self.max_cycle),
+                ("diis_space", self.diis_space))
+
+        for it in range(self.bcc_max_cycle):
+            h_so, g_chem = _mo_so_integrals(
+                (jnp.asarray(h1a), jnp.asarray(h1b)),
+                (jnp.asarray(g_aa), jnp.asarray(g_bb), jnp.asarray(g_ab)),
+                jnp.asarray(Ca), jnp.asarray(Cb), na, nb)
+            W = _antisymmetrize(g_chem)
+            t1, t2, _ = _solve_amplitudes(h_so, W, nocc, **dict(opts))
+            t1 = np.asarray(t1)
+            t1_max = np.max(np.abs(t1))
+            if t1_max < self.bcc_tol:
+                break
+            # spin-orbital order [occ_a, occ_b, vir_a, vir_b]: extract the
+            # per-spin occ-virt blocks and rotate each set of orbitals
+            t1a = t1[:na, :n - na]
+            t1b = t1[na:nocc, n - na:]
+            for C, t1s, no in ((Ca, t1a, na), (Cb, t1b, nb)):
+                K = np.zeros((n, n))
+                K[:no, no:] = -t1s
+                K[no:, :no] = t1s.T
+                C[:] = C @ sla.expm(K)
+        else:
+            log.warn("Brueckner loop not converged: max|t1| = %.2e", t1_max)
+        log.info("BCCSD: Brueckner orbitals converged in %d rotations "
+                 "(max|t1| = %.2e)", it, t1_max)
+
+        self._mo = (Ca, Cb, na, nb)
+        args = tuple(jnp.asarray(x) for x in
+                     (h1a, h1b, g_aa, g_bb, g_ab, Ca, Cb))
+        val, grads = jax.value_and_grad(_e_tot_cc, argnums=(0, 1, 2, 3, 4))(
+            *args, na, nb, opts)
+        E = float(val) + float(Ham.H0)
+        gh1a, gh1b, gg_aa, gg_bb, gg_ab = [np.asarray(g) for g in grads]
+        rdm1_a = 0.5 * (gh1a + gh1a.T)
+        rdm1_b = 0.5 * (gh1b + gh1b.T)
+        G_aa = gg_aa + gg_aa.transpose(1, 0, 3, 2)
+        G_bb = gg_bb + gg_bb.transpose(1, 0, 3, 2)
+        G_ab = 0.5 * (gg_ab + gg_ab.transpose(1, 0, 3, 2))
+        if Ham.restricted:
+            self.onepdm = (0.5 * (rdm1_a + rdm1_b))[None]
+            self.twopdm = (G_aa + G_bb + G_ab
+                           + G_ab.transpose(2, 3, 0, 1))[None]
+        else:
+            self.onepdm = np.asarray([rdm1_a, rdm1_b])
+            self.twopdm = np.asarray([G_aa, G_bb, G_ab])
+        self.e_tot = E
+        self.optimized = True
+        return self.onepdm, E

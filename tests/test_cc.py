@@ -135,3 +135,24 @@ def test_scfsolver_dmet_ham_consistency():
     _, E_hf = hf.run(Ham, nelec=4)
     E_rdm = hf.run_dmet_ham(Ham)
     assert abs(E_rdm - E_hf) < 1e-8
+
+
+def test_bccsd_two_electron_exact():
+    """Brueckner CC: exact for 2 electrons, with singles rotated away."""
+    from libdmet_preview_tpu.solvers.cc import BCCSD
+    Ham = hubbard_integral(4, U=4.0, restricted=True)
+    E_fci, _ = fci_energy(Ham, nelec=2)
+    bcc = BCCSD(restricted=True, tol=1e-11, bcc_tol=1e-7)
+    rdm1, E = bcc.run(Ham, nelec=2)
+    assert abs(E - E_fci) < 1e-8
+    assert abs(bcc.run_dmet_ham(Ham) - E_fci) < 1e-7
+
+
+def test_bccsd_vs_ccsd_weak_coupling():
+    from libdmet_preview_tpu.solvers.cc import BCCSD, CCSD
+    Ham = hubbard_integral(6, U=1.0, restricted=True)
+    _, E_cc = CCSD(restricted=True, tol=1e-10).run(Ham, nelec=6)
+    bcc = BCCSD(restricted=True, tol=1e-10, bcc_tol=1e-6)
+    _, E_bcc = bcc.run(Ham, nelec=6)
+    # Brueckner CC close to CCSD at weak coupling
+    assert abs(E_bcc - E_cc) < 5e-4
