@@ -53,51 +53,63 @@ def make_inputs(seed=0):
 
 
 def dmet_iteration(f_re, f_im, vmat, rho_target, cos_t, sin_t, env_idx):
-    """One DMET iteration hot path, fully traced (single program)."""
+    """One DMET iteration hot path, fully traced (single program):
+    mean field -> Schmidt bath (once) -> embedding transform ->
+    N_FIT_STEPS vcor-fit gradient steps at FIXED basis (the reference
+    FitVcorEmb semantics) -> final embedding quantities."""
     nelec2 = f_re.shape[0] * NK * 2 * NLO * FILLING
+    spin = f_re.shape[0]
 
-    def mf_and_emb(v):
+    def mean_field(v):
         h_re = f_re + v[:, None]
         rho_kre, rho_kim, mu = zlinalg.zrho_fermi(h_re, f_im, nelec2, BETA)
-        spin = f_re.shape[0]
-        rho_R = (jnp.einsum("kR, skpq -> sRpq", cos_t, rho_kre)
-                 - jnp.einsum("kR, skpq -> sRpq", sin_t, rho_kim)) / NK
-        # Schmidt bath (fixed during fit)
-        flat = jax.lax.stop_gradient(rho_R).reshape(spin, NK * NLO, NLO)
-        env = flat[:, env_idx, :NVAL]
-        u, _, _ = jnp.linalg.svd(env, full_matrices=False)
-        basis = jnp.zeros((spin, NK * NLO, NEO), f_re.dtype)
-        basis = basis.at[:, :NLO, :NLO].set(jnp.eye(NLO))
-        basis = basis.at[:, env_idx, NLO:].set(u)
-        bR = basis.reshape(spin, NK, NLO, NEO)
-        b_re = jnp.einsum("kR, sRpj -> skpj", cos_t.T, bR)
-        b_im = jnp.einsum("kR, sRpj -> skpj", sin_t.T, bR)
-        hb_re = jnp.einsum("skpq, skqj -> skpj", h_re, b_re) \
-            - jnp.einsum("skpq, skqj -> skpj", f_im, b_im)
-        hb_im = jnp.einsum("skpq, skqj -> skpj", h_re, b_im) \
-            + jnp.einsum("skpq, skqj -> skpj", f_im, b_re)
-        embH1 = (jnp.einsum("skpi, skpj -> sij", b_re, hb_re)
-                 + jnp.einsum("skpi, skpj -> sij", b_im, hb_im)) / NK
-        rho_emb = (jnp.einsum("skpi, skpq, skqj -> sij", b_re, rho_kre, b_re)
-                   + jnp.einsum("skpi, skpq, skqj -> sij", b_im, rho_kre, b_im)
-                   + jnp.einsum("skpi, skpq, skqj -> sij", b_im, rho_kim, b_re)
-                   - jnp.einsum("skpi, skpq, skqj -> sij", b_re, rho_kim, b_im)
-                   ) / NK
-        return rho_emb, embH1
+        return h_re, rho_kre, rho_kim
+
+    def fold_emb(b_re, b_im, A_re, A_im):
+        out = (jnp.einsum("skpi, skpq, skqj -> sij", b_re, A_re, b_re)
+               + jnp.einsum("skpi, skpq, skqj -> sij", b_im, A_re, b_im)
+               + jnp.einsum("skpi, skpq, skqj -> sij", b_im, A_im, b_re)
+               - jnp.einsum("skpi, skpq, skqj -> sij", b_re, A_im, b_im))
+        return out / NK
+
+    # --- bath from the current vcor's mean field (ONE svd per iteration)
+    h_re0, rho_kre0, rho_kim0 = mean_field(vmat)
+    rho_R = (jnp.einsum("kR, skpq -> sRpq", cos_t, rho_kre0)
+             - jnp.einsum("kR, skpq -> sRpq", sin_t, rho_kim0)) / NK
+    flat = rho_R.reshape(spin, NK * NLO, NLO)
+    env = flat[:, env_idx, :NVAL]
+    u, _, _ = jnp.linalg.svd(env, full_matrices=False)
+    basis = jnp.zeros((spin, NK * NLO, NEO), f_re.dtype)
+    basis = basis.at[:, :NLO, :NLO].set(jnp.eye(NLO))
+    basis = basis.at[:, env_idx, NLO:].set(u)
+    bR = basis.reshape(spin, NK, NLO, NEO)
+    b_re = jnp.einsum("kR, sRpj -> skpj", cos_t.T, bR)
+    b_im = jnp.einsum("kR, sRpj -> skpj", sin_t.T, bR)
+    b_re = jax.lax.stop_gradient(b_re)
+    b_im = jax.lax.stop_gradient(b_im)
 
     def loss(v):
-        rho_emb, embH1 = mf_and_emb(v)
-        return jnp.sum((rho_emb - rho_target) ** 2), embH1
+        h_re, rho_kre, rho_kim = mean_field(v)
+        rho_emb = fold_emb(b_re, b_im, rho_kre, rho_kim)
+        return jnp.sum((rho_emb - rho_target) ** 2)
 
-    # vcor-fit: N_FIT_STEPS gradient-descent steps through the full
-    # mean-field + embedding pipeline (autodiff, degenerate-safe)
+    # vcor fit at fixed basis: gradient steps through the degenerate-safe
+    # Fermi-density op
     def body(carry, _):
         v = carry
-        (err, embH1), g = jax.value_and_grad(loss, has_aux=True)(v)
+        err, g = jax.value_and_grad(loss)(v)
         return v - 0.05 * g, err
 
     vmat_fit, errs = jax.lax.scan(body, vmat, None, length=N_FIT_STEPS)
-    rho_emb, embH1 = mf_and_emb(vmat_fit)
+
+    # final embedding H1 at the fitted vcor
+    h_re, rho_kre, rho_kim = mean_field(vmat_fit)
+    hb_re = jnp.einsum("skpq, skqj -> skpj", h_re, b_re) \
+        - jnp.einsum("skpq, skqj -> skpj", f_im, b_im)
+    hb_im = jnp.einsum("skpq, skqj -> skpj", h_re, b_im) \
+        + jnp.einsum("skpq, skqj -> skpj", f_im, b_re)
+    embH1 = (jnp.einsum("skpi, skpj -> sij", b_re, hb_re)
+             + jnp.einsum("skpi, skpj -> sij", b_im, hb_im)) / NK
     return vmat_fit, errs[-1], embH1
 
 

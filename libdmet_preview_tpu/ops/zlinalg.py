@@ -106,7 +106,23 @@ def _bisect_mu(ew, nelec, beta, n_iter=80):
     return 0.5 * (lo + hi)
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(2, 3))
+def _fermi_K(ew, mu, beta):
+    """Daleckii-Krein divided-difference table of the Fermi function
+    (degenerate-safe: -> f' on the diagonal/degenerate pairs)."""
+    f = _fermi(ew, mu, beta)
+    lam_i = ew[..., :, None]
+    lam_j = ew[..., None, :]
+    dl = lam_i - lam_j
+    small = jnp.abs(dl) < 1e-9
+    favg = 0.5 * (lam_i + lam_j)
+    fp_pair = -beta * _fermi(favg, mu, beta) * (1.0 - _fermi(favg, mu, beta))
+    K = jnp.where(small, fp_pair,
+                  (f[..., :, None] - f[..., None, :])
+                  / jnp.where(small, 1.0, dl))
+    return f, K
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def zrho_fermi(h_re, h_im, nelec, beta):
     """Grand-canonical density matrix rho = f_beta(H - mu) at fixed total
     electron number, batched over leading axes, with a DEGENERATE-SAFE
@@ -118,7 +134,8 @@ def zrho_fermi(h_re, h_im, nelec, beta):
     Returns (rho_re, rho_im, mu).  jax.grad through this op is exact even
     for exactly degenerate spectra (k/-k pairs, embedding doubling) via
     Daleckii-Krein divided differences + chemical-potential feedback
-    (d mu from dN = 0).
+    (d mu from dN = 0).  Implemented as custom_vjp so the backward pass
+    REUSES the forward eigendecomposition (one eigh per grad step).
     """
     ew, V = zeigh(h_re, h_im)
     mu = _bisect_mu(ew, nelec, beta)
@@ -127,50 +144,46 @@ def zrho_fermi(h_re, h_im, nelec, beta):
     return rho_re, rho_im, mu
 
 
-@zrho_fermi.defjvp
-def _zrho_fermi_jvp(nelec, beta, primals, tangents):
-    h_re, h_im = primals
-    dh_re, dh_im = tangents
-    n = h_re.shape[-1]
-
+def _zrho_fermi_fwd(h_re, h_im, nelec, beta):
     ew, V = zeigh(h_re, h_im)
     mu = _bisect_mu(ew, nelec, beta)
-    f = _fermi(ew, mu, beta)
-    rho_re, rho_im = zfunc_from_eig(V, f)
+    occ = _fermi(ew, mu, beta)
+    rho_re, rho_im = zfunc_from_eig(V, occ)
+    return (rho_re, rho_im, mu), (ew, V, mu)
 
-    # dW in the embedding, rotated to the eigenbasis: M = V^T dW V
-    top = jnp.concatenate([dh_re, -dh_im], axis=-1)
-    bot = jnp.concatenate([dh_im, dh_re], axis=-1)
-    dW = jnp.concatenate([top, bot], axis=-2)
-    M = jnp.einsum("...pi, ...pq, ...qj -> ...ij", V, dW, V)
 
-    fp = -beta * f * (1.0 - f)                      # df/d lambda
-    dlam = jnp.einsum("...ii -> ...i", M)
-    # chemical potential feedback: sum_i f'_i (dlam_i - dmu) = 0
+def _zrho_fermi_bwd(nelec, beta, res, cot):
+    ew, V, mu = res
+    w_re, w_im, w_mu = cot
+    n = w_re.shape[-1]
+    f, K = _fermi_K(ew, mu, beta)
+    fp = -beta * f * (1.0 - f)
     denom = jnp.sum(fp)
-    dmu = jnp.where(jnp.abs(denom) > 1e-300,
-                    jnp.sum(fp * dlam) / jnp.where(jnp.abs(denom) > 1e-300,
-                                                   denom, 1.0),
-                    0.0)
+    safe = jnp.abs(denom) > 1e-300
+    inv_denom = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
 
-    # divided differences K_ij = (f_i - f_j)/(lam_i - lam_j); -> f' as
-    # lam_i -> lam_j (degenerate-safe)
-    lam_i = ew[..., :, None]
-    lam_j = ew[..., None, :]
-    dl = lam_i - lam_j
-    small = jnp.abs(dl) < 1e-9
-    f_i = f[..., :, None]
-    f_j = f[..., None, :]
-    favg = 0.5 * (lam_i + lam_j)
-    fp_pair = -beta * _fermi(favg, mu, beta) * (1.0 - _fermi(favg, mu, beta))
-    K = jnp.where(small, fp_pair, (f_i - f_j) / jnp.where(small, 1.0, dl))
+    # cotangent on F(W): only the [:n,:n] (re) and [n:,:n] (im) blocks
+    # were read
+    zeros = jnp.zeros_like(w_re)
+    top = jnp.concatenate([w_re, zeros], axis=-1)
+    bot = jnp.concatenate([w_im, zeros], axis=-1)
+    What = jnp.concatenate([top, bot], axis=-2)
+    W_eig = jnp.einsum("...pi, ...pq, ...qj -> ...ij", V, What, V)
 
-    dF_eig = K * M - jnp.einsum(
-        "...i, ij -> ...ij", fp, jnp.eye(ew.shape[-1], dtype=ew.dtype)) * dmu
-    dFW = jnp.einsum("...pi, ...ij, ...qj -> ...pq", V, dF_eig, V)
-    drho_re = dFW[..., :n, :n]
-    drho_im = dFW[..., n:, :n]
-    return (rho_re, rho_im, mu), (drho_re, drho_im, dmu)
+    # adjoint of dF_eig = K o M - diag(f') dmu,  dmu = sum f' M_ii / denom
+    trace_term = jnp.einsum("...ii, ...i ->", W_eig, fp)
+    Mct = K * W_eig
+    diag_coeff = (w_mu - trace_term) * inv_denom
+    Mct = Mct + jnp.einsum("...i, ij -> ...ij", fp,
+                           jnp.eye(ew.shape[-1], dtype=ew.dtype)) * diag_coeff
+    dW = jnp.einsum("...pi, ...ij, ...qj -> ...pq", V, Mct, V)
+    # adjoint of the real-embedding map W = [[a, -b], [b, a]]
+    gh_re = dW[..., :n, :n] + dW[..., n:, n:]
+    gh_im = dW[..., n:, :n] - dW[..., :n, n:]
+    return gh_re, gh_im
+
+
+zrho_fermi.defvjp(_zrho_fermi_fwd, _zrho_fermi_bwd)
 
 
 # ----------------------------------------------------------------------
