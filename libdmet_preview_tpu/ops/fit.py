@@ -61,14 +61,34 @@ def make_vcor_trace_unchanged(v_new, v_old, idx_range=None):
 # dV/dparam in the embedding basis
 # ----------------------------------------------------------------------
 
-def get_dV_dparam(vcor, basis):
+def get_dV_dparam(vcor, basis, basis_k=None, kmesh=None):
     """dV_emb/dparam, dense (nparam, spin, neo, neo).
 
-    basis: (spin, ncells, nlo, neo) R-space; local vcor only
-    (reference slater.py:851-908)."""
-    grad = jnp.asarray(vcor.gradient()[:, :basis.shape[0]])  # (P, spin, n, n)
+    basis: (spin, ncells, nlo, neo) R-space (reference slater.py:851-908).
+    Non-local vcors transform through k space (requires basis_k, kmesh)."""
     b = jnp.asarray(basis)
-    dV = jnp.einsum("sRpi, Pspq, sRqj -> Psij", b, grad, b, optimize=True)
+    if vcor.islocal():
+        grad = jnp.asarray(vcor.gradient()[:, :basis.shape[0]])
+        dV = jnp.einsum("sRpi, Pspq, sRqj -> Psij", b, grad, b,
+                        optimize=True)
+        return np.asarray(dV)
+    # non-local: per-param translation-invariant stripes
+    from libdmet_preview_tpu.ops import zlinalg
+    spin = basis.shape[0]
+    gradR = vcor.gradient_R()[:, :spin]      # (P, spin, ncells, n, n)
+    P = gradR.shape[0]
+    flat = gradR.reshape(P * spin, *gradR.shape[2:])
+    g_re, g_im = zlinalg.R2k(flat, tuple(int(x) for x in kmesh))
+    g_re = np.asarray(g_re).reshape(P, spin, *gradR.shape[2:])
+    g_im = np.asarray(g_im).reshape(P, spin, *gradR.shape[2:])
+    b_re, b_im = (jnp.asarray(x) for x in basis_k)
+    nk = gradR.shape[2]
+    vb_re = jnp.einsum("Pskpq, skqj -> Pskpj", jnp.asarray(g_re), b_re) \
+        - jnp.einsum("Pskpq, skqj -> Pskpj", jnp.asarray(g_im), b_im)
+    vb_im = jnp.einsum("Pskpq, skqj -> Pskpj", jnp.asarray(g_re), b_im) \
+        + jnp.einsum("Pskpq, skqj -> Pskpj", jnp.asarray(g_im), b_re)
+    dV = (jnp.einsum("skpi, Pskpj -> Psij", b_re, vb_re)
+          + jnp.einsum("skpi, Pskpj -> Psij", b_im, vb_im)) / nk
     return np.asarray(dV)
 
 
@@ -240,7 +260,7 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
         L = np.linalg.cholesky(ovlp_emb[s])
         Li[s] = np.linalg.inv(L)
 
-    dV = get_dV_dparam(vcor, basis)
+    dV = get_dV_dparam(vcor, basis, basis_k=basis_k, kmesh=lattice.kmesh)
 
     # fit index mask (imp_fit / det options; reference slater.py:986-1018)
     if imp_fit:

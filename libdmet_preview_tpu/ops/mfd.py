@@ -123,9 +123,17 @@ def HF(lattice, vcor, filling, restricted, mu0=None, beta=np.inf, ires=False,
     spin = 1 if restricted else 2
     f_re = add_spin_dim(f_re, spin, non_spin_dim=3)
     f_im = add_spin_dim(f_im, spin, non_spin_dim=3)
-    vmat = None if vcor is None else np.asarray(vcor.get())
-    if vmat is not None:
+    if vcor is None:
+        vmat = None
+    elif vcor.islocal():
+        vmat = np.asarray(vcor.get())
         f_re = f_re + vmat[:spin, None, :, :]
+    else:
+        # non-local vcor: k-resolved Hermitian pair
+        v_re, v_im = vcor.get(kspace=True)
+        vmat = None
+        f_re = f_re + np.asarray(v_re)[:spin]
+        f_im = f_im + np.asarray(v_im)[:spin]
 
     ew2_dev, V_dev = _diag_k_pair(jnp.asarray(f_re), jnp.asarray(f_im))
     ew2 = np.asarray(ew2_dev)  # (spin, nk, 2n): doubled spectrum

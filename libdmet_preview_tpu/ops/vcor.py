@@ -105,6 +105,122 @@ class Vcor(object):
         return str(self.evaluate())
 
 
+class VcorNonLocal(object):
+    """Non-local correlation potential: independent local blocks per unit
+    cell R within `rcells` (reference routine/vcor.py:105-525).
+
+    Parameters are stacked per-cell VcorLocal parameter vectors; R = 0 is
+    Hermitian, R != 0 blocks enter as V(R) on <0|V|R> with V(-R) = V(R)^T
+    imposed so that the lattice operator is Hermitian and its k-space form
+    V(k) = sum_R e^{-ikR} V(R) is Hermitian per k."""
+
+    def __init__(self, restricted, bogoliubov, lattice, rcells=None):
+        assert not bogoliubov, "nonlocal Bogoliubov vcor: use the GSO path"
+        self.restricted = restricted
+        self.bogoliubov = bogoliubov
+        self.local = False
+        self.is_vcor_kpts = False
+        self.lattice = lattice
+        self.nao = n = lattice.nscsites
+        ncells = lattice.ncells
+        if rcells is None:
+            rcells = list(range(ncells))
+        self.rcells = list(rcells)
+        assert 0 in self.rcells
+        spin = 1 if restricted else 2
+        self.spin = spin
+        # R = 0: symmetric -> n(n+1)/2 params per spin;
+        # R != 0: full n^2 per spin (V(-R) tied to V(R)^T)
+        self._npair = n * (n + 1) // 2
+        self._nfull = n * n
+        nparam = 0
+        self._offsets = {}
+        for R in self.rcells:
+            self._offsets[R] = nparam
+            nparam += spin * (self._npair if R == 0 else self._nfull)
+        self.nparam = nparam
+        self.param = np.zeros(nparam)
+        self._tri = np.triu_indices(n)
+
+    def length(self):
+        return self.nparam
+
+    def islocal(self):
+        return self.local
+
+    is_local = islocal
+
+    def update(self, param):
+        self.param = np.asarray(param, dtype=float).copy()
+
+    def evaluate_R(self):
+        """Stripe (spin, ncells, n, n): <0|V|R> blocks, V(-R) = V(R)^T."""
+        n = self.nao
+        ncells = self.lattice.ncells
+        spin = self.spin
+        V = np.zeros((spin, ncells, n, n))
+        for R in self.rcells:
+            off = self._offsets[R]
+            for s in range(spin):
+                if R == 0:
+                    block = np.zeros((n, n))
+                    p = self.param[off + s * self._npair:
+                                   off + (s + 1) * self._npair]
+                    block[self._tri] = p
+                    block = block + block.T - np.diag(np.diag(block))
+                    V[s, 0] += block
+                else:
+                    p = self.param[off + s * self._nfull:
+                                   off + (s + 1) * self._nfull]
+                    block = p.reshape(n, n)
+                    V[s, R] += block
+                    V[s, (-R) % ncells] += block.T
+        return V
+
+    def get(self, i=0, kspace=True):
+        """k-space pair ((spin, nk, n, n) re, im) if kspace else stripe."""
+        VR = self.evaluate_R()
+        if not kspace:
+            return VR
+        from libdmet_preview_tpu.ops import zlinalg
+        re, im = zlinalg.R2k(VR, tuple(self.lattice.kmesh))
+        return np.asarray(re), np.asarray(im)
+
+    evaluate = evaluate_R
+
+    def gradient_R(self):
+        """(nparam, spin, ncells, n, n) stripe gradient."""
+        n = self.nao
+        ncells = self.lattice.ncells
+        spin = self.spin
+        g = np.zeros((self.nparam, spin, ncells, n, n))
+        for R in self.rcells:
+            off = self._offsets[R]
+            for s in range(spin):
+                if R == 0:
+                    for k, (i, j) in enumerate(zip(*self._tri)):
+                        g[off + s * self._npair + k, s, 0, i, j] += 1.0
+                        if i != j:
+                            g[off + s * self._npair + k, s, 0, j, i] += 1.0
+                else:
+                    for k in range(self._nfull):
+                        i, j = divmod(k, n)
+                        g[off + s * self._nfull + k, s, R, i, j] += 1.0
+                        g[off + s * self._nfull + k, s, (-R) % ncells,
+                          j, i] += 1.0
+        return g
+
+    def assign(self, VR):
+        """Project a stripe potential onto the parametrization."""
+        g = self.gradient_R().reshape(self.nparam, -1)
+        v = np.asarray(VR, dtype=float).ravel()
+        gnorm = np.einsum("px, px -> p", g, g)
+        self.update(g @ v / gnorm)
+
+    def diag_indices(self):
+        return None
+
+
 def VcorLocal(restricted, bogoliubov, nscsites, idx_range=None, bogo_res=False,
               v_idx=None, ghf=False):
     """Local vcor over idx_range orbitals (reference dmet/Hubbard.py:551-784).
