@@ -232,3 +232,39 @@ def test_hring_dmet_self_consistent(hring6):
     assert conv
     assert E_dmet < E_hf - 1e-4
     assert abs(E_dmet - E_fci) < 0.5 * abs(E_hf - E_fci)
+
+
+def test_hring_fractional_impurity(hring6):
+    """Partial-cell impurities (reference test_1H_imp/test_half_imp
+    family): the two half-cell fragments' democratic energies sum to the
+    HF energy per cell when solved with the HF solver."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.solvers.scf import SCFSolver
+    Lat, meta = hring6
+    nlo = meta["nlo"]
+    ncells = Lat.ncells
+    vcor = dmet.VcorLocal(True, False, nlo)
+    vcor.update(np.zeros(vcor.length()))
+    filling = meta["mole"].nelectron / (2.0 * meta["mole"].nao)
+    rho, mu, res = dmet.RHartreeFock(Lat, vcor, filling, None, ires=True)
+
+    E_frags, n_frags = [], []
+    for frag in ([0], [1]):
+        ImpHam, H1e, basis = dmet.ConstructImpHam(
+            Lat, rho, vcor, matching=False, int_bath=True,
+            imp_idx=frag, val_idx=frag)
+        solver = SCFSolver(restricted=True, tol=1e-11)
+        nelec_emb = 2 * len(frag)
+        rhoEmb, E_emb = solver.run(ImpHam, nelec=nelec_emb)
+        rhoImp, EnergyImp, nelecImp = dmet.transformResults(
+            rhoEmb, E_emb, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
+            int_bath=True, solver=solver, imp_idx=list(range(len(frag))),
+            solver_args={"nelec": nelec_emb})
+        # Efrag includes the full per-cell constant H0 (reference
+        # convention: each fragment run carries lattice.getH0()); undo the
+        # /nscsites convention and strip H0 to get the electronic part
+        E_frags.append(EnergyImp * nlo - float(ImpHam.H0))
+        n_frags.append(nelecImp * nlo)
+    assert abs(sum(n_frags) - meta["mole"].nelectron / ncells) < 1e-6
+    E_cell = sum(E_frags) + meta["mole"].energy_nuc() / ncells
+    assert abs(E_cell - meta["E_hf"] / ncells) < 1e-6
