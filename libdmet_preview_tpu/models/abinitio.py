@@ -62,6 +62,48 @@ class AbInitioHam(object):
         return self.ImpJK
 
 
+def make_molecule_lattice(mol, chol_tol=1e-10):
+    """Molecular (non-PBC) DMET: a single-cell 'lattice' whose fragments
+    are orbital subsets (reference system/molecule.py role).
+
+    Returns (Lat, meta) in the Lowdin-LO basis; run DMET with
+    imp_idx/val_idx fragment subsets of the LOs."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.solvers.scf import SCF, _veff_uhf
+    nsite = mol.nao
+    S = mol.intor_ovlp()
+    hcore = mol.intor_hcore()
+    eri = mol.intor_eri()
+    e_nuc = mol.energy_nuc()
+
+    C = lowdin(S)
+    h_lo = C.T @ hcore @ C
+    eri_lo = np.asarray(jax.jit(lambda g, c: jnp.einsum(
+        "pqrs, pi, qj, rk, sl -> ijkl", g, c, c, c, c,
+        optimize=True))(jnp.asarray(eri), jnp.asarray(C)))
+    Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": h_lo[None]},
+                       {"ccdd": eri_lo[None]})
+    myscf = SCF()
+    myscf.set_system(mol.nelectron, 0, False, True)
+    myscf.set_integral(Ham_mol)
+    E_hf, dm = myscf.HF(tol=1e-12, MaxIter=200)
+    rdm1_lo = dm[0] + dm[1]
+    va = np.asarray(_veff_uhf(jnp.asarray(dm[0]), jnp.asarray(dm[1]),
+                              jnp.asarray(eri_lo), jnp.asarray(eri_lo),
+                              jnp.asarray(eri_lo))[0])
+    fock_lo = h_lo + va
+
+    chol_L = cholesky_eri(eri_lo, tol=chol_tol)
+    Lat = ChainLattice(nsite, nsite)      # one cell holding all LOs
+    Ham = AbInitioHam(h_lo[None], fock_lo[None], chol_L, eri_lo, e_nuc)
+    Lat.set_Ham_abinitio(Ham, rdm1=rdm1_lo[None, None])
+    meta = {"mole": mol, "E_hf": E_hf, "C_ao_lo": C, "eri_lo": eri_lo,
+            "h_lo": h_lo, "fock_lo": fock_lo, "rdm1_lo": rdm1_lo,
+            "nlo": nsite}
+    return Lat, meta
+
+
 def make_h_ring_lattice(ncells, atoms_per_cell=1, r_bond=1.8,
                         basis="sto-6g", chol_tol=1e-10,
                         localization="lowdin", minimal_ref="sto-6g"):
