@@ -311,6 +311,73 @@ def VcorLocal(restricted, bogoliubov, nscsites, idx_range=None, bogo_res=False,
     return v
 
 
+def VcorSymm(restricted, bogoliubov, nscsites, perms, spin_swap=None,
+             idx_range=None):
+    """Point-group symmetric local vcor (reference dmet/Hubbard.py:940-1489
+    VcorSymm/VcorSymmSpin): one parameter per orbit of (spin, i, j) under
+    the given site permutations.
+
+    perms: list of length-nscsites index arrays (site i -> perm[i]);
+    spin_swap: optional bools per perm -- True means the operation also
+    exchanges alpha and beta (AFM-type symmetry, VcorSymmSpin).
+    """
+    assert not bogoliubov, "symmetric Bogoliubov vcor: next round"
+    if idx_range is None:
+        idx_range = list(range(nscsites))
+    perms = [np.asarray(p, dtype=int) for p in perms]
+    if spin_swap is None:
+        spin_swap = [False] * len(perms)
+    spin = 1 if restricted else 2
+
+    # orbits of symmetric pairs (s, i, j) with i <= j
+    seen = {}
+    orbits = []
+    for s in range(spin):
+        for i in idx_range:
+            for j in idx_range:
+                if j < i:
+                    continue
+                key = (s, i, j)
+                if key in seen:
+                    continue
+                orbit = set()
+                stack = [key]
+                while stack:
+                    (ss, ii, jj) = stack.pop()
+                    kk = (ss, min(ii, jj), max(ii, jj))
+                    if kk in orbit:
+                        continue
+                    orbit.add(kk)
+                    for P, sw in zip(perms, spin_swap):
+                        s2 = (1 - ss) if (sw and spin == 2) else ss
+                        stack.append((s2, int(P[ii]), int(P[jj])))
+                for kk in orbit:
+                    seen[kk] = len(orbits)
+                orbits.append(sorted(orbit))
+
+    entries = [[], [], [], [], []]
+    for pidx, orbit in enumerate(orbits):
+        for (s, i, j) in orbit:
+            for ss in ((0, 1) if restricted else (s,)):
+                entries[0].append(pidx)
+                entries[1].append(ss)
+                entries[2].append(i)
+                entries[3].append(j)
+                entries[4].append(1.0)
+                if i != j:
+                    entries[0].append(pidx)
+                    entries[1].append(ss)
+                    entries[2].append(j)
+                    entries[3].append(i)
+                    entries[4].append(1.0)
+
+    diag = [np.asarray([p for p, orb in enumerate(orbits)
+                        if any(i == j for (_, i, j) in orb)])]
+    return Vcor(len(orbits), 2, nscsites, entries, diag_idx=diag,
+                restricted=restricted, bogoliubov=False,
+                idx_range=idx_range)
+
+
 def VcorLocalPhSymm(U, bogoliubov, ImpSize, subA, subB, r=None):
     """Particle-hole symmetric vcor for bipartite half-filled Hubbard
     (reference dmet/HubPhSymm.py:125-211): VA_ij + (-)^{i+j} VB_ij = 0 with a

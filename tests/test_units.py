@@ -239,3 +239,51 @@ def test_hf_with_nonlocal_vcor():
     assert np.all(np.isfinite(rho))
     nelec = np.sum(np.trace(rho[:, 0], axis1=1, axis2=2)) * Lat.ncells
     assert abs(nelec - 8.0) < 1e-6
+
+
+def test_vcor_symm():
+    """Point-group symmetric vcor: the evaluated potential is invariant
+    under the generating permutations (reference VcorSymm family)."""
+    from libdmet_preview_tpu.ops.vcor import VcorSymm
+    rng = np.random.RandomState(10)
+    # 2x2 plaquette: C4 rotation permutation (0,1,3,2 cycle) + mirror
+    rot = [1, 3, 0, 2]
+    mir = [1, 0, 3, 2]
+    v = VcorSymm(False, False, 4, [rot, mir])
+    p = rng.randn(v.length())
+    v.update(p)
+    V = np.asarray(v.get())
+    for P in (rot, mir):
+        P = np.asarray(P)
+        for s in range(2):
+            VP = V[s][np.ix_(P, P)]
+            assert np.max(np.abs(VP - V[s])) < 1e-12
+    # AFM spin-swap symmetry: rot exchanges sublattices AND spins
+    v2 = VcorSymm(False, False, 4, [rot], spin_swap=[True])
+    p2 = rng.randn(v2.length())
+    v2.update(p2)
+    V2 = np.asarray(v2.get())
+    P = np.asarray(rot)
+    assert np.max(np.abs(V2[0][np.ix_(P, P)] - V2[1])) < 1e-12
+    # fewer parameters than the unconstrained vcor
+    from libdmet_preview_tpu.ops.vcor import VcorLocal
+    assert v.length() < VcorLocal(False, False, 4).length()
+
+
+def test_basis_matching():
+    """alpha/beta bath alignment (reference HubPhSymm.basisMatching):
+    matched baths span the same spaces and maximize the overlap."""
+    from libdmet_preview_tpu.ops.embham import basis_matching
+    rng = np.random.RandomState(11)
+    nc, n, nb = 3, 2, 2
+    A = np.linalg.qr(rng.randn(nc * n, nb))[0]
+    # beta bath: same span, rotated
+    R = np.linalg.qr(rng.randn(nb, nb))[0]
+    B = A @ R
+    basis = np.asarray([A.reshape(nc, n, nb), B.reshape(nc, n, nb)])
+    out = basis_matching(basis)
+    Am, Bm = out[0].reshape(-1, nb), out[1].reshape(-1, nb)
+    # after matching, the two baths coincide up to signs
+    ov = Am.T @ Bm
+    assert np.max(np.abs(np.abs(ov) - np.eye(nb))) < 1e-10
+    assert np.min(np.diag(ov)) > 0.99
