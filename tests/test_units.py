@@ -287,3 +287,35 @@ def test_basis_matching():
     ov = Am.T @ Bm
     assert np.max(np.abs(np.abs(ov) - np.eye(nb))) < 1e-10
     assert np.min(np.diag(ov)) > 0.99
+
+
+def test_k2gamma_and_bands():
+    """k2gamma folding == lattice expand; band interpolation hits the
+    exact tight-binding dispersion and velocity (reference fourier
+    k2gamma + band-velocity capabilities)."""
+    from libdmet_preview_tpu.models.lattice import ChainLattice
+    from libdmet_preview_tpu.ops import fourier
+    rng = np.random.RandomState(12)
+    Lat = ChainLattice(12, 2)
+    stripe = rng.randn(Lat.ncells, 2, 2)
+    # make it a valid Hermitian lattice operator: A(-R) = A(R)^T
+    for R in range(1, Lat.ncells):
+        stripe[(-R) % Lat.ncells] = stripe[R].T
+    stripe[0] = 0.5 * (stripe[0] + stripe[0].T)
+    A_k = fourier.R2k(stripe, Lat.kmesh)
+    full = fourier.k2gamma(A_k, Lat.kmesh)
+    want = Lat.expand(stripe[None])[0]
+    assert np.max(np.abs(full - want)) < 1e-10
+    back = fourier.gamma2k(full, Lat.kmesh, 2)
+    assert np.max(np.abs(np.asarray(back[0]) - np.asarray(A_k[0]))) < 1e-10
+
+    # 1-band chain: exact dispersion -2t cos(2 pi kf) and velocity
+    Lat1 = ChainLattice(8, 1)
+    h = np.zeros((8, 1, 1))
+    h[1, 0, 0] = h[7, 0, 0] = -1.0
+    kf = np.asarray([[0.13], [0.37]])
+    bands, vel = fourier.band_velocity(h, (8,), kf)
+    for ik in range(2):
+        assert abs(bands[ik, 0] - (-2 * np.cos(2 * np.pi * kf[ik, 0]))) < 1e-9
+        assert abs(vel[ik, 0, 0]
+                   - (4 * np.pi * np.sin(2 * np.pi * kf[ik, 0]))) < 1e-9
