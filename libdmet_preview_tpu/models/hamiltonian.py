@@ -103,6 +103,27 @@ def HubbardHamiltonian(lattice, U, tlist=(1.0,), obc=False, tol=1e-10,
     return HamNonInt(lattice, H1, H2)
 
 
+def HubbardExtended(lattice, U, V, tlist=(1.0,), tol=1e-10):
+    """Extended Hubbard model: onsite U + nearest-neighbour density-density
+    V, stored in the 'nearest' H2 format (ncells, nao^4)
+    (reference hamiltonian.py H2 format 'nearest')."""
+    ncells = lattice.ncells
+    nsc = lattice.nscsites
+    H1 = HubbardHamiltonian(lattice, U, tlist=tlist, tol=tol, return_H1=True)
+    H2 = np.zeros((ncells,) + (nsc,) * 4)
+    for i in range(nsc):
+        H2[0, i, i, i, i] = U
+    dis = lattice.neighborDist[0]
+    pairs = lattice.neighbor(dis=dis, sitesA=range(nsc), search_range=1)
+    for i, j in pairs:
+        R, jj = j // nsc, j % nsc
+        # V n_i n_j: chemist (ii|jj) with 0.5 for restricted double count
+        H2[R, i, i, jj, jj] += 0.5 * V
+        H2[lattice._neg_map[R] if hasattr(lattice, "_neg_map") else
+           (-R) % ncells, jj, jj, i, i] += 0.5 * V
+    return HamNonInt(lattice, H1, H2)
+
+
 def Hubbard3band(lattice, Ud, Up, ed, tpd, tpp, tpp1=0.0, Vpd=0.0,
                  ignore_intercell=True, tol=1e-10):
     """3-band (Emery) Hubbard model for cuprates

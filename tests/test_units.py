@@ -319,3 +319,30 @@ def test_k2gamma_and_bands():
         assert abs(bands[ik, 0] - (-2 * np.cos(2 * np.pi * kf[ik, 0]))) < 1e-9
         assert abs(vel[ik, 0, 0]
                    - (4 * np.pi * np.sin(2 * np.pi * kf[ik, 0]))) < 1e-9
+
+
+def test_jk_nearest_vs_bruteforce():
+    """'nearest' H2 JK builder vs fully-expanded supercell contraction
+    (reference pbc_helper.py:424-507)."""
+    from libdmet_preview_tpu.models.lattice import ChainLattice
+    from libdmet_preview_tpu.models.hamiltonian import HubbardExtended
+    from libdmet_preview_tpu.ops.pbc_helper import (get_jk_nearest,
+                                                    get_jk_full_bruteforce)
+    rng = np.random.RandomState(13)
+    Lat = ChainLattice(12, 2)
+    Ham = HubbardExtended(Lat, U=4.0, V=1.0)
+    eri_R = np.asarray(Ham.getH2())
+    assert Ham.H2_format == "nearest"
+    dm = rng.randn(1, Lat.ncells, 2, 2) * 0.2
+    # make the full matrix Hermitian: dm[-R] = dm[R]^T
+    for R in range(1, Lat.ncells):
+        dm[0, (-R) % Lat.ncells] = dm[0, R].T
+    dm[0, 0] = 0.5 * (dm[0, 0] + dm[0, 0].T)
+    vj, vk = get_jk_nearest(eri_R, dm)
+    vj_full, vk_full = get_jk_full_bruteforce(Lat, eri_R, dm)
+    n = 2
+    assert np.max(np.abs(vj[0] - vj_full[0][:n, :n])) < 1e-10
+    # vk[R] is the (0, R) block of the full exchange matrix
+    for R in range(Lat.ncells):
+        blk = vk_full[0][:n, R * n:(R + 1) * n]
+        assert np.max(np.abs(vk[0, R] - blk)) < 1e-10
