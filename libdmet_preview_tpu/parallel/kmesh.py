@@ -168,6 +168,32 @@ def hf_rho_sharded(mesh, f_re, f_im, kmesh, nelec2, beta, axis=K_AXIS):
 
 
 # ----------------------------------------------------------------------
+# sharded embedding-ERI transform (auxiliary/Cholesky axis)
+# ----------------------------------------------------------------------
+
+def _eri_chol_shard(L, C, axis):
+    """Local aux shard: rotate + syrk, psum over the aux axis
+    (the reference's MPI kL-loop allreduce, eri_transform_mpi.py:58-)."""
+    Lemb = jnp.einsum("xpq, pi, qj -> xij", L, C, C, optimize=True)
+    eri = jnp.einsum("xij, xkl -> ijkl", Lemb, Lemb, optimize=True)
+    return lax.psum(eri, axis)
+
+
+def get_emb_eri_chol_sharded(mesh, L, basis, axis="aux"):
+    """Embedding ERI from Cholesky/DF factors sharded over the auxiliary
+    index (naux must divide the mesh axis size).  Restricted (spin = 1)
+    embedding basis.  Returns (1, neo, neo, neo, neo)."""
+    basis = np.asarray(basis)
+    spin, ncells, nlo, neo = basis.shape
+    assert spin == 1
+    C = basis.reshape(ncells * nlo, neo)
+    fn = shard_map(partial(_eri_chol_shard, axis=axis), mesh=mesh,
+                   in_specs=(P(axis, None, None), P(None, None)),
+                   out_specs=P())
+    return np.asarray(jax.jit(fn)(jnp.asarray(L), jnp.asarray(C)))[None]
+
+
+# ----------------------------------------------------------------------
 # sharded embedding-H1 transform
 # ----------------------------------------------------------------------
 

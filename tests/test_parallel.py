@@ -67,3 +67,19 @@ def test_transform_h1_sharded_matches_serial():
     out = kmesh.transform_h1_sharded(mesh, (f_re, f_im), (b_re, b_im))
     ref = np.asarray(embham.transform_h1((f_re, f_im), (b_re, b_im)))
     assert np.max(np.abs(np.asarray(out) - ref)) < 1e-10
+
+
+@requires_mesh
+def test_eri_chol_sharded_matches_serial():
+    from libdmet_preview_tpu.parallel import kmesh
+    from libdmet_preview_tpu.ops.eri_transform import get_emb_eri_chol
+    rng = np.random.RandomState(3)
+    naux = 16  # divisible by the 8-device mesh
+    n, neo = 6, 4
+    L = rng.randn(naux, n, n)
+    L = L + L.transpose(0, 2, 1)
+    basis = rng.randn(1, 2, 3, neo)
+    mesh = kmesh.make_mesh(axis="aux")
+    out = kmesh.get_emb_eri_chol_sharded(mesh, L, basis)
+    ref = get_emb_eri_chol(L, basis)
+    assert np.max(np.abs(out - ref)) < 1e-10
