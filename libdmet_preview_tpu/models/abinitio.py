@@ -189,9 +189,10 @@ def make_h_ring_lattice(ncells, atoms_per_cell=1, r_bond=1.8,
         jnp.asarray(eri_lo), jnp.asarray(eri_lo), jnp.asarray(eri_lo))[0])
     fock_lo = h_lo + va
 
-    # fold to R stripes; convention: A[R] = <0 | M | R> block
+    # fold to R stripes; lattice convention: A[R] = <R | M | 0> block
+    # (block (ci, cj) of the full matrix = stripe[(ci - cj) mod N])
     def stripe(M):
-        return np.asarray([M[:nlo, R * nlo:(R + 1) * nlo]
+        return np.asarray([M[R * nlo:(R + 1) * nlo, :nlo]
                            for R in range(ncells)])
 
     h_R = stripe(h_lo)

@@ -292,6 +292,70 @@ def get_rho_glob_R(basis, lattice, rho_emb):
     return np.asarray(0.5 * (row + col))
 
 
+def get_veff_from_rdm1_emb(lattice, rdm1_emb, basis):
+    """Lattice veff in the LO basis rebuilt from the embedded rdm1 via the
+    democratic global density (reference slater.py:1842-1956): the charge
+    self-consistency (DMET-CSC) update.
+
+    Returns (veff_stripe (spin, ncells, nlo, nlo), rho_glob_stripe).
+    Requires the 'cholesky' H2 format (ab initio lattices)."""
+    log.eassert(lattice.H2_format == "cholesky",
+                "veff rebuild implemented for the cholesky H2 format")
+    rho_glob = get_rho_glob_R(basis, lattice, rdm1_emb)
+    spin = rho_glob.shape[0]
+    rho_full = np.asarray(lattice.expand(rho_glob))
+    L = jnp.asarray(lattice.Ham.getH2())
+    if spin == 1:
+        # restricted convention: rho is the per-spin density
+        dm_tot = jnp.asarray(rho_full[0] * 2.0)
+        w = jnp.einsum("xpq, qp -> x", L, dm_tot)
+        vj = jnp.einsum("x, xpq -> pq", w, L)
+        vk = jnp.einsum("xpr, rs, xsq -> pq", L, dm_tot, L)
+        veff_full = (vj - 0.5 * vk)[None]
+    else:
+        dms = jnp.asarray(rho_full)
+        w = jnp.sum(jnp.einsum("xpq, sqp -> sx", L, dms), axis=0)
+        vj = jnp.einsum("x, xpq -> pq", w, L)
+        vk = jnp.einsum("xpr, srt, xtq -> spq", L, dms, L)
+        veff_full = vj[None] - vk
+    veff_full = np.asarray(veff_full)
+    veff_stripe = np.asarray(lattice.extract_stripe(veff_full))
+    return veff_stripe, rho_glob
+
+
+def update_lattice_csc(lattice, rdm1_emb, basis):
+    """One charge-self-consistency step: fock <- hcore + veff(rho_glob)
+    (reference update_Ham/test_csc workflow).  Updates the lattice in
+    place and returns the max fock change."""
+    veff_stripe, rho_glob = get_veff_from_rdm1_emb(lattice, rdm1_emb, basis)
+    spin = veff_stripe.shape[0]
+    hcore = np.asarray(lattice.hcore_lo_R)
+    if hcore.ndim == 3:
+        hcore = hcore[None] if spin == 1 else np.asarray([hcore, hcore])
+    fock_new = hcore[:spin] + veff_stripe
+    if spin == 1:
+        fock_new = fock_new[0]
+    dfock = float(np.max(np.abs(fock_new - np.asarray(lattice.fock_lo_R))))
+    lattice.fock_lo_R = fock_new
+    lattice.fock_lo_k = lattice._pairify(lattice.R2k(fock_new))
+    lattice.rdm1_lo_R = rho_glob * (2.0 if spin == 1 else 1.0)
+    lattice.rdm1_lo_k = lattice._pairify(lattice.R2k(lattice.rdm1_lo_R))
+    return dfock
+
+
+def get_E1_from_glob(lattice, rdm1_emb, basis):
+    """Fragment 1-body energy from the democratic global rdm
+    (reference test_E1_from_glob variant): E1 = sum_R tr(h(R) rho_glob(R))
+    per cell (restricted: rho_glob is per-spin, factor 2)."""
+    rho_glob = get_rho_glob_R(basis, lattice, rdm1_emb)
+    spin = rho_glob.shape[0]
+    h = np.asarray(lattice.getH1(kspace=False))
+    if h.ndim == 3:
+        h = h[None] if spin == 1 else np.asarray([h, h])
+    E1 = np.einsum("sRpq, sRpq ->", h[:spin], rho_glob)
+    return float(E1) * (2.0 if spin == 1 else 1.0)
+
+
 def get_emb_Ham(lattice, basis, vcor, local=True, int_bath=True, **kwargs):
     """Build the embedding Hamiltonian Integral object
     (reference slater.py:320-688)."""
