@@ -356,6 +356,36 @@ def get_E1_from_glob(lattice, rdm1_emb, basis):
     return float(E1) * (2.0 if spin == 1 else 1.0)
 
 
+def get_rdm1_idem(rho_glob_R, nelec_tot, kmesh):
+    """Project the (non-idempotent) democratic global rdm onto the nearest
+    idempotent density with the same electron count -- the pDMET step
+    (reference slater_helper.py:380, used by test_pdmet/test_idem_fit).
+
+    rho_glob_R: (spin, ncells, nlo, nlo) stripe, per-spin convention for
+    spin == 1 (nelec_tot then counts PER-SPIN electrons).  Diagonalizes in
+    k space (translation invariance) and refills by aufbau.
+    Returns the idempotent stripe."""
+    from libdmet_preview_tpu.ops import zlinalg, mfd
+    rho_glob_R = np.asarray(rho_glob_R)
+    spin = rho_glob_R.shape[0]
+    if np.isscalar(nelec_tot):
+        nelec_tot = [nelec_tot] * spin
+    r_re, r_im = zlinalg.R2k(rho_glob_R, tuple(int(x) for x in kmesh))
+    out = []
+    for s in range(spin):
+        ew2, V = zlinalg.zeigh(jnp.asarray(np.asarray(r_re)[s]),
+                               jnp.asarray(np.asarray(r_im)[s]))
+        ew2 = np.asarray(ew2)
+        # occupy the LARGEST natural occupations (doubled spectrum -> 2x)
+        occ2, mu, _ = mfd.assignocc(-ew2, int(round(2 * nelec_tot[s])),
+                                    np.inf, 0.0)
+        rho_re, rho_im = zlinalg.zfunc_from_eig(V, jnp.asarray(occ2))
+        out.append(np.asarray(zlinalg.k2R(
+            (np.asarray(rho_re), np.asarray(rho_im)),
+            tuple(int(x) for x in kmesh))))
+    return np.asarray(out)
+
+
 def get_emb_Ham(lattice, basis, vcor, local=True, int_bath=True, **kwargs):
     """Build the embedding Hamiltonian Integral object
     (reference slater.py:320-688)."""

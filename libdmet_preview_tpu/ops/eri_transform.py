@@ -81,6 +81,36 @@ def get_emb_eri_chol(L, basis):
     return np.asarray([np.asarray(x) for x in out])
 
 
+def get_emb_eri_gso_chol(L, basis):
+    """GSO (particle-hole transformed) embedding ERI from Cholesky/DF
+    factors (reference eri_transform.py:1104-1311 get_emb_eri_gso role).
+
+    The transformed two-body [aa: +g, bb: +g, ab: -g] of one spatial ERI
+    g = sum_x L_x (x) L_x factorizes exactly:
+
+        g_gso = sum_x (La_x - Lb_x) (x) (La_x - Lb_x)
+
+    with La/Lb the factors rotated by the a/b species blocks of the GSO
+    embedding basis -- one subtraction plus the same rotate+syrk kernel.
+
+    L: (naux, nsite, nsite) in the (LO, full-lattice) site basis per
+    SPECIES sub-block index; basis: (1, ncells, nso, neo) GSO basis with
+    rows [:nao] = a-species, [nao:] = b-species per cell.
+    Returns (neo,)*4 chemist."""
+    basis = np.asarray(basis)
+    if basis.ndim == 4:
+        basis = basis[0]
+    ncells, nso, neo = basis.shape
+    nao = nso // 2
+    Ca = basis[:, :nao, :].reshape(ncells * nao, neo)
+    Cb = basis[:, nao:, :].reshape(ncells * nao, neo)
+    Lj = jnp.asarray(L)
+    La = _rotate_chol(Lj, jnp.asarray(Ca))
+    Lb = _rotate_chol(Lj, jnp.asarray(Cb))
+    Ld = La - Lb
+    return np.asarray(_syrk_eri(Ld, Ld))
+
+
 def get_emb_eri_mol(eri_full, basis):
     """Direct (un-factorized) embedding transform; brute-force oracle for
     get_emb_eri_chol (reference eri_transform.py:1429 get_emb_eri_mol)."""

@@ -304,3 +304,49 @@ def test_csc_hf_fixed_point(hring6):
     # restore state for other tests sharing the fixture
     Lat.fock_lo_R = fock_before
     Lat.fock_lo_k = Lat._pairify(Lat.R2k(fock_before))
+
+
+def test_gso_eri_chol_vs_brute_force():
+    """GSO embedding ERI from Cholesky factors: the ph-transformed
+    two-body factorizes as a syrk of (La - Lb); checked against the
+    explicit species-blocked transform (reference get_emb_eri_gso)."""
+    from libdmet_preview_tpu.ops.eri_transform import (cholesky_eri,
+                                                       get_emb_eri_gso_chol)
+    from libdmet_preview_tpu.ops.spinless import transform_eri_local_gso
+    rng = np.random.RandomState(14)
+    nao, neo = 3, 4
+    A = rng.randn(6, nao, nao)
+    A = A + A.transpose(0, 2, 1)
+    g = np.einsum("xpq, xrs -> pqrs", A, A)
+    L = cholesky_eri(g, tol=1e-12)
+    nso = 2 * nao
+    basis = rng.randn(1, 1, nso, neo)
+    GV2 = np.asarray([g, g, -g])
+    want = transform_eri_local_gso(basis[0, :, :nao, :],
+                                   basis[0, :, nao:, :], GV2)
+    got = get_emb_eri_gso_chol(L, basis)
+    assert np.max(np.abs(got - want)) < 1e-9
+
+
+def test_rdm1_idem_pdmet(hring6):
+    """pDMET idempotency projection (reference get_rdm1_idem): the
+    projected global rdm is idempotent, keeps the electron count, and is
+    a FIXED POINT for an already-idempotent (HF) density."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.ops import embham
+    Lat, meta = hring6
+    nlo = meta["nlo"]
+    rho = np.asarray(Lat.rdm1_lo_R) * 0.5    # per-spin HF density
+    nelec_spin = meta["mole"].nelectron / 2.0 / Lat.ncells * Lat.ncells
+    rho_idem = embham.get_rdm1_idem(rho, meta["mole"].nelectron / 2.0,
+                                    Lat.kmesh)
+    assert np.max(np.abs(rho_idem - rho)) < 1e-7   # HF density: fixed point
+    # perturb -> projection restores idempotency and the trace
+    rng = np.random.RandomState(15)
+    pert = rho.copy()
+    pert[0, 0] += 0.05 * np.eye(nlo)
+    rho_p = embham.get_rdm1_idem(pert, meta["mole"].nelectron / 2.0,
+                                 Lat.kmesh)
+    full = np.asarray(Lat.expand(rho_p))[0]
+    assert np.max(np.abs(full @ full - full)) < 1e-8
+    assert abs(np.trace(full) - meta["mole"].nelectron / 2.0) < 1e-8
