@@ -204,8 +204,11 @@ class _AmpDIIS(object):
         return res
 
 
-def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8):
-    """Preconditioned fixed point t <- t + R/D with DIIS."""
+def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
+                      freeze_t1=False):
+    """Preconditioned fixed point t <- t + R/D with DIIS.
+
+    freeze_t1=True solves CCD (singles pinned at zero)."""
     D1, D2 = _denominators(h_so, W, nocc)
     nvir = h_so.shape[0] - nocc
     t1 = jnp.zeros((nocc, nvir), h_so.dtype)
@@ -215,6 +218,8 @@ def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8):
     conv = False
     for it in range(max_cycle):
         R1, R2 = _residual(t1, t2, h_so, W, nocc)
+        if freeze_t1:
+            R1 = jnp.zeros_like(R1)
         rnorm = float(jnp.max(jnp.abs(R1)) + jnp.max(jnp.abs(R2)))
         t1n = t1 + R1 / D1
         t2n = t2 + R2 / D2
@@ -229,7 +234,7 @@ def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8):
 
 
 def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
-                   diis_space=8):
+                   diis_space=8, freeze_t1=False):
     """Solve (dR/dt)^T lam = -(w1, w2): the lambda equations as an adjoint
     linear system.  Krylov (LGMRES) on the Jacobi-preconditioned operator,
     with vjp products of the residual as the matvec -- robust even when the
@@ -245,14 +250,23 @@ def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
         return _residual(t1_, t2_, h_so, W, nocc)
 
     _, vjp_t = jax.vjp(Rt, t1, t2)
+    if freeze_t1:
+        w1 = jnp.zeros_like(w1)
 
     @jax.jit
     def matvec_prec(l1, l2):
         # A^T lam, right-preconditioned by the Jacobi inverse 1/D
+        if freeze_t1:
+            # CCD: the t1 sector is pinned -> identity block, lam1 = 0
+            g1, g2 = vjp_t((jnp.zeros_like(l1), l2 / D2))
+            return l1, g2
         g1, g2 = vjp_t((l1 / D1, l2 / D2))
         return g1, g2
 
     def mv(x):
+        # scipy's LinearOperator probes matvec with an int8 vector to
+        # infer the dtype -- cast before handing to the jax vjp
+        x = np.asarray(x, dtype=np.float64)
         l1 = jnp.asarray(x[:n1].reshape(s1))
         l2 = jnp.asarray(x[n1:].reshape(s2))
         g1, g2 = matvec_prec(l1, l2)
@@ -354,6 +368,8 @@ class CCSD(object):
 
     energy_fn = staticmethod(_e_tot_cc)
 
+    freeze_t1 = False
+
     def __init__(self, restricted=False, Sz=0, tol=1e-9, max_cycle=200,
                  scf_newton=False, diis_space=8, **kwargs):
         self.restricted = restricted
@@ -367,6 +383,13 @@ class CCSD(object):
         self.scfsolver = None
         self._mo = None
         self.optimized = False
+
+    def _opts(self):
+        opts = (("tol", self.conv_tol), ("max_cycle", self.max_cycle),
+                ("diis_space", self.diis_space))
+        if self.freeze_t1:
+            opts = opts + (("freeze_t1", True),)
+        return opts
 
     # -- integral unpacking ------------------------------------------
     @staticmethod
@@ -401,8 +424,7 @@ class CCSD(object):
         self._mo = (Ca, Cb, na, nb)
 
         h1a, h1b, g_aa, g_bb, g_ab = self._unpack(Ham)
-        opts = (("tol", self.conv_tol), ("max_cycle", self.max_cycle),
-                ("diis_space", self.diis_space))
+        opts = self._opts()
 
         args = tuple(jnp.asarray(x) for x in
                      (h1a, h1b, g_aa, g_bb, g_ab, Ca, Cb))
@@ -466,6 +488,19 @@ class MP2(CCSD):
     """MP2 solver through the same response-RDM machinery."""
 
     energy_fn = staticmethod(_e_tot_mp2)
+
+
+class CCD(CCSD):
+    """CCD: coupled cluster doubles (t1 pinned at zero; the adjoint is
+    restricted to the t2 sector).  Covers the reference's ccd/uccd/gccd
+    modules in one spin-orbital solver."""
+
+    freeze_t1 = True
+
+
+# spin-flavored aliases (reference class names)
+RCCSD = UCCSD = GCCSD = CCSD
+UCCD = GCCD = CCD
 
 
 class BCCSD(CCSD):

@@ -156,3 +156,17 @@ def test_bccsd_vs_ccsd_weak_coupling():
     _, E_bcc = bcc.run(Ham, nelec=6)
     # Brueckner CC close to CCSD at weak coupling
     assert abs(E_bcc - E_cc) < 5e-4
+
+
+def test_ccd_between_hf_and_fci():
+    """CCD (t1 pinned): improves on HF; RDM-consistent energy."""
+    from libdmet_preview_tpu.solvers.cc import CCD
+    from libdmet_preview_tpu.solvers.scf import SCFSolver
+    Ham = hubbard_integral(6, U=2.0, restricted=True)
+    E_fci, _ = fci_energy(Ham, nelec=6)
+    _, E_hf = SCFSolver(restricted=True).run(Ham, nelec=6)
+    ccd = CCD(restricted=True, tol=1e-10)
+    rdm1, E_ccd = ccd.run(Ham, nelec=6)
+    assert E_ccd < E_hf - 1e-4
+    assert abs(E_ccd - E_fci) < 5e-3
+    assert abs(ccd.run_dmet_ham(Ham) - E_ccd) < 1e-7

@@ -85,3 +85,42 @@ def test_molecule_dmet_fci(h4):
     E_hf = meta["E_hf"]
     assert E_dmet < E_hf - 1e-3
     assert abs(E_dmet - E_fci) < 0.5 * abs(E_hf - E_fci)
+
+
+def test_multi_impurity_musolver(h4):
+    """MuSolver over a LIST of impurity problems: one shared dmu fixes the
+    summed electron count (reference MuSolver multi-impurity loop,
+    Hubbard.py:124-196)."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.solvers import FCI
+    Lat, meta = h4
+    mol = meta["mole"]
+    nlo = meta["nlo"]
+    vcor = dmet.VcorLocal(True, False, nlo)
+    vcor.update(np.zeros(vcor.length()))
+    rho = np.asarray(Lat.rdm1_lo_R) * 0.5
+
+    frags = ([0, 1], [2, 3])
+    ImpHams, bases, solvers, args, lats = [], [], [], [], []
+    for frag in frags:
+        ImpHam, H1e, basis = dmet.ConstructImpHam(
+            Lat, rho, vcor, matching=False, int_bath=True,
+            imp_idx=frag, val_idx=frag)
+        ImpHams.append(ImpHam)
+        bases.append(basis)
+        solvers.append(FCI(restricted=True, tol=1e-11))
+        args.append({"nelec": 2 * len(frag)})
+        lats.append(Lat)
+    mu_solver = dmet.MuSolver(adaptive=True)
+    rhos, Es, ImpHams2, dmu = mu_solver(
+        lats, mol.nelectron / (2.0 * mol.nao), ImpHams, bases, solvers,
+        args, imp_idx=[list(range(len(f))) for f in frags])
+    # summed impurity filling hits the target
+    ntot = 0.0
+    for rho_i, basis, frag in zip(rhos, bases, frags):
+        ntot += dmet.transformResults(rho_i, None, basis, None, None,
+                                      lattice=Lat,
+                                      imp_idx=list(range(len(frag))))
+    # MuSolver's metric: summed per-site impurity filling == 2 * filling
+    target = 2.0 * (mol.nelectron / (2.0 * mol.nao))
+    assert abs(ntot - target) < 1e-4
