@@ -192,6 +192,32 @@ def HF(lattice, vcor, filling, restricted, mu0=None, beta=np.inf, ires=False,
     return rhoT, mu, E, res
 
 
+def HF_scf(lattice, vcor, filling, restricted, mu0=None, beta=np.inf,
+           max_cycle=50, conv_tol=1e-10, ires=False, **kwargs):
+    """Self-consistent lattice HF for model Hamiltonians: alternate the
+    one-shot k diagonalization with the JK rebuild of the lattice Fock
+    (reference mfd.py:110 DiagHF_scf + pbc JK).
+
+    Requires a local H2 (update_Ham support).  Returns like HF()."""
+    log.eassert(lattice.H2_format == "local",
+                "HF_scf implemented for local lattice H2")
+    E_old = np.inf
+    out = None
+    for it in range(max_cycle):
+        out = HF(lattice, vcor, filling, restricted, mu0=mu0, beta=beta,
+                 ires=True, use_hcore=False, **kwargs)
+        rhoT, mu, E, res = out
+        spin = rhoT.shape[0]
+        lattice.update_Ham(rhoT * (2.0 if spin == 1 else 1.0))
+        if abs(E - E_old) < conv_tol:
+            break
+        E_old = E
+    log.info("HF_scf: converged in %d cycles, E = %.12f", it + 1, E)
+    if ires:
+        return out
+    return out[:3]
+
+
 def _default_mu(ew_sorted, nelec):
     if nelec <= 0:
         return ew_sorted[0]

@@ -346,3 +346,27 @@ def test_jk_nearest_vs_bruteforce():
     for R in range(Lat.ncells):
         blk = vk_full[0][:n, R * n:(R + 1) * n]
         assert np.max(np.abs(vk[0, R] - blk)) < 1e-10
+
+
+def test_hf_scf_lattice():
+    """Self-consistent lattice UHF on the Hubbard chain: fock fixed point
+    (further update_Ham leaves the energy invariant) and AFM symmetry
+    breaking at large U (reference DiagHF_scf role)."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.ops import mfd
+    Lat = dmet.ChainLattice(12, 2)
+    Ham = dmet.Ham(Lat, 8.0)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=False)
+    # seed symmetry breaking via an AFM vcor that we then remove
+    vcor = dmet.VcorLocal(False, False, 2)
+    vcor.assign(np.asarray([np.diag([0.5, -0.5]), np.diag([-0.5, 0.5])]))
+    rho0, mu0, E0 = mfd.HF(Lat, vcor, 0.5, False)
+    Lat.update_Ham(rho0)
+    vcor.update(np.zeros(vcor.length()))
+    rho, mu, E = mfd.HF_scf(Lat, vcor, 0.5, False, conv_tol=1e-12)
+    # fixed point: one more pass changes nothing
+    rho2, mu2, E2 = mfd.HF(Lat, vcor, 0.5, False, use_hcore=False)
+    assert abs(E2 - E) < 1e-9
+    # AFM moment survives self-consistency at U/t = 8
+    m = 0.5 * abs(rho[0, 0, 0, 0] - rho[1, 0, 0, 0])
+    assert m > 0.2
