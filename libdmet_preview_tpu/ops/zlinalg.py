@@ -87,22 +87,29 @@ def _fermi(x, mu, beta):
     return 1.0 / (jnp.exp(z) + 1.0)
 
 
-def _bisect_mu(ew, nelec, beta, n_iter=80):
+def _bisect_mu(ew, nelec, beta, n_sweep=8, grid=64):
+    """Chemical-potential search by PARALLEL grid refinement: each sweep
+    evaluates N(mu) on `grid` candidates at once (one vectorized reduction
+    instead of one sequential bisection step) and narrows the bracket by
+    1/grid -- 8 sweeps resolve the bracket by 64^-8 (~3e-15 relative),
+    matching 48 bisection steps with 10x fewer sequential dispatches
+    (tiny-op latency dominates bisection on accelerators)."""
     from jax import lax
-    # bracket from the spectrum itself (also keeps the carry "varying"
-    # under shard_map's vma typing when ew came from a collective)
     pad = jnp.maximum(jnp.asarray(10.0, ew.dtype), 1.0 / beta)
     lo = jnp.min(ew) - pad
     hi = jnp.max(ew) + pad
+    flat = ew.ravel()
 
-    def body(_, bounds):
+    def sweep(bounds, _):
         lo, hi = bounds
-        mid = 0.5 * (lo + hi)
-        n_mid = jnp.sum(_fermi(ew, mid, beta))
-        too_low = n_mid < nelec
-        return (jnp.where(too_low, mid, lo), jnp.where(too_low, hi, mid))
+        mus = lo + (hi - lo) * jnp.linspace(0.0, 1.0, grid, dtype=ew.dtype)
+        counts = jnp.sum(_fermi(flat[None, :], mus[:, None], beta), axis=1)
+        # largest grid point with count below the target (counts ascending)
+        below = counts < nelec
+        idx = jnp.clip(jnp.sum(below) - 1, 0, grid - 2)
+        return (mus[idx], mus[idx + 1]), None
 
-    lo, hi = lax.fori_loop(0, n_iter, body, (lo, hi))
+    (lo, hi), _ = lax.scan(sweep, (lo, hi), None, length=n_sweep)
     return 0.5 * (lo + hi)
 
 
