@@ -71,3 +71,29 @@ def test_lattice_plot_smoke(tmp_path):
     ax2 = plot_dos(np.linspace(-2, 2, 20),
                    filename=str(tmp_path / "dos.png"))
     assert os.path.exists(str(tmp_path / "dos.png"))
+
+
+def test_cubegen_density_normalization(tmp_path):
+    """Cube density integrates to the electron count (H2/STO-6G)."""
+    from libdmet_preview_tpu.ints.gto import Mole
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers.scf import SCF
+    from libdmet_preview_tpu.utils import cubegen
+    mol = Mole([("H", (0, 0, 0)), ("H", (0, 0, 1.4))], basis="sto-6g")
+    S, h, g = mol.intor_ovlp(), mol.intor_hcore(), mol.intor_eri()
+    Ham = Integral(2, True, False, mol.energy_nuc(), {"cd": h[None]},
+                   {"ccdd": g[None]}, ovlp=S)
+    scf = SCF()
+    scf.set_system(2, 0, False, True)
+    scf.set_integral(Ham)
+    E, dm = scf.HF(tol=1e-10)
+    dm_tot = dm[0] + dm[1]
+    nx = ny = nz = 50
+    path = str(tmp_path / "rho.cube")
+    rho = cubegen.density(mol, path, dm_tot, nx=nx, ny=ny, nz=nz,
+                          margin=6.0)
+    lo, steps, pts = cubegen._grid(mol, nx, ny, nz, margin=6.0)
+    dv = steps[0] * steps[1] * steps[2]
+    n_int = np.sum(rho) * dv
+    assert abs(n_int - 2.0) < 5e-2
+    assert (tmp_path / "rho.cube").exists()
