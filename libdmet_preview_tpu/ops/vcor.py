@@ -311,6 +311,17 @@ def VcorLocal(restricted, bogoliubov, nscsites, idx_range=None, bogo_res=False,
     return v
 
 
+def VcorKpoints(restricted, bogoliubov, lattice, rcells=None):
+    """k-resolved correlation potential (reference vcor.py:526-812
+    VcorKpoints role).  Parametrized by real per-cell blocks over all
+    cells -- the real-R parametrization spans exactly the Hermitian
+    translation-invariant k potentials with V(-k) = V(k)* (the k/-k
+    pairing constraint the reference enforces explicitly)."""
+    if rcells is None:
+        rcells = list(range(lattice.ncells))
+    return VcorNonLocal(restricted, bogoliubov, lattice, rcells=rcells)
+
+
 def VcorSymm(restricted, bogoliubov, nscsites, perms, spin_swap=None,
              idx_range=None):
     """Point-group symmetric local vcor (reference dmet/Hubbard.py:940-1489
