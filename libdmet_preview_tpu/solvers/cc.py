@@ -297,6 +297,123 @@ def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
     return l1, l2
 
 
+def _solve_amplitudes_frozen(h_so, W, m1, t1f, m2, t2f, nocc, tol=1e-9,
+                             max_cycle=100, diis_space=8):
+    """Fixed point with FROZEN amplitude sectors (tailored CC): entries
+    where m == 1 stay at the supplied values; only the complement relaxes."""
+    D1, D2 = _denominators(h_so, W, nocc)
+    nvir = h_so.shape[0] - nocc
+    t1 = jnp.where(m1 > 0, t1f, jnp.zeros((nocc, nvir), h_so.dtype))
+    t2 = jnp.where(m2 > 0, t2f, W[:nocc, :nocc, nocc:, nocc:] / D2)
+    diis = _AmpDIIS([(nocc, nvir), (nocc, nocc, nvir, nvir)],
+                    space=diis_space)
+    conv = False
+    for it in range(max_cycle):
+        R1, R2 = _residual(t1, t2, h_so, W, nocc)
+        R1 = jnp.where(m1 > 0, 0.0, R1)
+        R2 = jnp.where(m2 > 0, 0.0, R2)
+        rnorm = float(jnp.max(jnp.abs(R1)) + jnp.max(jnp.abs(R2)))
+        t1n = t1 + R1 / D1
+        t2n = t2 + R2 / D2
+        t1_, t2_ = diis.update([t1n, t2n], [R1 / D1, R2 / D2])
+        t1 = jnp.where(m1 > 0, t1f, jnp.asarray(t1_))
+        t2 = jnp.where(m2 > 0, t2f, jnp.asarray(t2_))
+        if rnorm < tol:
+            conv = True
+            break
+    if not conv:
+        log.warn("tailored CC amplitudes not converged: max|R| = %.3e",
+                 rnorm)
+    return t1, t2, conv
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _t_star_frozen(h_so, W, m1, t1f, m2, t2f, nocc, opts):
+    t1, t2, _ = _solve_amplitudes_frozen(h_so, W, m1, t1f, m2, t2f, nocc,
+                                         **dict(opts))
+    return t1, t2
+
+
+def _t_star_frozen_fwd(h_so, W, m1, t1f, m2, t2f, nocc, opts):
+    t1, t2 = _t_star_frozen(h_so, W, m1, t1f, m2, t2f, nocc, opts)
+    return (t1, t2), (h_so, W, m1, m2, t1, t2)
+
+
+def _t_star_frozen_bwd(nocc, opts, res, cot):
+    """Adjoint restricted to the RELAXED sector (frozen amplitudes do not
+    respond to the integrals at fixed CAS solution; their cotangents are
+    dropped and zeros are returned for the frozen inputs -- the CAS
+    response itself is not differentiated, matching the reference's
+    tailored-rdm treatment)."""
+    h_so, W, m1, m2, t1, t2 = res
+    w1, w2 = cot
+    w1 = jnp.where(m1 > 0, 0.0, w1)
+    w2 = jnp.where(m2 > 0, 0.0, w2)
+    lam1, lam2 = _solve_adjoint_masked(h_so, W, nocc, t1, t2, w1, w2,
+                                       m1, m2, **dict(opts))
+
+    def Rhw(h_, W_):
+        return _residual(t1, t2, h_, W_, nocc)
+
+    _, vjp_hw = jax.vjp(Rhw, h_so, W)
+    gh, gW = vjp_hw((lam1, lam2))
+    return (gh, gW, jnp.zeros_like(m1), jnp.zeros_like(t1),
+            jnp.zeros_like(m2), jnp.zeros_like(t2))
+
+
+_t_star_frozen.defvjp(_t_star_frozen_fwd, _t_star_frozen_bwd)
+
+
+def _solve_adjoint_masked(h_so, W, nocc, t1, t2, w1, w2, m1, m2, tol=1e-9,
+                          max_cycle=100, diis_space=8):
+    """Adjoint linear solve on the relaxed amplitude sector: identity on
+    the frozen entries (lam there = 0)."""
+    from scipy.sparse.linalg import LinearOperator, gmres
+    D1, D2 = _denominators(h_so, W, nocc)
+    s1, s2 = w1.shape, w2.shape
+    n1 = int(np.prod(s1))
+    ntot = n1 + int(np.prod(s2))
+
+    def Rt(t1_, t2_):
+        return _residual(t1_, t2_, h_so, W, nocc)
+
+    _, vjp_t = jax.vjp(Rt, t1, t2)
+
+    @jax.jit
+    def matvec_prec(l1, l2):
+        l1_in = jnp.where(m1 > 0, 0.0, l1 / D1)
+        l2_in = jnp.where(m2 > 0, 0.0, l2 / D2)
+        g1, g2 = vjp_t((l1_in, l2_in))
+        g1 = jnp.where(m1 > 0, l1, g1)
+        g2 = jnp.where(m2 > 0, l2, g2)
+        return g1, g2
+
+    def mv(x):
+        x = np.asarray(x, dtype=np.float64)
+        l1 = jnp.asarray(x[:n1].reshape(s1))
+        l2 = jnp.asarray(x[n1:].reshape(s2))
+        g1, g2 = matvec_prec(l1, l2)
+        return np.concatenate([np.asarray(g1).ravel(),
+                               np.asarray(g2).ravel()])
+
+    A = LinearOperator((ntot, ntot), matvec=mv)
+    b = -np.concatenate([np.asarray(w1).ravel(), np.asarray(w2).ravel()])
+    x, info = gmres(A, b, rtol=max(tol, 1e-12), atol=0.0,
+                    restart=min(ntot, 400), maxiter=5)
+    res_norm = float(np.linalg.norm(A.matvec(x) - b))
+    bnorm = max(1.0, float(np.linalg.norm(b)))
+    if res_norm > 1e-8 * bnorm and ntot <= 3000:
+        eye = np.eye(ntot)
+        cols = [mv(eye[:, k]) for k in range(ntot)]
+        Adense = np.asarray(cols).T
+        x = np.linalg.lstsq(Adense, b, rcond=None)[0]
+    l1 = jnp.where(jnp.asarray(m1) > 0, 0.0,
+                   jnp.asarray(x[:n1].reshape(s1)) / D1)
+    l2 = jnp.where(jnp.asarray(m2) > 0, 0.0,
+                   jnp.asarray(x[n1:].reshape(s2)) / D2)
+    return l1, l2
+
+
 # amplitude solve with implicit differentiation --------------------------
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -585,3 +702,115 @@ class BCCSD(CCSD):
         self.e_tot = E
         self.optimized = True
         return self.onepdm, E
+
+
+def _e_tot_tcc(h1a, h1b, g_aa, g_bb, g_ab, Ca, Cb, na, nb, opts,
+               m1, t1f, m2, t2f):
+    nocc = int(na + nb)
+    h_so, g_chem = _mo_so_integrals((h1a, h1b), (g_aa, g_bb, g_ab),
+                                    Ca, Cb, na, nb)
+    W = _antisymmetrize(g_chem)
+    o = slice(None, nocc)
+    E_ref = jnp.einsum("ii", h_so[o, o]) \
+        + 0.5 * jnp.einsum("ijij", W[o, o, o, o])
+    t1, t2 = _t_star_frozen(h_so, W, m1, t1f, m2, t2f, nocc, opts)
+    return E_ref + _ecorr(t1, t2, h_so, W, nocc)
+
+
+class TCCSD(CCSD):
+    """Tailored CCSD (reference solver/utccsd.py:898 + gtccsd.py roles):
+    the CAS-sector T1/T2 are read out of a CAS-FCI wavefunction
+    (solvers/ci_to_cc.py) and FROZEN; the external amplitudes relax by
+    CCSD.  CAS = the ncas canonical orbitals around the Fermi level.
+    RDMs are response densities at fixed CAS amplitudes."""
+
+    def __init__(self, ncas, nelecas, restricted=True, Sz=0, **kwargs):
+        super().__init__(restricted=restricted, Sz=Sz, **kwargs)
+        self.ncas = ncas
+        self.nelecas = nelecas
+
+    def run(self, Ham, nelec=None, dm0=None, calc_rdm2=False, **kwargs):
+        from libdmet_preview_tpu.solvers.fci import fci_kernel
+        from libdmet_preview_tpu.solvers.ci_to_cc import ci_to_cc_so
+        from libdmet_preview_tpu.solvers.scf import _veff_uhf
+        if nelec is None:
+            raise ValueError("TCCSD.run requires nelec")
+        na = (nelec + self.Sz) // 2
+        nb = nelec - na
+        n = Ham.norb
+        nocc = na + nb
+        self.scfsolver = SCF()
+        self.scfsolver.set_system(nelec, self.Sz, False, self.restricted)
+        self.scfsolver.set_integral(Ham)
+        self.scfsolver.HF(tol=min(self.conv_tol, 1e-10), MaxIter=200,
+                          InitGuess=dm0)
+        mo = self.scfsolver.mo_coeff
+        Ca = mo[0]
+        Cb = mo[1] if mo.shape[0] == 2 else mo[0]
+        log.eassert(np.max(np.abs(Ca - Cb)) < 1e-8,
+                    "TCCSD implemented on spin-restricted references")
+
+        # --- CAS-FCI in the canonical MO basis, core-veff dressed
+        ncas = self.ncas
+        na_cas = self.nelecas // 2 + self.nelecas % 2
+        nb_cas = self.nelecas - na_cas
+        ncore = na - na_cas
+        assert ncore >= 0 and ncore + ncas <= n
+        h1a, h1b, g_aa, g_bb, g_ab = self._unpack(Ham)
+        h_mo = Ca.T @ h1a @ Ca
+        g_mo = np.asarray(jnp.einsum(
+            "pqrs, pi, qj, rk, sl -> ijkl", jnp.asarray(g_aa),
+            *([jnp.asarray(Ca)] * 4), optimize=True))
+        C_core = Ca[:, :ncore]
+        dm_core = 2.0 * C_core @ C_core.T
+        v_core = np.asarray(_veff_uhf(
+            jnp.asarray(dm_core * 0.5), jnp.asarray(dm_core * 0.5),
+            jnp.asarray(g_aa), jnp.asarray(g_aa), jnp.asarray(g_aa))[0])
+        act = slice(ncore, ncore + ncas)
+        h_cas = (Ca.T @ (h1a + v_core) @ Ca)[act, act]
+        g_cas = g_mo[act, act, act, act]
+        E_cas, ci = fci_kernel(h_cas, g_cas, ncas, (na_cas, nb_cas),
+                               ecore=0.0, tol=1e-12)
+        t1_cas, t2_cas = ci_to_cc_so(ci, ncas, (na_cas, nb_cas))
+
+        # --- embed CAS amplitudes into the full spin-orbital layout
+        nva, nvb = n - na, n - nb
+        occ_map = ([na - na_cas + i for i in range(na_cas)]
+                   + [na + (nb - nb_cas) + i for i in range(nb_cas)])
+        vir_map = ([i for i in range(ncas - na_cas)]
+                   + [nva + i for i in range(ncas - nb_cas)])
+        t1f = np.zeros((nocc, nva + nvb))
+        m1 = np.zeros_like(t1f)
+        t1f[np.ix_(occ_map, vir_map)] = t1_cas
+        m1[np.ix_(occ_map, vir_map)] = 1.0
+        t2f = np.zeros((nocc, nocc, nva + nvb, nva + nvb))
+        m2 = np.zeros_like(t2f)
+        t2f[np.ix_(occ_map, occ_map, vir_map, vir_map)] = t2_cas
+        m2[np.ix_(occ_map, occ_map, vir_map, vir_map)] = 1.0
+
+        opts = self._opts()
+        args = tuple(jnp.asarray(x) for x in
+                     (h1a, h1b, g_aa, g_bb, g_ab, Ca, Cb))
+        val, grads = jax.value_and_grad(_e_tot_tcc, argnums=(0, 1, 2, 3, 4))(
+            *args, na, nb, opts, jnp.asarray(m1), jnp.asarray(t1f),
+            jnp.asarray(m2), jnp.asarray(t2f))
+        E = float(val) + float(Ham.H0)
+        gh1a, gh1b, gg_aa, gg_bb, gg_ab = [np.asarray(g) for g in grads]
+        rdm1_a = 0.5 * (gh1a + gh1a.T)
+        rdm1_b = 0.5 * (gh1b + gh1b.T)
+        G_aa = gg_aa + gg_aa.transpose(1, 0, 3, 2)
+        G_bb = gg_bb + gg_bb.transpose(1, 0, 3, 2)
+        G_ab = 0.5 * (gg_ab + gg_ab.transpose(1, 0, 3, 2))
+        if Ham.restricted:
+            self.onepdm = (0.5 * (rdm1_a + rdm1_b))[None]
+            self.twopdm = (G_aa + G_bb + G_ab
+                           + G_ab.transpose(2, 3, 0, 1))[None]
+        else:
+            self.onepdm = np.asarray([rdm1_a, rdm1_b])
+            self.twopdm = np.asarray([G_aa, G_bb, G_ab])
+        self.e_tot = E
+        self.optimized = True
+        return self.onepdm, E
+
+
+UTCCSD = GTCCSD = TCCSD
