@@ -409,3 +409,44 @@ def test_hub_u_correction():
     rho1, mu1, E1 = HF_plus_U(Lat, None, filling, True, [[0, 1]], [1.0])
     assert E1 > E0  # +U raises the total energy of the metallic-ish state
     assert np.all(np.isfinite(rho1))
+
+
+def test_pm_er_localization():
+    """PM and ER localization (reference ibo.py / edmiston.py roles):
+    the localized orbitals span the same space, are orthonormal, and
+    strictly raise their metric vs the delocalized canonical set."""
+    from libdmet_preview_tpu.lo.localize import (localize_pm, localize_er,
+                                                 pm_metric, er_metric)
+    from libdmet_preview_tpu.ints.gto import Mole
+    from libdmet_preview_tpu.models.abinitio import make_molecule_lattice
+    import jax.numpy as jnp
+    atoms = [("H", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, 1.6)),
+             ("H", (0.0, 0.0, 4.6)), ("H", (0.0, 0.0, 6.2))]
+    mol = Mole(atoms, basis="sto-6g")
+    Lat, meta = make_molecule_lattice(mol)
+    # canonical occupied orbitals in the Lowdin-LO basis
+    h = meta["h_lo"]
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers.scf import SCF
+    Ham = Integral(4, True, False, 0.0, {"cd": h[None]},
+                   {"ccdd": meta["eri_lo"][None]})
+    scf = SCF(); scf.set_system(4, 0, False, True); scf.set_integral(Ham)
+    scf.HF(tol=1e-12)
+    C_occ = scf.mo_coeff[0][:, :2]
+    slices = [[0], [1], [2], [3]]
+
+    C_pm, m_pm = localize_pm(C_occ, slices)
+    assert m_pm > float(pm_metric(jnp.asarray(C_occ), slices)) + 1e-6
+    assert np.max(np.abs(C_pm.T @ C_pm - np.eye(2))) < 1e-9
+    # span preserved: projectors agree
+    P0 = C_occ @ C_occ.T
+    P1 = C_pm @ C_pm.T
+    assert np.max(np.abs(P0 - P1)) < 1e-8
+    # localized bonding orbitals: each concentrated on one H2 unit
+    w_unit1 = np.sum(C_pm[:2] ** 2, axis=0)
+    assert np.min(np.abs(w_unit1 - 0.5)) > 0.45  # ~0 or ~1 per orbital
+
+    C_er, m_er = localize_er(C_occ, meta["eri_lo"])
+    assert m_er > float(er_metric(jnp.asarray(C_occ),
+                                  meta["eri_lo"])) + 1e-6
+    assert np.max(np.abs(C_er @ C_er.T - P0)) < 1e-8
