@@ -253,14 +253,16 @@ def vec_lowdin(B):
 
 def basis_matching(basis):
     """Rotate alpha/beta bath columns for maximal overlap via SVD
-    (reference dmet/HubPhSymm.py:37-48)."""
-    basisA, basisB = basis[0], basis[1]
-    S = np.tensordot(basisA, basisB, axes=((0, 1), (0, 1)))
+    (reference dmet/HubPhSymm.py:37-48).  basis: (2, ..., nbath) with the
+    bath-column axis last; all leading axes are contracted in the overlap."""
+    basisA, basisB = np.asarray(basis[0]), np.asarray(basis[1])
+    nb = basisA.shape[-1]
+    S = basisA.reshape(-1, nb).T @ basisB.reshape(-1, nb)
     u, gamma, vt = np.linalg.svd(S)
     log.debug(0, "basis matching overlap: mean %.6f min %.6f",
               float(np.average(gamma)), float(np.min(gamma)))
-    basisA = np.tensordot(basisA, u, axes=(2, 0))
-    basisB = np.tensordot(basisB, vt, axes=(2, 1))
+    basisA = np.tensordot(basisA, u, axes=(basisA.ndim - 1, 0))
+    basisB = np.tensordot(basisB, vt, axes=(basisB.ndim - 1, 1))
     return np.asarray([basisA, basisB])
 
 

@@ -89,3 +89,57 @@ def test_hub2d_nib():
 def test_hub2d_ib():
     E, conv = run_hub2d(U=2.0, int_bath=True)
     assert abs(E - (-1.179836342898)) < 1e-4
+
+
+def test_hub2d_nib_matching():
+    """Same 2D NIB run with alpha/beta bath MATCHING enabled (the
+    reference's default ConstructImpHam path, HubPhSymm.basisMatching):
+    must reach the same converged energy."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.ops.diis import DIIS, FDiisContext
+
+    U, LatSize, ImpSize, Filling = 6.0, (40, 40), (2, 2), 0.5
+    Mu, last_dmu = U * Filling, 0.0
+    adiis = DIIS(space=4)
+    dc = FDiisContext(4)
+    Lat = dmet.SquareLattice(*LatSize, *ImpSize)
+    Lat.set_Ham(dmet.Ham(Lat, U), use_hcore_as_emb_ham=True)
+    vcor = dmet.AFInitGuess(ImpSize, U, Filling)
+    solver = FCI(restricted=False, tol=1e-10)
+    mu_solver = dmet.MuSolver(adaptive=True)
+    E_old, conv, EnergyImp = 0.0, False, None
+    from libdmet_preview_tpu.dmet.hubbard import IterHistory
+    history = IterHistory()
+    for it in range(20):
+        rho, Mu, res = dmet.HartreeFock(Lat, vcor, Filling, Mu, ires=True)
+        ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                                  matching=True,
+                                                  int_bath=False)
+        ImpHam = dmet.apply_dmu(Lat, ImpHam, basis, last_dmu)
+        solver_args = {"nelec": (Lat.ncore + Lat.nval) * 2}
+        rhoEmb, EnergyEmb, ImpHam, dmu = mu_solver(
+            Lat, Filling, ImpHam, basis, solver, solver_args)
+        last_dmu += dmu
+        rhoImp, EnergyImp, nelecImp = dmet.transformResults(
+            rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat,
+            last_dmu=last_dmu, int_bath=False, solver=solver,
+            solver_args=solver_args)
+        vcor_new, err = dmet.FitVcor(rhoEmb, Lat, basis, vcor, np.inf,
+                                     Filling, MaxIter2=0)
+        if it >= 3:
+            ddiagV = np.average(np.diagonal(
+                (vcor_new.get() - vcor.get())[:2], 0, 1, 2))
+            vcor_new = dmet.addDiag(vcor_new, -ddiagV)
+        pvcor = adiis.update(np.hstack(vcor_new.param)) if it >= 4 \
+            else np.hstack(vcor_new.param)
+        dV = np.linalg.norm(pvcor - vcor.param) / len(vcor.param)
+        vcor.update(pvcor)
+        dE = EnergyImp - E_old
+        history.update(EnergyImp, err, nelecImp, dV, dc)
+        E_old = EnergyImp
+        if dV < 1e-5 and abs(dE) < 1e-5 and it > 3:
+            conv = True
+            break
+    assert conv
+    assert abs(EnergyImp - (-0.652114179764)) < 1e-4
