@@ -215,10 +215,14 @@ def GHF_mu_fit(lattice, GH1_k, vcor_mat, filling_phys, mu0=0.0,
 # embedding: bath, Hamiltonian
 # ----------------------------------------------------------------------
 
-def get_emb_basis(lattice, GRho_R, **kwargs):
+def get_emb_basis(lattice, GRho_R, localize_bath=None, **kwargs):
     """Schmidt bath for the GSO density: SVD of the environment block
     against the impurity-cell columns (all nso of cell 0)
     (reference spinless.py:34-273).  GRho_R: (ncells, nso, nso) stripe.
+
+    localize_bath='scdm' rotates the bath columns by SCDM (reference
+    embBasis(localize_bath=...) option; a unitary rotation of the bath
+    block leaves the embedding space, hence the DMET solution, invariant).
     Returns basis (1, ncells, nso, neo), neo = 2*nso."""
     GRho_R = np.asarray(GRho_R)
     if GRho_R.ndim == 4:
@@ -227,6 +231,9 @@ def get_emb_basis(lattice, GRho_R, **kwargs):
     flat = GRho_R.reshape(ncells * nso, nso)
     env = flat[nso:]                        # environment rows
     u, s, _ = np.linalg.svd(env, full_matrices=False)
+    if localize_bath == "scdm":
+        from libdmet_preview_tpu.lo.scdm import scdm
+        u = scdm(u)
     neo = 2 * nso
     basis = np.zeros((ncells * nso, neo))
     basis[:nso, :nso] = np.eye(nso)

@@ -129,3 +129,27 @@ def test_gso_1shot_equals_uhf():
     assert abs(n_uhf - 2 * filling) < 1e-5
     assert abs(n_gso - 2 * filling) < 1e-5
     assert abs(E_gso - E_uhf) < 1e-6
+
+
+def test_gso_bath_scdm_invariance():
+    """SCDM bath localization is a unitary rotation of the bath block:
+    the embedding SPACE (projector) is unchanged (reference
+    embBasis(localize_bath='scdm') option)."""
+    from libdmet_preview_tpu.dmet import hubbard_gso as dmet
+    from libdmet_preview_tpu.ops import spinless
+    Lat = dmet.ChainLattice(12, 2)
+    Ham = dmet.Ham(Lat, 4.0)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    gham = dmet.GSOHam(Lat)
+    GRho, mu, res = dmet.GHartreeFock(gham, 0.5, mu0=2.0)
+    b0 = spinless.get_emb_basis(Lat, GRho)
+    b1 = spinless.get_emb_basis(Lat, GRho, localize_bath="scdm")
+    B0 = b0.reshape(-1, b0.shape[-1])
+    B1 = b1.reshape(-1, b1.shape[-1])
+    # orthonormal and same span
+    assert np.max(np.abs(B1.T @ B1 - np.eye(B1.shape[1]))) < 1e-9
+    assert np.max(np.abs(B0 @ B0.T - B1 @ B1.T)) < 1e-9
+    # bath got more local: SCDM should not decrease the max column weight
+    w0 = np.max(np.abs(b0[0, :, :, b0.shape[-1] // 2:]))
+    w1 = np.max(np.abs(b1[0, :, :, b1.shape[-1] // 2:]))
+    assert w1 > w0 - 1e-9
