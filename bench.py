@@ -37,14 +37,15 @@ N_FIT_STEPS = 20   # vcor-fit gradient evaluations per DMET iteration
 
 def make_inputs(seed=0):
     rng = np.random.RandomState(seed)
-    # Hermitian Fock(k) pair: random translation-invariant model
+    # Hermitian translation-invariant model: h(-R) = h(R)^T makes every
+    # H(k) Hermitian with H(-k) = H(k)* (time-reversal symmetric)
     h_R = rng.randn(NK, NLO, NLO) * 0.2
     h_R[0] = (h_R[0] + h_R[0].T) / 2
+    for R in range(1, NK // 2 + 1):
+        h_R[(-R) % NK] = h_R[R].T
     cos_t, sin_t = zlinalg.dft_tables((NK,))
     f_re = np.einsum("kR, Rij -> kij", cos_t, h_R)
     f_im = -np.einsum("kR, Rij -> kij", sin_t, h_R)
-    f_re = (f_re + f_re.transpose(0, 2, 1)) / 2
-    f_im = (f_im - f_im.transpose(0, 2, 1)) / 2
     vmat = rng.randn(1, NLO, NLO) * 0.05
     vmat = (vmat + vmat.transpose(0, 2, 1)) / 2
     rho_t = np.tile(np.eye(NEO)[None] * FILLING, (1, 1, 1))
@@ -56,26 +57,41 @@ def dmet_iteration(f_re, f_im, vmat, rho_target, cos_t, sin_t, env_idx):
     """One DMET iteration hot path, fully traced (single program):
     mean field -> Schmidt bath (once) -> embedding transform ->
     N_FIT_STEPS vcor-fit gradient steps at FIXED basis (the reference
-    FitVcorEmb semantics) -> final embedding quantities."""
+    FitVcorEmb semantics) -> final embedding quantities.
+
+    TIME-REVERSAL REDUCTION: the lattice operators are real in R space, so
+    H(-k) = H(k)* and everything is computed on the irreducible half mesh
+    (14 of 27 k points) with weights -- the reference's
+    get_weights_t_reversal (eri_transform.py:142) as a compute saver for
+    the eigh-bound mean field."""
     nelec2 = f_re.shape[0] * NK * 2 * NLO * FILLING
     spin = f_re.shape[0]
+    nibz = NK // 2 + 1
+    wk = jnp.asarray(np.asarray([1.0] + [2.0] * (nibz - 1)))
+    f_re = f_re[:, :nibz]
+    f_im = f_im[:, :nibz]
+    cos_w = cos_t[:nibz] * wk[:, None]
+    sin_w = sin_t[:nibz] * wk[:, None]
 
     def mean_field(v):
         h_re = f_re + v[:, None]
-        rho_kre, rho_kim, mu = zlinalg.zrho_fermi(h_re, f_im, nelec2, BETA)
+        rho_kre, rho_kim, mu = zlinalg.zrho_fermi_w(h_re, f_im, nelec2,
+                                                    BETA, wk)
         return h_re, rho_kre, rho_kim
 
     def fold_emb(b_re, b_im, A_re, A_im):
-        out = (jnp.einsum("skpi, skpq, skqj -> sij", b_re, A_re, b_re)
-               + jnp.einsum("skpi, skpq, skqj -> sij", b_im, A_re, b_im)
-               + jnp.einsum("skpi, skpq, skqj -> sij", b_im, A_im, b_re)
-               - jnp.einsum("skpi, skpq, skqj -> sij", b_re, A_im, b_im))
+        # sum over the full mesh of Re(term): term(-k) = conj(term(k)),
+        # so weighted real parts over the IBZ reproduce it exactly
+        out = (jnp.einsum("k, skpi, skpq, skqj -> sij", wk, b_re, A_re, b_re)
+               + jnp.einsum("k, skpi, skpq, skqj -> sij", wk, b_im, A_re, b_im)
+               + jnp.einsum("k, skpi, skpq, skqj -> sij", wk, b_im, A_im, b_re)
+               - jnp.einsum("k, skpi, skpq, skqj -> sij", wk, b_re, A_im, b_im))
         return out / NK
 
     # --- bath from the current vcor's mean field (ONE svd per iteration)
     h_re0, rho_kre0, rho_kim0 = mean_field(vmat)
-    rho_R = (jnp.einsum("kR, skpq -> sRpq", cos_t, rho_kre0)
-             - jnp.einsum("kR, skpq -> sRpq", sin_t, rho_kim0)) / NK
+    rho_R = (jnp.einsum("kR, skpq -> sRpq", cos_w, rho_kre0)
+             - jnp.einsum("kR, skpq -> sRpq", sin_w, rho_kim0)) / NK
     flat = rho_R.reshape(spin, NK * NLO, NLO)
     env = flat[:, env_idx, :NVAL]
     u, _, _ = jnp.linalg.svd(env, full_matrices=False)
@@ -83,8 +99,9 @@ def dmet_iteration(f_re, f_im, vmat, rho_target, cos_t, sin_t, env_idx):
     basis = basis.at[:, :NLO, :NLO].set(jnp.eye(NLO))
     basis = basis.at[:, env_idx, NLO:].set(u)
     bR = basis.reshape(spin, NK, NLO, NEO)
-    b_re = jnp.einsum("kR, sRpj -> skpj", cos_t.T, bR)
-    b_im = jnp.einsum("kR, sRpj -> skpj", sin_t.T, bR)
+    # cos/sin tables are symmetric on the uniform mesh; slice k rows
+    b_re = jnp.einsum("kR, sRpj -> skpj", cos_t[:nibz], bR)
+    b_im = jnp.einsum("kR, sRpj -> skpj", sin_t[:nibz], bR)
     b_re = jax.lax.stop_gradient(b_re)
     b_im = jax.lax.stop_gradient(b_im)
 
@@ -108,8 +125,8 @@ def dmet_iteration(f_re, f_im, vmat, rho_target, cos_t, sin_t, env_idx):
         - jnp.einsum("skpq, skqj -> skpj", f_im, b_im)
     hb_im = jnp.einsum("skpq, skqj -> skpj", h_re, b_im) \
         + jnp.einsum("skpq, skqj -> skpj", f_im, b_re)
-    embH1 = (jnp.einsum("skpi, skpj -> sij", b_re, hb_re)
-             + jnp.einsum("skpi, skpj -> sij", b_im, hb_im)) / NK
+    embH1 = (jnp.einsum("k, skpi, skpj -> sij", wk, b_re, hb_re)
+             + jnp.einsum("k, skpi, skpj -> sij", wk, b_im, hb_im)) / NK
     return vmat_fit, errs[-1], embH1
 
 

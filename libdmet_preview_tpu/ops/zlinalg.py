@@ -87,7 +87,7 @@ def _fermi(x, mu, beta):
     return 1.0 / (jnp.exp(z) + 1.0)
 
 
-def _bisect_mu(ew, nelec, beta, n_sweep=8, grid=64):
+def _bisect_mu(ew, nelec, beta, n_sweep=8, grid=64, weights=None):
     """Chemical-potential search by PARALLEL grid refinement: each sweep
     evaluates N(mu) on `grid` candidates at once (one vectorized reduction
     instead of one sequential bisection step) and narrows the bracket by
@@ -99,11 +99,16 @@ def _bisect_mu(ew, nelec, beta, n_sweep=8, grid=64):
     lo = jnp.min(ew) - pad
     hi = jnp.max(ew) + pad
     flat = ew.ravel()
+    if weights is None:
+        wflat = jnp.ones_like(flat)
+    else:
+        wflat = jnp.broadcast_to(weights[..., None], ew.shape).ravel()
 
     def sweep(bounds, _):
         lo, hi = bounds
         mus = lo + (hi - lo) * jnp.linspace(0.0, 1.0, grid, dtype=ew.dtype)
-        counts = jnp.sum(_fermi(flat[None, :], mus[:, None], beta), axis=1)
+        counts = jnp.sum(wflat[None, :]
+                         * _fermi(flat[None, :], mus[:, None], beta), axis=1)
         # largest grid point with count below the target (counts ascending)
         below = counts < nelec
         idx = jnp.clip(jnp.sum(below) - 1, 0, grid - 2)
@@ -127,6 +132,36 @@ def _fermi_K(ew, mu, beta):
                   (f[..., :, None] - f[..., None, :])
                   / jnp.where(small, 1.0, dl))
     return f, K
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def zrho_fermi_w(h_re, h_im, nelec, beta, weights):
+    """zrho_fermi with per-batch-element k weights in the electron count
+    N = sum_k w_k tr f(H_k) (time-reversal-reduced meshes: w = 2 for
+    paired k, 1 for self-paired).  weights participates only in the mu
+    constraint; its cotangent is zero."""
+    ew, V = zeigh(h_re, h_im)
+    mu = _bisect_mu(ew, nelec, beta, weights=weights)
+    occ = _fermi(ew, mu, beta)
+    rho_re, rho_im = zfunc_from_eig(V, occ)
+    return rho_re, rho_im, mu
+
+
+def _zrho_fermi_w_fwd(h_re, h_im, nelec, beta, weights):
+    ew, V = zeigh(h_re, h_im)
+    mu = _bisect_mu(ew, nelec, beta, weights=weights)
+    occ = _fermi(ew, mu, beta)
+    rho_re, rho_im = zfunc_from_eig(V, occ)
+    return (rho_re, rho_im, mu), (ew, V, mu, weights)
+
+
+def _zrho_fermi_w_bwd(nelec, beta, res, cot):
+    ew, V, mu, weights = res
+    gh_re, gh_im = _zrho_bwd_core(ew, V, mu, cot, beta, weights)
+    return gh_re, gh_im, jnp.zeros_like(weights)
+
+
+zrho_fermi_w = zrho_fermi_w  # placeholder for defvjp below
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -159,13 +194,17 @@ def _zrho_fermi_fwd(h_re, h_im, nelec, beta):
     return (rho_re, rho_im, mu), (ew, V, mu)
 
 
-def _zrho_fermi_bwd(nelec, beta, res, cot):
-    ew, V, mu = res
+def _zrho_bwd_core(ew, V, mu, cot, beta, weights=None):
     w_re, w_im, w_mu = cot
     n = w_re.shape[-1]
     f, K = _fermi_K(ew, mu, beta)
     fp = -beta * f * (1.0 - f)
-    denom = jnp.sum(fp)
+    if weights is None:
+        wk = jnp.ones(ew.shape[:-1], dtype=ew.dtype)
+    else:
+        wk = weights
+    # the mu constraint is N = sum_k w_k tr f -> weighted feedback sums
+    denom = jnp.sum(wk[..., None] * fp)
     safe = jnp.abs(denom) > 1e-300
     inv_denom = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
 
@@ -177,11 +216,12 @@ def _zrho_fermi_bwd(nelec, beta, res, cot):
     What = jnp.concatenate([top, bot], axis=-2)
     W_eig = jnp.einsum("...pi, ...pq, ...qj -> ...ij", V, What, V)
 
-    # adjoint of dF_eig = K o M - diag(f') dmu,  dmu = sum f' M_ii / denom
+    # adjoint of dF_eig = K o M - diag(f') dmu,
+    # dmu = sum_k w_k f' M_ii / denom
     trace_term = jnp.einsum("...ii, ...i ->", W_eig, fp)
     Mct = K * W_eig
     diag_coeff = (w_mu - trace_term) * inv_denom
-    Mct = Mct + jnp.einsum("...i, ij -> ...ij", fp,
+    Mct = Mct + jnp.einsum("...i, ij -> ...ij", wk[..., None] * fp,
                            jnp.eye(ew.shape[-1], dtype=ew.dtype)) * diag_coeff
     dW = jnp.einsum("...pi, ...ij, ...qj -> ...pq", V, Mct, V)
     # adjoint of the real-embedding map W = [[a, -b], [b, a]]
@@ -190,7 +230,13 @@ def _zrho_fermi_bwd(nelec, beta, res, cot):
     return gh_re, gh_im
 
 
+def _zrho_fermi_bwd(nelec, beta, res, cot):
+    ew, V, mu = res
+    return _zrho_bwd_core(ew, V, mu, cot, beta, None)
+
+
 zrho_fermi.defvjp(_zrho_fermi_fwd, _zrho_fermi_bwd)
+zrho_fermi_w.defvjp(_zrho_fermi_w_fwd, _zrho_fermi_w_bwd)
 
 
 # ----------------------------------------------------------------------

@@ -450,3 +450,46 @@ def test_pm_er_localization():
     assert m_er > float(er_metric(jnp.asarray(C_occ),
                                   meta["eri_lo"])) + 1e-6
     assert np.max(np.abs(C_er @ C_er.T - P0)) < 1e-8
+
+
+def test_zrho_fermi_weighted_tr_mesh():
+    """Weighted Fermi-density op == full-mesh op on a time-reversal
+    reduced k set: same mu, same rho on the kept k's; gradient matches
+    finite differences."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops.zlinalg import zrho_fermi, zrho_fermi_w
+    from libdmet_preview_tpu.ops import zlinalg
+    rng = np.random.RandomState(17)
+    nk, n, beta = 8, 3, 80.0
+    h_R = rng.randn(nk, n, n) * 0.4
+    for R in range(1, nk):
+        h_R[(-R) % nk] = h_R[R].T
+    h_R[0] = 0.5 * (h_R[0] + h_R[0].T)
+    f_re, f_im = zlinalg.R2k(h_R, (nk,))
+    f_re, f_im = np.asarray(f_re), np.asarray(f_im)
+    nelec = float(nk * n)   # half filling on the doubled spectrum
+
+    r_full = zrho_fermi(jnp.asarray(f_re), jnp.asarray(f_im), nelec, beta)
+    # IBZ: k = 0..nk/2 with weights [1, 2, 2, 2, 1] for even nk
+    idx = list(range(nk // 2 + 1))
+    w = np.asarray([1.0] + [2.0] * (nk // 2 - 1) + [1.0])
+    r_ibz = zrho_fermi_w(jnp.asarray(f_re[idx]), jnp.asarray(f_im[idx]),
+                         nelec, beta, jnp.asarray(w))
+    assert abs(float(r_ibz[2]) - float(r_full[2])) < 1e-9   # mu
+    assert np.max(np.abs(np.asarray(r_ibz[0])
+                         - np.asarray(r_full[0])[idx])) < 1e-10
+
+    dh = rng.randn(len(idx), n, n) * 0.1
+    dh = 0.5 * (dh + dh.transpose(0, 2, 1))
+
+    def obj(t):
+        rr, ri, mu = zrho_fermi_w(jnp.asarray(f_re[idx] + t * dh),
+                                  jnp.asarray(f_im[idx]), nelec, beta,
+                                  jnp.asarray(w))
+        return jnp.sum(rr ** 3) + 0.3 * mu
+
+    g_ad = float(jax.grad(obj)(0.0))
+    eps = 1e-5
+    g_fd = (float(obj(eps)) - float(obj(-eps))) / (2 * eps)
+    assert abs(g_ad - g_fd) < 1e-6 * max(1.0, abs(g_fd))
