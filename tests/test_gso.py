@@ -204,3 +204,37 @@ def test_ph_transform_exact_abinitio():
                     {"ccdd": g_so[None]})
     _, E_T = FCI(restricted=True, ghf=True, tol=1e-12).run(GHam, nelec=nao)
     assert abs(E_T - E_grand) < 1e-8
+
+
+def test_gso_rho_glob_hf_limit():
+    """Democratic global GSO density == mean-field GRho in the HF limit
+    (spinless analog of the reference get_rho_glob_R oracle,
+    spinless_helper.py:442)."""
+    from libdmet_preview_tpu.dmet import hubbard_gso as dmet
+    from libdmet_preview_tpu.ops import spinless, embham
+    Lat = dmet.ChainLattice(12, 2)
+    Ham = dmet.Ham(Lat, 0.0)      # U = 0: embedded state == mean field
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    gham = dmet.GSOHam(Lat)
+    GRho, mu, res = dmet.GHartreeFock(gham, 0.25, mu0=-1.4)
+    basis = spinless.get_emb_basis(Lat, GRho)
+    # fold the k-space GRho into the embedding (HF-limit embedded rdm)
+    basis_k = Lat.R2k_basis(basis)
+    GRho_emb = np.asarray(embham.foldRho_k(res["rho_k"], basis_k))
+    rho_glob = embham.get_rho_glob_R(basis, Lat, GRho_emb)
+    assert np.max(np.abs(rho_glob[0] - GRho)) < 1e-8
+
+
+def test_musolver_save_load(tmp_path):
+    """MuSolver history pickle round trip (reference frecord pattern,
+    Hubbard.py:308-321)."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    ms = dmet.MuSolver(adaptive=True)
+    ms.history = [[(0.0, 0.9), (0.05, 0.95)], [(0.0, 0.98), (0.02, 1.0)]]
+    path = str(tmp_path / "frecord")
+    ms.save(path)
+    ms2 = dmet.MuSolver(adaptive=True)
+    ms2.load(path)
+    assert ms2.history == ms.history
+    pred = ms2.predict(0.97, 1.0)
+    assert pred is not None and 0.0 < pred < 0.5
