@@ -135,8 +135,25 @@ def HF(lattice, vcor, filling, restricted, mu0=None, beta=np.inf, ires=False,
         f_re = f_re + np.asarray(v_re)[:spin]
         f_im = f_im + np.asarray(v_im)[:spin]
 
-    ew2_dev, V_dev = _diag_k_pair(jnp.asarray(f_re), jnp.asarray(f_im))
-    ew2 = np.asarray(ew2_dev)  # (spin, nk, 2n): doubled spectrum
+    # time-reversal reduction: H(-k) = H(k)* -> diagonalize only the
+    # irreducible half mesh and mirror (reference exploits this via
+    # _symm DiagRHF variants, mfd.py:33-108, and k/-k weights)
+    neg = getattr(lattice, "_neg_map", None)
+    tr_ok = (kwargs.get("tr_symm", True) and neg is not None
+             and np.allclose(f_re[:, neg], f_re, atol=1e-10)
+             and np.allclose(f_im[:, neg], -f_im, atol=1e-10))
+    if tr_ok:
+        ibz = np.asarray([k for k in range(nkpts) if k <= neg[k]])
+        ew2_i, V_dev = _diag_k_pair(jnp.asarray(f_re[:, ibz]),
+                                    jnp.asarray(f_im[:, ibz]))
+        ew2_i = np.asarray(ew2_i)
+        ew2 = np.empty((spin, nkpts, ew2_i.shape[-1]))
+        ew2[:, ibz] = ew2_i
+        ew2[:, neg[ibz]] = ew2_i
+    else:
+        ibz = None
+        ew2_dev, V_dev = _diag_k_pair(jnp.asarray(f_re), jnp.asarray(f_im))
+        ew2 = np.asarray(ew2_dev)  # (spin, nk, 2n): doubled spectrum
 
     # occupation on the doubled spectrum: electron counts double too
     if isinstance(filling, Iterable):
@@ -155,7 +172,20 @@ def HF(lattice, vcor, filling, restricted, mu0=None, beta=np.inf, ires=False,
     ewocc2, mu, nerr = assignocc(ew2, nelec2, beta, mu0, fix_mu=fix_mu,
                                  thr_deg=tol_deg)
 
-    rho_re, rho_im = _rho_from_eig(V_dev, jnp.asarray(ewocc2))
+    if ibz is not None:
+        r_re_i, r_im_i = _rho_from_eig(V_dev, jnp.asarray(ewocc2[:, ibz]))
+        r_re_i, r_im_i = np.asarray(r_re_i), np.asarray(r_im_i)
+        nlo = r_re_i.shape[-1]
+        rho_re = np.empty((spin, nkpts, nlo, nlo))
+        rho_im = np.empty((spin, nkpts, nlo, nlo))
+        rho_re[:, ibz] = r_re_i
+        rho_im[:, ibz] = r_im_i
+        # rho(-k) = rho(k)*
+        rho_re[:, neg[ibz]] = r_re_i
+        rho_im[:, neg[ibz]] = -r_im_i
+        rho_re, rho_im = jnp.asarray(rho_re), jnp.asarray(rho_im)
+    else:
+        rho_re, rho_im = _rho_from_eig(V_dev, jnp.asarray(ewocc2))
     rhoT = np.asarray(lattice.k2R((rho_re, rho_im)))
 
     # energy (reference mfd.py:352-427 conventions)
