@@ -116,3 +116,45 @@ class CASCI(object):
 
     def cleanup(self):
         pass
+
+
+def project_active_space(Ham, nelec, ncas, nelecas, mo_coeff=None):
+    """Active-space projection of an embedding Integral (reference
+    slater.py:2121-2277 active-space projectors): fold the HF core into
+    an effective (ncas, nelecas) Integral.
+
+    Returns (Ham_cas, info) with info = {C_core, C_cas, e_core} for
+    back-transforming solver RDMs:
+        rdm1_full = C_cas rdm1_cas C_cas^T + 0.5 * dm_core   (per spin)
+    """
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.solvers.scf import _veff_uhf
+    n = Ham.norb
+    nocc = nelec // 2
+    ncore = (nelec - nelecas) // 2
+    assert ncore >= 0 and ncore + ncas <= n
+    if mo_coeff is None:
+        myscf = SCF()
+        myscf.set_system(nelec, 0, False, True)
+        myscf.set_integral(Ham)
+        myscf.HF(tol=1e-11)
+        mo_coeff = myscf.mo_coeff[0]
+    C = np.asarray(mo_coeff)
+    h1 = np.asarray(Ham.H1["cd"][0])
+    g = restore_eri(np.asarray(Ham.H2["ccdd"][0]), n, 1)
+    C_core = C[:, :ncore]
+    C_cas = C[:, ncore:ncore + ncas]
+    dm_core = 2.0 * C_core @ C_core.T
+    v_core = np.asarray(_veff_uhf(
+        jnp.asarray(dm_core * 0.5), jnp.asarray(dm_core * 0.5),
+        jnp.asarray(g), jnp.asarray(g), jnp.asarray(g))[0])
+    e_core = float(np.sum((h1 + 0.5 * v_core) * dm_core)) + float(Ham.H0)
+    h_cas = C_cas.T @ (h1 + v_core) @ C_cas
+    g_cas = np.asarray(jnp.einsum(
+        "pqrs, pi, qj, rk, sl -> ijkl", jnp.asarray(g),
+        *([jnp.asarray(C_cas)] * 4), optimize=True))
+    Ham_cas = Integral(ncas, True, False, e_core, {"cd": h_cas[None]},
+                       {"ccdd": g_cas[None]})
+    info = {"C_core": C_core, "C_cas": C_cas, "e_core": e_core,
+            "dm_core": dm_core}
+    return Ham_cas, info

@@ -107,3 +107,20 @@ def SHCISolver(executable="Dice", **kwargs):
     return ExternalFCIDUMPSolver(
         [executable, "{workdir}/input.dat"],
         energy_pattern=r"PTEnergy:\s*([-\d.eE+]+)", **kwargs)
+
+
+def AFQMCSolver(executable="afqmc", **kwargs):
+    """AFQMC via an external binary (reference solver/afqmc.py:11-400):
+    FCIDUMP in, mean energy parsed from the measurement output."""
+    return ExternalFCIDUMPSolver(
+        [executable, "{fcidump}"],
+        energy_pattern=r"[Ee]nergy[:=\s]+([-\d.eE+]+)", **kwargs)
+
+
+def DQMCSolver(executable="DQMC", mpirun="mpirun", nproc=1, **kwargs):
+    """DQMC via Sandeep Sharma's code (reference solver/dqmc.py:184-583):
+    mpirun-launched, blocking-analysis mean energy."""
+    return ExternalFCIDUMPSolver(
+        [executable, "{workdir}/dqmc.json"],
+        energy_pattern=r"[Ee]nergy[:=\s]+([-\d.eE+]+)\s*\+/-",
+        mpirun=mpirun, nproc=nproc, **kwargs)

