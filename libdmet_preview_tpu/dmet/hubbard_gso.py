@@ -21,16 +21,26 @@ from libdmet_preview_tpu.models.hamiltonian import HubbardHamiltonian as Ham
 
 
 class GSOHam(object):
-    """Transformed (spinless) lattice Hamiltonian bundle."""
+    """Transformed (spinless) lattice Hamiltonian bundle.
 
-    def __init__(self, lattice, vcor_mat3=None):
-        H1_k = lattice.getH1(kspace=True)
+    Works on model lattices (local H2) and on ab initio 'cholesky'
+    lattices in the NIB flavor: the impurity-cell ERI block (local!) is
+    the ph-transformed interaction, enabling superconducting DMET on
+    ab initio systems (the reference's cuprate workflow,
+    eri_transform.get_emb_eri_gso + HubbardBCS)."""
+
+    def __init__(self, lattice, vcor_mat3=None, use_hcore=True):
+        H1_k = lattice.getH1(kspace=True) if use_hcore \
+            else lattice.getFock(kspace=True)
         GH1_c, GH0_H1 = spinless.transform_H1_k(H1_k)
         self.GH1_k = spinless.combine_H1_k(GH1_c)          # (nk, nso, nso)
-        H2 = np.asarray(lattice.getH2(kspace=False))
-        log.eassert(lattice.H2_format == "local",
-                    "GSO path implemented for local H2")
-        self.GV2, self.GV1, self.GV0 = spinless.transform_H2_local(H2)
+        if lattice.H2_format == "local":
+            H2_loc = np.asarray(lattice.getH2(kspace=False))
+        elif lattice.H2_format == "cholesky":
+            H2_loc = np.asarray(lattice.Ham.eri_imp)
+        else:
+            raise ValueError("GSO path: local or cholesky H2 required")
+        self.GV2, self.GV1, self.GV0 = spinless.transform_H2_local(H2_loc)
         self.GH0 = GH0_H1
         self.lattice = lattice
         self.nao = lattice.nao
@@ -61,12 +71,12 @@ def GHartreeFock(gham, filling, mu0=0.0, vcor_mat=None, beta=np.inf,
 
 def ConstructImpHam(gham, GRho_R, mu, vcor_mat=None, **kwargs):
     basis = spinless.get_emb_basis(gham.lattice, GRho_R, **kwargs)
-    # H0 carries only the PHYSICAL per-cell constants (GH0 + GV0); the mu
-    # operator terms are cancelled inside transform_results, so no mu
-    # constant belongs here
+    # H0 carries only the PHYSICAL per-cell constants (lattice H0, e.g.
+    # e_nuc/cell, + the ph-transform constants GH0 + GV0); the mu operator
+    # terms are cancelled inside transform_results
+    H0 = float(gham.lattice.getH0()) + gham.GH0 + gham.GV0
     ImpHam = spinless.get_emb_Ham(gham.lattice, basis, gham.GH1_k,
-                                  gham.GV2, gham.GV1,
-                                  gham.GH0 + gham.GV0, mu,
+                                  gham.GV2, gham.GV1, H0, mu,
                                   vcor_gso=vcor_mat, **kwargs)
     return ImpHam, None, basis
 

@@ -103,3 +103,67 @@ def test_sc_dmet_attractive_hubbard():
     assert np.max(np.abs(kap)) > 0.05
     # energy sane: below the normal-state mean field of the same model
     assert E_old < 0.0
+
+
+def test_gso_abinitio_mean_field_and_pairing():
+    """Ab initio GSO machinery (cholesky lattice):
+
+    (i) at zero pairing the GSO GHF mean field reproduces the physical
+        RHF lattice density exactly (frame equivalence at the mean-field
+        level -- the only equality guaranteed away from particle-hole
+        symmetry; the reference asserts full DMET equality only at the
+        ph-symmetric Hubbard point, test_spinless_model.py:117);
+    (ii) an onsite pairing field develops anomalous density kappa != 0 on
+        the ab initio lattice with the mu fit holding the physical
+        filling (the SC-DMET ingredient of the cuprate workflow).
+    """
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_gso import afm_vcor
+    from libdmet_preview_tpu.models.abinitio import make_h_ring_lattice
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.dmet import hubbard_gso as gso
+    from libdmet_preview_tpu.ops import spinless
+
+    Lat, meta = make_h_ring_lattice(ncells=3, atoms_per_cell=2,
+                                    r_bond=1.8, basis="sto-6g")
+    Lat.use_hcore_as_emb_ham = True
+    nao = Lat.nscsites
+    filling = meta["mole"].nelectron / (2.0 * meta["mole"].nao)
+    m = 0.4
+    va, vb = afm_vcor(nao, m)
+
+    # physical UHF mean field (hcore + vcor)
+    vcor = dmet.VcorLocal(False, False, nao)
+    vcor.assign(np.asarray([va, vb]))
+    rho, Mu, res = dmet.HartreeFock(Lat, vcor, filling, 0.0, ires=True)
+
+    # GSO mean field at zero pairing
+    gham = gso.GSOHam(Lat, use_hcore=True)
+    vmat = spinless.combine_vcor([va, vb, np.zeros_like(va)])
+    GRho, mu, gres = gso.GHartreeFock(gham, filling, mu0=0.0,
+                                      vcor_mat=vmat)
+    rA, rB, kap = spinless.extract_rdm(GRho[0])
+    assert np.max(np.abs(kap)) < 1e-10
+    assert np.max(np.abs(rA - rho[0, 0])) < 1e-8
+    assert np.max(np.abs(rB - rho[1, 0])) < 1e-8
+
+    # pairing field on the ab initio lattice: kappa develops, filling held
+    D = 0.5 * np.eye(nao)
+    vmat_sc = spinless.combine_vcor([va, vb, D])
+    GRho_sc, mu_sc, gres_sc = gso.GHartreeFock(gham, filling, mu0=0.0,
+                                               vcor_mat=vmat_sc)
+    rA2, rB2, kap2 = spinless.extract_rdm(GRho_sc[0])
+    assert np.max(np.abs(kap2)) > 0.05
+    assert abs(gres_sc["nelec_phys"] - 2 * filling * nao) < 1e-6
+
+    # embedded GSO problem on the ab initio lattice solves and returns a
+    # Hermitian generalized density with the right transformed filling
+    from libdmet_preview_tpu.solvers import FCI
+    ImpHam, _, basis = gso.ConstructImpHam(gham, GRho_sc, mu_sc,
+                                           vcor_mat=vmat_sc)
+    solver = FCI(restricted=True, ghf=True, tol=1e-11)
+    neo = basis.shape[-1]
+    rdm, E_emb = solver.run(ImpHam, nelec=neo // 2)
+    assert abs(np.trace(rdm[0]) - neo // 2) < 1e-8
+    assert np.max(np.abs(rdm[0] - rdm[0].T)) < 1e-8
