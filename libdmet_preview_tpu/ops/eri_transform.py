@@ -111,6 +111,98 @@ def get_emb_eri_gso_chol(L, basis):
     return np.asarray(_syrk_eri(Ld, Ld))
 
 
+def _cplx_einsum(spec, *pairs):
+    """einsum over complex operands given as (re, im) pairs; returns a
+    (re, im) pair.  Expands to real einsums (TPU has no complex128)."""
+    acc_re, acc_im = None, None
+    import itertools
+    n = len(pairs)
+    for bits in itertools.product((0, 1), repeat=n):
+        # term = prod_i (re or i*im); collect i-power and sign
+        arrs = [pairs[i][bits[i]] for i in range(n)]
+        k = sum(bits) % 4
+        term = jnp.einsum(spec, *arrs, optimize=True)
+        if k == 0:
+            acc_re = term if acc_re is None else acc_re + term
+        elif k == 1:
+            acc_im = term if acc_im is None else acc_im + term
+        elif k == 2:
+            acc_re = -term if acc_re is None else acc_re - term
+        else:
+            acc_im = -term if acc_im is None else acc_im - term
+    if acc_re is None:
+        acc_re = jnp.zeros_like(acc_im)
+    if acc_im is None:
+        acc_im = jnp.zeros_like(acc_re)
+    return acc_re, acc_im
+
+
+def make_gdf_factors(eri_lo, ncells, nlo, tol=1e-10):
+    """k-resolved density-fitting factors of a translation-invariant LO
+    ERI, grouped by momentum transfer (the GDF/CDERI structure the
+    reference streams from HDF5, eri_transform.py:195-335).
+
+    For each transfer q the Hermitian PSD matrix
+        M_q[(k1, p, a), (k3, s, r)] = (k1 p, k1+q a | k3+q r, k3 s)
+    is factorized M_q = F_q F_q^H (eigendecomposition; rank-revealing).
+    Conventions: creation legs carry e^{+ikR} phases.
+
+    Returns {q: (F_re, F_im)} with F shaped (ncells, nlo, nlo, naux_q)."""
+    eri_lo = np.asarray(eri_lo)
+    E = eri_lo.reshape(ncells, nlo, ncells, nlo, ncells, nlo, ncells, nlo)
+    f = np.fft.fftfreq(ncells)
+    P = np.exp(-2j * np.pi * np.outer(f, np.arange(ncells)))
+    # creation legs (A, C) carry e^{-ikR} = P; annihilation legs the conj
+    Ek = np.einsum("ApBqCrDs, kA, lB, mC, nD -> kplqmrns",
+                   E, P, P.conj(), P, P.conj()) / ncells ** 2
+    nn = nlo * nlo
+    out = {}
+    for q in range(ncells):
+        M = np.zeros((ncells * nn, ncells * nn), dtype=complex)
+        for k1 in range(ncells):
+            for k3 in range(ncells):
+                blk = Ek[k1, :, (k1 + q) % ncells, :,
+                         (k3 + q) % ncells, :, k3, :]
+                blk = blk.transpose(0, 1, 3, 2)    # cols packed (s, r)
+                M[k1 * nn:(k1 + 1) * nn,
+                  k3 * nn:(k3 + 1) * nn] = blk.reshape(nn, nn)
+        M = 0.5 * (M + M.conj().T)
+        w, v = np.linalg.eigh(M)
+        keep = w > tol
+        F = v[:, keep] * np.sqrt(w[keep])
+        F = F.reshape(ncells, nlo, nlo, -1)
+        out[q] = (np.ascontiguousarray(F.real),
+                  np.ascontiguousarray(F.imag))
+    return out
+
+
+def get_emb_eri_gdf(factors, basis_k, ncells, nlo):
+    """Embedding ERI from k-resolved GDF factors with momentum
+    conservation (TPU-native form of the reference's hot loop,
+    eri_transform.py:235-565: per-q rotate + syrk, batched GEMMs).
+
+    factors: {q: (F_re, F_im)} from make_gdf_factors;
+    basis_k: (re, im) pair (1, nk, nlo, neo).
+    Returns the real (1, neo, neo, neo, neo) chemist embedding ERI."""
+    C_re = jnp.asarray(basis_k[0][0])
+    C_im = jnp.asarray(basis_k[1][0])
+    neo = C_re.shape[-1]
+    eri = jnp.zeros((neo,) * 4)
+    for q, (F_re, F_im) in factors.items():
+        Fq = (jnp.asarray(F_re), jnp.asarray(F_im))
+        Cq = (jnp.roll(C_re, -q, axis=0), jnp.roll(C_im, -q, axis=0))
+        Cconj = (C_re, -C_im)
+        Cqconj = (Cq[0], -Cq[1])
+        # G_x[i, j] = sum_{k p a} F[k,p,a,x] C*(k)_pi C(k+q)_aj
+        G = _cplx_einsum("kpax, kpi, kaj -> xij", Fq, Cconj, Cq)
+        # H_x[k, l] = sum_{k3 s r} F[k3,s,r,x] C(k3+q)_rl' C*(k3)_sl
+        H = _cplx_einsum("ksrx, krm, ksl -> xml", Fq, Cq, Cconj)
+        # eri += Re[ G_x[i,j] * conj(H_x[k,l]) ]
+        eri = eri + jnp.einsum("xij, xkl -> ijkl", G[0], H[0]) \
+            + jnp.einsum("xij, xkl -> ijkl", G[1], H[1])
+    return np.asarray(eri)[None] / ncells ** 2
+
+
 def get_emb_eri_mol(eri_full, basis):
     """Direct (un-factorized) embedding transform; brute-force oracle for
     get_emb_eri_chol (reference eri_transform.py:1429 get_emb_eri_mol)."""

@@ -350,3 +350,27 @@ def test_rdm1_idem_pdmet(hring6):
     full = np.asarray(Lat.expand(rho_p))[0]
     assert np.max(np.abs(full @ full - full)) < 1e-8
     assert abs(np.trace(full) - meta["mole"].nelectron / 2.0) < 1e-8
+
+
+def test_gdf_kresolved_transform(hring6):
+    """k-resolved GDF embedding-ERI transform with momentum conservation
+    (the reference's hot kernel, eri_transform.py:235-565): factors per
+    momentum transfer, rotate+syrk per q, equals the brute-force
+    real-space transform to machine precision."""
+    from libdmet_preview_tpu.ops.eri_transform import (make_gdf_factors,
+                                                       get_emb_eri_gdf,
+                                                       get_emb_eri_mol)
+    Lat, meta = hring6
+    nc, nlo = Lat.ncells, Lat.nscsites
+    rng = np.random.RandomState(4)
+    neo = 4
+    basis = rng.randn(1, nc, nlo, neo)
+    basis_k = Lat.R2k_basis(basis)
+    factors = make_gdf_factors(meta["eri_lo"], nc, nlo)
+    g1 = get_emb_eri_gdf(factors, basis_k, nc, nlo)
+    g2 = get_emb_eri_mol(meta["eri_lo"], basis)
+    assert np.max(np.abs(g1 - g2)) < 1e-10
+    # the per-q ranks are far below the full naux = nc*nlo^2 bound only
+    # when screening triggers; at least verify rank-revealing consistency
+    for q, (Fr, Fi) in factors.items():
+        assert Fr.shape[-1] <= nc * nlo * nlo
