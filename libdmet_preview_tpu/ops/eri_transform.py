@@ -176,10 +176,15 @@ def make_gdf_factors(eri_lo, ncells, nlo, tol=1e-10):
     return out
 
 
-def get_emb_eri_gdf(factors, basis_k, ncells, nlo):
+def get_emb_eri_gdf(factors, basis_k, ncells, nlo, tr_symm=False):
     """Embedding ERI from k-resolved GDF factors with momentum
     conservation (TPU-native form of the reference's hot loop,
     eri_transform.py:235-565: per-q rotate + syrk, batched GEMMs).
+
+    tr_symm=True exploits time reversal (real R-space orbitals): the -q
+    transfer contributes the complex conjugate, so only the irreducible
+    transfers are computed with weight 2 (the reference's
+    get_weights_t_reversal, eri_transform.py:142).
 
     factors: {q: (F_re, F_im)} from make_gdf_factors;
     basis_k: (re, im) pair (1, nk, nlo, neo).
@@ -188,7 +193,13 @@ def get_emb_eri_gdf(factors, basis_k, ncells, nlo):
     C_im = jnp.asarray(basis_k[1][0])
     neo = C_re.shape[-1]
     eri = jnp.zeros((neo,) * 4)
-    for q, (F_re, F_im) in factors.items():
+    if tr_symm:
+        items = [(q, f, 2.0 if (ncells - q) % ncells != q else 1.0)
+                 for q, f in factors.items()
+                 if q <= (ncells - q) % ncells]
+    else:
+        items = [(q, f, 1.0) for q, f in factors.items()]
+    for q, (F_re, F_im), w in items:
         Fq = (jnp.asarray(F_re), jnp.asarray(F_im))
         Cq = (jnp.roll(C_re, -q, axis=0), jnp.roll(C_im, -q, axis=0))
         Cconj = (C_re, -C_im)
@@ -197,9 +208,9 @@ def get_emb_eri_gdf(factors, basis_k, ncells, nlo):
         G = _cplx_einsum("kpax, kpi, kaj -> xij", Fq, Cconj, Cq)
         # H_x[k, l] = sum_{k3 s r} F[k3,s,r,x] C(k3+q)_rl' C*(k3)_sl
         H = _cplx_einsum("ksrx, krm, ksl -> xml", Fq, Cq, Cconj)
-        # eri += Re[ G_x[i,j] * conj(H_x[k,l]) ]
-        eri = eri + jnp.einsum("xij, xkl -> ijkl", G[0], H[0]) \
-            + jnp.einsum("xij, xkl -> ijkl", G[1], H[1])
+        # eri += w * Re[ G_x[i,j] * conj(H_x[k,l]) ]
+        eri = eri + w * (jnp.einsum("xij, xkl -> ijkl", G[0], H[0])
+                         + jnp.einsum("xij, xkl -> ijkl", G[1], H[1]))
     return np.asarray(eri)[None] / ncells ** 2
 
 

@@ -370,6 +370,9 @@ def test_gdf_kresolved_transform(hring6):
     g1 = get_emb_eri_gdf(factors, basis_k, nc, nlo)
     g2 = get_emb_eri_mol(meta["eri_lo"], basis)
     assert np.max(np.abs(g1 - g2)) < 1e-10
+    # time-reversal-weighted irreducible-transfer loop is exact too
+    g3 = get_emb_eri_gdf(factors, basis_k, nc, nlo, tr_symm=True)
+    assert np.max(np.abs(g3 - g2)) < 1e-10
     # the per-q ranks are far below the full naux = nc*nlo^2 bound only
     # when screening triggers; at least verify rank-revealing consistency
     for q, (Fr, Fi) in factors.items():
