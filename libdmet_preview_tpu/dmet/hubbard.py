@@ -24,7 +24,9 @@ from libdmet_preview_tpu.models.hamiltonian import (
     HubbardHamiltonian as Ham, Hubbard3band, Hubbard3band_ref)
 from libdmet_preview_tpu.models.integral import Integral
 from libdmet_preview_tpu.ops import mfd, embham, fit as fit_mod
-from libdmet_preview_tpu.ops.vcor import VcorLocal, VcorLocalPhSymm
+from libdmet_preview_tpu.ops.vcor import (VcorLocal, VcorLocalPhSymm,
+                                          VcorSymm, VcorSymmBogo,
+                                          VcorNonLocal, VcorKpoints)
 from libdmet_preview_tpu.ops.diis import DIIS, FDiisContext
 from libdmet_preview_tpu.ops.fit import (addDiag, make_vcor_trace_unchanged,
                                          vcor_diag_average)

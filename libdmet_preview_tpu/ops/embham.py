@@ -500,3 +500,68 @@ def _emb_H1(lattice, basis, vcor, H2_emb, int_bath=True, add_vcor=False,
             if not kwargs.get("fitting", False):
                 H1[s] -= np.asarray(transform_imp(basis_j[s], jnp.asarray(vmat[s])))
     return H1, ovlp_emb
+
+
+def add_bath(lattice, basis, ew, ev, nocc, nfrac, tol_bath=1e-6):
+    """Enlarge the embedding basis with bath orbitals built from the
+    nfrac*2 mean-field levels around the Fermi level (reference
+    slater.py:2278-2363 add_bath capability, re-derived: real span of the
+    frontier Bloch orbitals, orthogonalized against the current basis).
+
+    basis: (spin, ncells, nlo, neo) or (ncells, nlo, neo);
+    ew: (nk, n) per-k mo energies (physical, undoubled);
+    ev: per-k mo coefficients, complex (nk, n, n) or a (re, im) pair;
+    nocc: total occupied count over the lattice; nfrac: half-window size.
+    Returns the enlarged basis with <= 2*nfrac extra orthonormal columns
+    (vectors already inside the embedding span are dropped)."""
+    from libdmet_preview_tpu.ops.zlinalg import dft_tables
+    basis = np.asarray(basis)
+    squeeze = basis.ndim == 3
+    if squeeze:
+        basis = basis[None]
+    spin, ncells, nlo, neo = basis.shape
+    ew = np.asarray(ew)
+    nk, n = ew.shape
+    if isinstance(ev, (tuple, list)):
+        ev = np.asarray(ev[0]) + 1j * np.asarray(ev[1])
+    else:
+        ev = np.asarray(ev)
+
+    # frontier window on the global spectrum
+    idx = np.argsort(ew, axis=None, kind="mergesort")
+    sel = idx[max(nocc - nfrac, 0):nocc + nfrac]
+    k_idx, m_idx = np.divmod(sel, n)
+    e_sel = ew.ravel()[sel]
+
+    # lattice-space Bloch vectors V[(R, p), i] = e^{+ik.R} v_p(k) / sqrt(nk)
+    cos_t, sin_t = dft_tables(tuple(int(x) for x in lattice.kmesh))
+    ph = (cos_t + 1j * sin_t) / np.sqrt(nk)          # [k, R]
+    V = np.empty((ncells * nlo, len(sel)), dtype=complex)
+    for i, (k, m) in enumerate(zip(k_idx, m_idx)):
+        V[:, i] = np.kron(ph[k], ev[k][:, m])
+
+    # real frontier subspace: spectral projector weighted to keep ordering
+    shift = e_sel.min() - 0.1
+    h = (V * (e_sel - shift)) @ V.conj().T
+    if np.abs(h.imag).max() > tol_bath:
+        log.warn("add_bath: projector has imaginary part %.2e "
+                 "(frontier window breaks time reversal)",
+                 np.abs(h.imag).max())
+    w, u = np.linalg.eigh(h.real)
+    keep = w > tol_bath
+    u = u[:, keep][:, -len(sel):]
+
+    out = []
+    for s in range(spin):
+        B = basis[s].reshape(ncells * nlo, neo)
+        for i in range(u.shape[1]):
+            v = u[:, i]
+            v = v - B @ (B.T @ v)
+            nv = np.linalg.norm(v)
+            if nv > tol_bath:
+                B = np.hstack([B, (v / nv)[:, None]])
+        out.append(B)
+    nmax = min(b.shape[1] for b in out)
+    basis_out = np.asarray([b[:, :nmax] for b in out]).reshape(
+        spin, ncells, nlo, nmax)
+    return basis_out[0] if squeeze else basis_out

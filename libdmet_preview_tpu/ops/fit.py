@@ -408,3 +408,34 @@ def FitVcorTwoStep(rho, lattice, basis, vcor, beta, filling, MaxIter1=300,
     log.result("residue (begin) = %20.12f", err_begin)
     log.result("residue (end)   = %20.12f", err_end)
     return vcor_new, err_end
+
+
+def cvx_frac(mo_coeff, rho_target, nelec, tol=1e-10):
+    """Convex fractional-occupation fit (reference fit.py:362-460 cvx_frac
+    role, solved in closed form instead of via CVXPY).
+
+    Find occupations 0 <= w <= 1 (per spin channel convention of the
+    caller) with sum(w) = nelec minimizing || C diag(w) C^T - rho ||_F.
+    For orthonormal C the objective separates and the optimum is the
+    Euclidean projection of d = diag(C^T rho C) onto the capped simplex:
+    w = clip(d + lam, 0, 1) with lam fixed by the trace -- a scalar
+    bisection, no SDP solver needed."""
+    C = np.asarray(mo_coeff)
+    d = np.diag(C.T @ np.asarray(rho_target) @ C).copy()
+    n = d.size
+    assert 0.0 <= nelec <= n + 1e-9
+
+    def trace(lam):
+        return float(np.clip(d + lam, 0.0, 1.0).sum())
+
+    lo, hi = -1.0 - d.max(), 1.0 - d.min() + 1.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if trace(mid) < nelec:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < tol:
+            break
+    w = np.clip(d + 0.5 * (lo + hi), 0.0, 1.0)
+    return w

@@ -458,3 +458,96 @@ def VcorLocalPhSymm(U, bogoliubov, ImpSize, subA, subB, r=None):
     v.evaluate = evaluate_shifted
     v.value = v.evaluate()
     return v
+
+
+def VcorSymmBogo(restricted, nscsites, perms, spin_swap=None,
+                 idx_range=None):
+    """Point-group symmetric Bogoliubov vcor (reference
+    dmet/Hubbard.py:1233-1489 VcorSymmBogo role): the normal blocks
+    (va, vb) follow VcorSymm's orbits; the pairing block D (symmetric,
+    singlet) gets one parameter per orbit of (i, j) pairs under the site
+    permutations.  spin_swap operations exchange va <-> vb and leave the
+    symmetric D invariant."""
+    if idx_range is None:
+        idx_range = list(range(nscsites))
+    perms = [np.asarray(p, dtype=int) for p in perms]
+    if spin_swap is None:
+        spin_swap = [False] * len(perms)
+    spin = 1 if restricted else 2
+
+    # normal-part orbits (same construction as VcorSymm)
+    seen = {}
+    orbits = []
+    for s in range(spin):
+        for i in idx_range:
+            for j in idx_range:
+                if j < i:
+                    continue
+                key = (s, i, j)
+                if key in seen:
+                    continue
+                orbit = set()
+                stack = [key]
+                while stack:
+                    (ss, ii, jj) = stack.pop()
+                    kk = (ss, min(ii, jj), max(ii, jj))
+                    if kk in orbit:
+                        continue
+                    orbit.add(kk)
+                    for P, sw in zip(perms, spin_swap):
+                        s2 = (1 - ss) if (sw and spin == 2) else ss
+                        stack.append((s2, int(P[ii]), int(P[jj])))
+                for kk in orbit:
+                    seen[kk] = len(orbits)
+                orbits.append(sorted(orbit))
+    nV = len(orbits)
+
+    # pairing orbits over unordered (i, j); spin_swap: D -> D^T == D
+    seen_d = {}
+    orbits_d = []
+    for i in idx_range:
+        for j in idx_range:
+            if j < i:
+                continue
+            key = (i, j)
+            if key in seen_d:
+                continue
+            orbit = set()
+            stack = [key]
+            while stack:
+                (ii, jj) = stack.pop()
+                kk = (min(ii, jj), max(ii, jj))
+                if kk in orbit:
+                    continue
+                orbit.add(kk)
+                for P in perms:
+                    stack.append((int(P[ii]), int(P[jj])))
+            for kk in orbit:
+                seen_d[kk] = len(orbits_d)
+            orbits_d.append(sorted(orbit))
+
+    entries = [[], [], [], [], []]
+
+    def add(p, s, i, j, c):
+        entries[0].append(p)
+        entries[1].append(s)
+        entries[2].append(i)
+        entries[3].append(j)
+        entries[4].append(c)
+
+    for pidx, orbit in enumerate(orbits):
+        for (s, i, j) in orbit:
+            for ss in ((0, 1) if restricted else (s,)):
+                add(pidx, ss, i, j, 1.0)
+                if i != j:
+                    add(pidx, ss, j, i, 1.0)
+    for pidx, orbit in enumerate(orbits_d):
+        for (i, j) in orbit:
+            add(nV + pidx, 2, i, j, 1.0)
+            if i != j:
+                add(nV + pidx, 2, j, i, 1.0)
+
+    diag = [np.asarray([p for p, orb in enumerate(orbits)
+                        if any(i == j for (_, i, j) in orb)])]
+    return Vcor(nV + len(orbits_d), 3, nscsites, entries, diag_idx=diag,
+                restricted=restricted, bogoliubov=True, idx_range=idx_range)

@@ -94,3 +94,44 @@ def spin_corr_mean_field(rdm1, i, j):
         szi_szj -= 0.25 * (rdm1[0, i, j] * rdm1[0, j, i]
                            + rdm1[1, i, j] * rdm1[1, j, i])
     return float(szi_szj)
+
+
+def get_symm_orb(perms, nsites=None, tol=1e-9, seed=11):
+    """Point-group symmetry-adapted orbitals from site permutations
+    (reference system/analyze.py:539 get_symm_orb capability).
+
+    perms: list of length-n index arrays (site i -> perm[i]) generating the
+    group action.  Returns a list of (n, d) orthonormal blocks, each an
+    invariant subspace of every permutation (irrep blocks, possibly split
+    further when the commutant is larger).
+
+    Method: eigenspaces of a random matrix symmetrized over the group --
+    a generic element of the commutant, whose eigenspaces are exactly the
+    invariant subspaces."""
+    perms = [np.asarray(p, dtype=int) for p in perms]
+    if nsites is None:
+        nsites = len(perms[0])
+    rng = np.random.RandomState(seed)
+    M = rng.randn(nsites, nsites)
+    M = M + M.T
+    # average over the generated group (close the generators first)
+    mats = {tuple(range(nsites)): np.eye(nsites)}
+    frontier = [np.eye(nsites)[p] for p in perms]
+    while frontier:
+        P = frontier.pop()
+        key = tuple(int(x) for x in np.argmax(P, axis=1))
+        if key in mats:
+            continue
+        mats[key] = P
+        for Q in [np.eye(nsites)[p] for p in perms]:
+            frontier.append(P @ Q)
+    group = list(mats.values())
+    Mbar = sum(P @ M @ P.T for P in group) / len(group)
+    w, v = np.linalg.eigh(Mbar)
+    blocks = []
+    start = 0
+    for i in range(1, nsites + 1):
+        if i == nsites or w[i] - w[start] > tol * max(1.0, abs(w[start])):
+            blocks.append(v[:, start:i])
+            start = i
+    return blocks

@@ -1,0 +1,145 @@
+"""
+add_bath, VcorSymmBogo, MO matching, get_symm_orb, projected Wannier,
+cvx_frac (reference slater.py:2278, Hubbard.py:1233, make_basis.py:990,
+analyze.py:539, pywannier90/proj_wannier, fit.py:362).
+"""
+
+import numpy as np
+import pytest
+
+
+def _chain(nc=12, nimp=2, u=4.0):
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.models.hamiltonian import HubbardHamiltonian
+    Lat = dmet.ChainLattice(nc * nimp, nimp)
+    Ham = HubbardHamiltonian(Lat, u)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    return Lat
+
+
+def test_add_bath_enlarges_and_stays_orthonormal():
+    from libdmet_preview_tpu.ops import mfd, embham
+    Lat = _chain()
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    vcor = dmet.VcorLocal(True, False, Lat.nscsites)
+    vcor.update(np.zeros(vcor.length()))
+    rho, mu = dmet.RHartreeFock(Lat, vcor, 0.5, 0.0)
+    basis = embham.get_emb_basis(Lat, np.asarray(rho))
+    neo0 = basis.shape[-1]
+
+    # complex band structure for the frontier window (host side)
+    (h_re, h_im) = Lat.getH1(kspace=True)
+    h = np.asarray(h_re) + 1j * np.asarray(h_im)
+    ew, ev = np.linalg.eigh(h)
+    nocc = ew.size // 2   # half filling
+
+    big = embham.add_bath(Lat, basis, ew, ev, nocc, nfrac=2)
+    neo1 = big.shape[-1]
+    assert neo0 < neo1 <= neo0 + 4
+    # original columns untouched; all columns orthonormal
+    B = big[0].reshape(-1, neo1)
+    assert np.allclose(B[:, :neo0], basis[0].reshape(-1, neo0))
+    assert np.allclose(B.T @ B, np.eye(neo1), atol=1e-8)
+
+
+def test_vcor_symm_bogo():
+    from libdmet_preview_tpu.ops.vcor import VcorSymmBogo, VcorLocal
+    rot = [1, 3, 0, 2]
+    mir = [1, 0, 3, 2]
+    v = VcorSymmBogo(False, 4, [rot, mir])
+    rng = np.random.RandomState(0)
+    v.update(rng.randn(v.length()))
+    M = np.asarray(v.evaluate())
+    assert M.shape == (3, 4, 4)
+    P = np.eye(4)[rot]
+    for s in range(3):
+        assert np.allclose(P @ M[s] @ P.T, M[s])
+    assert np.allclose(M[2], M[2].T)
+    assert v.length() < VcorLocal(False, True, 4).length()
+    # gradient tensor matches evaluate linearity
+    g = np.asarray(v.gradient())
+    p = rng.randn(v.length())
+    v.update(p)
+    assert np.allclose(np.einsum("p, psij -> sij", p, g), v.evaluate())
+
+
+def test_mo_matching():
+    from libdmet_preview_tpu.lo.mo_match import (find_closest_mo,
+                                                 get_mo_ovlp, trans_mo)
+    rng = np.random.RandomState(5)
+    mo_ref = np.linalg.qr(rng.randn(8, 5))[0]
+    U = np.linalg.qr(rng.randn(5, 5))[0]
+    mo_new = mo_ref @ U
+    mo_rot, u = find_closest_mo(mo_new, mo_ref, return_rotmat=True)
+    assert np.allclose(mo_rot, mo_ref, atol=1e-9)
+    assert np.allclose(trans_mo(mo_new, u), mo_rot)
+    S = get_mo_ovlp(mo_rot, mo_ref)
+    assert np.allclose(S, np.eye(5), atol=1e-9)
+    # with a metric
+    A = rng.randn(8, 8)
+    ovlp = A @ A.T + 8 * np.eye(8)
+    L = np.linalg.cholesky(ovlp)
+    mo_ref2 = np.linalg.qr(rng.randn(8, 3))[0]
+    mo_ref2 = np.linalg.solve(L.T, mo_ref2)   # S-orthonormal
+    mo_new2 = mo_ref2 @ np.linalg.qr(rng.randn(3, 3))[0]
+    mo_rot2 = find_closest_mo(mo_new2, mo_ref2, ovlp=ovlp)
+    assert np.allclose(mo_rot2, mo_ref2, atol=1e-8)
+
+
+def test_get_symm_orb_c4v():
+    from libdmet_preview_tpu.utils.analysis import get_symm_orb
+    blocks = get_symm_orb([[1, 2, 3, 0], [1, 0, 3, 2]])
+    P = np.eye(4)[[1, 2, 3, 0]]
+    tot = 0
+    for B in blocks:
+        tot += B.shape[1]
+        proj = B @ B.T
+        assert np.allclose(P @ proj @ P.T, proj, atol=1e-8)
+        assert np.allclose(B.T @ B, np.eye(B.shape[1]), atol=1e-10)
+    assert tot == 4
+
+
+def test_proj_wannier_isolated_band():
+    """Two-orbital gapped chain: projecting the guess onto the lowest band
+    reproduces the band projector exactly."""
+    from libdmet_preview_tpu.lo.wannier import (proj_wannier,
+                                                get_C_ao_lo_wannier)
+    nk = 8
+    ks = 2 * np.pi * np.fft.fftfreq(nk)
+    C_mo = np.empty((nk, 2, 2), dtype=complex)
+    for i, k in enumerate(ks):
+        hk = np.array([[-2.0, 1.0 + 0.4 * np.exp(-1j * k)],
+                       [1.0 + 0.4 * np.exp(1j * k), 2.0]])
+        _, v = np.linalg.eigh(hk)
+        C_mo[i] = v
+    guess = np.array([[1.0], [0.0]])
+    C_lo = proj_wannier(C_mo, guess, band_idx=[0])
+    for i in range(nk):
+        band = np.outer(C_mo[i][:, 0], C_mo[i][:, 0].conj())
+        wan = np.outer(C_lo[i][:, 0], C_lo[i][:, 0].conj())
+        assert np.allclose(band, wan, atol=1e-10)
+        assert abs(np.linalg.norm(C_lo[i][:, 0]) - 1.0) < 1e-10
+        # fixed gauge: positive overlap with the guess
+        assert (C_lo[i][:, 0].conj() @ guess[:, 0]).real > 0
+    pair = get_C_ao_lo_wannier(None, C_mo, guess, band_idx=[0])
+    assert pair[0].shape == (1, nk, 2, 1)
+    # W90 external stub is gated
+    from libdmet_preview_tpu.lo.wannier import W90
+    with pytest.raises(ImportError):
+        W90()
+
+
+def test_cvx_frac_capped_simplex():
+    from libdmet_preview_tpu.ops.fit import cvx_frac
+    rng = np.random.RandomState(3)
+    A = rng.randn(6, 6)
+    A = A + A.T
+    _, C = np.linalg.eigh(A)
+    d0 = np.array([1.0, 0.8, 0.6, 0.4, 0.2, 0.0])
+    rho = C @ np.diag(d0) @ C.T
+    w = cvx_frac(C, rho, d0.sum())
+    assert np.allclose(np.sort(w), np.sort(d0), atol=1e-7)
+    # infeasible diag gets projected: trace + box respected
+    w2 = cvx_frac(C, 3.0 * rho, 3.0)
+    assert abs(w2.sum() - 3.0) < 1e-8
+    assert w2.min() >= -1e-12 and w2.max() <= 1 + 1e-12
