@@ -238,3 +238,65 @@ def test_musolver_save_load(tmp_path):
     assert ms2.history == ms.history
     pred = ms2.predict(0.97, 1.0)
     assert pred is not None and 0.0 < pred < 0.5
+
+
+def test_gso_abinitio_1shot_equals_slater_nib():
+    """Ab initio GSO-DMET (cholesky lattice, zero pairing) == restricted
+    Slater NIB DMET on the same H-ring system: the reference's cuprate
+    GSO workflow exactness check (eri_transform.get_emb_eri_gso +
+    HubbardGSO on ab initio lattices), with both paths driven from the
+    hcore mean field (gapped, vcor = 0)."""
+    import libdmet_preview_tpu.dmet.hubbard as sdmet
+    from libdmet_preview_tpu.dmet import hubbard_gso as gdmet
+    from libdmet_preview_tpu.models.abinitio import make_h_ring_lattice
+    from libdmet_preview_tpu.solvers import FCI
+
+    def build():
+        Lat, meta = make_h_ring_lattice(ncells=3, atoms_per_cell=2,
+                                        r_bond=1.8, basis="sto-6g")
+        Lat.use_hcore_as_emb_ham = True
+        return Lat, meta
+
+    # --- Slater NIB reference ---
+    Lat, meta = build()
+    nlo = meta["nlo"]
+    filling = meta["mole"].nelectron / (2.0 * meta["mole"].nao)
+    vcor = sdmet.VcorLocal(True, False, nlo)
+    vcor.update(np.zeros(vcor.length()))
+    rho, Mu = sdmet.RHartreeFock(Lat, vcor, filling, None)
+    ImpHam, H1e, basis = sdmet.ConstructImpHam(Lat, rho, vcor,
+                                               matching=False,
+                                               int_bath=False)
+    solver = FCI(restricted=True, tol=1e-12)
+    mu_solver = sdmet.MuSolver(adaptive=True)
+    solver_args = {"nelec": (Lat.ncore + Lat.nval) * 2}
+    last_dmu = 0.0
+    for _ in range(30):
+        rhoEmb, EnergyEmb, ImpHam, dmu = mu_solver(
+            Lat, filling, ImpHam, basis, solver, solver_args, step=0.4)
+        last_dmu += dmu
+        _, _, nelecImp = sdmet.transformResults(
+            rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat,
+            last_dmu=last_dmu, int_bath=False, solver=solver,
+            solver_args=solver_args)
+        if abs(nelecImp - 2 * filling) < 1e-8:
+            break
+    _, E_sl, n_sl = sdmet.transformResults(
+        rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat,
+        last_dmu=last_dmu, int_bath=False, solver=solver,
+        solver_args=solver_args)
+
+    # --- GSO path on the same lattice ---
+    Lat2, _ = build()
+    gham = gdmet.GSOHam(Lat2, use_hcore=True)
+    GRho, mu, res = gdmet.GHartreeFock(gham, filling, mu0=0.0)
+    gImpHam, _, gbasis = gdmet.ConstructImpHam(gham, GRho, mu)
+    gsolver = FCI(restricted=True, ghf=True, tol=1e-12)
+    rdm, E_emb, gImpHam_d, gdmu = gdmet.SolveImpHam_with_fitting(
+        gham, filling, gImpHam, gbasis, gsolver, thrnelec=1e-8)
+    _, E_gso, n_gso = gdmet.transformResults(rdm, E_emb, gbasis,
+                                             gImpHam_d, gham, mu,
+                                             last_dmu=gdmu)
+    assert abs(n_sl - 2 * filling) < 5e-6
+    assert abs(n_gso - 2 * filling) < 5e-6
+    assert abs(E_gso - E_sl) < 1e-5
