@@ -1,0 +1,90 @@
+"""
+Molecular quadrature grids and AO evaluation for the s-Gaussian engine
+(capability analog of the PySCF DFT grid machinery the reference's
+KS/DFT+DMET path relies on, /root/reference/libdmet/routine/pdft_helper.py
+consumers; built from scratch for ints/gto.py shells).
+
+Design: atom-centered grids -- Gauss-Legendre radial map r = R0 x/(1-x)
+times a Gauss-Legendre (cos theta) x uniform (phi) sphere product rule --
+with Becke fuzzy-cell partition weights.  The product sphere rule
+integrates spherical harmonics exactly up to the polynomial degree of the
+1D rules, which is ample for s-Gaussian densities; everything is
+validated against the analytic overlap matrix (see tests).
+"""
+
+import numpy as np
+
+BRAGG = {"H": 0.35, "He": 0.93}   # Bohr-ish radial scale per element
+
+
+def _sphere_rule(n_theta, n_phi):
+    """Product quadrature on the unit sphere: weights sum to 4*pi."""
+    mu, wmu = np.polynomial.legendre.leggauss(n_theta)
+    phi = 2.0 * np.pi * (np.arange(n_phi) + 0.5) / n_phi
+    wphi = 2.0 * np.pi / n_phi
+    st = np.sqrt(1.0 - mu ** 2)
+    pts = np.array([[s * np.cos(p), s * np.sin(p), m]
+                    for m, s, w in zip(mu, st, wmu) for p in phi])
+    wts = np.array([w * wphi for w in wmu for _ in phi])
+    return pts, wts
+
+
+def _radial_rule(n_rad, r0):
+    """Gauss-Legendre on x in (0, 1) mapped to r = r0 x / (1 - x)."""
+    x, w = np.polynomial.legendre.leggauss(n_rad)
+    x = 0.5 * (x + 1.0)
+    w = 0.5 * w
+    r = r0 * x / (1.0 - x)
+    dr = r0 / (1.0 - x) ** 2
+    return r, w * dr * r ** 2          # includes r^2 volume factor
+
+
+def _becke_weights(coords, centers, k=3):
+    """Becke fuzzy-cell weights of each grid point for each center."""
+    n = len(centers)
+    if n == 1:
+        return np.ones((len(coords), 1))
+    d = np.linalg.norm(coords[:, None, :] - centers[None, :, :], axis=-1)
+    R = np.linalg.norm(centers[:, None, :] - centers[None, :, :], axis=-1)
+    P = np.ones((len(coords), n))
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            mu = (d[:, i] - d[:, j]) / R[i, j]
+            f = mu
+            for _ in range(k):
+                f = 1.5 * f - 0.5 * f ** 3
+            P[:, i] *= 0.5 * (1.0 - f)
+    return P / P.sum(axis=1, keepdims=True)
+
+
+def becke_grid(mol, n_rad=50, n_theta=12, n_phi=24):
+    """Molecular integration grid: (coords (N, 3), weights (N,))."""
+    sph_pts, sph_wts = _sphere_rule(n_theta, n_phi)
+    centers = np.asarray(mol.coords)
+    coords, weights, owner = [], [], []
+    for a, (sym, xyz) in enumerate(mol.atoms):
+        r, wr = _radial_rule(n_rad, BRAGG.get(sym, 1.0) * 2.0)
+        pts = (r[:, None, None] * sph_pts[None, :, :]).reshape(-1, 3) + xyz
+        wts = (wr[:, None] * sph_wts[None, :]).reshape(-1)
+        coords.append(pts)
+        weights.append(wts)
+        owner.append(np.full(len(wts), a))
+    coords = np.concatenate(coords)
+    weights = np.concatenate(weights)
+    owner = np.concatenate(owner)
+    becke = _becke_weights(coords, centers)
+    weights = weights * becke[np.arange(len(coords)), owner]
+    return coords, weights
+
+
+def eval_ao(mol, coords):
+    """AO values on grid points: (nao, ngrid) for contracted s shells."""
+    coords = np.asarray(coords)
+    out = np.zeros((mol.nao, len(coords)))
+    for p, (cen, prims) in enumerate(mol.shells):
+        r2 = np.sum((coords - cen) ** 2, axis=1)
+        for alpha, coeff in prims:
+            out[p] += coeff * np.exp(-alpha * r2)
+    return out

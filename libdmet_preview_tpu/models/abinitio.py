@@ -211,3 +211,55 @@ def make_h_ring_lattice(ncells, atoms_per_cell=1, r_bond=1.8,
             "h_lo": h_lo, "fock_lo": fock_lo, "rdm1_lo": rdm1_lo,
             "nlo": nlo, "nval": nval_cell, "nvirt": nvirt_cell}
     return Lat, meta
+
+
+def attach_ks(Lat, meta, xc="lsda", hyb=0.0, n_rad=60, n_theta=12,
+              n_phi=24):
+    """Turn an H-ring HF lattice into a KS-DFT lattice for DFT-in-DMET
+    (reference pdft_helper.py:43-500 role): run molecular KS, replace the
+    lattice fock/rdm1 by the KS ones (LO stripes), and install the xc
+    double-counting evaluator consumed by ops/embham._emb_H1.
+
+    Returns the converged RKS object."""
+    from libdmet_preview_tpu.solvers.ksdft import RKS
+    from libdmet_preview_tpu.ints.grid import becke_grid, eval_ao
+    from libdmet_preview_tpu.ints.xc import eval_exc_vxc
+    import jax.numpy as jnp
+    import jax
+
+    mol = meta["mole"]
+    C = meta["C_ao_lo"]
+    nlo = meta["nlo"]
+    ncells = Lat.ncells
+    ks = RKS(mol, xc=xc, hyb=hyb, n_rad=n_rad, n_theta=n_theta,
+             n_phi=n_phi)
+    ks.kernel()
+    assert ks.converged
+
+    S = mol.intor_ovlp()
+    SC = S @ C
+    rdm1_lo = SC.T @ ks.dm @ SC                   # spin-traced total
+    fock_lo = C.T @ ks.fock @ C
+
+    def stripe(M):
+        return np.asarray([M[R * nlo:(R + 1) * nlo, :nlo]
+                           for R in range(ncells)])
+
+    Lat.fock_lo_R = stripe(fock_lo)
+    Lat.fock_lo_k = Lat._pairify(Lat.R2k(Lat.fock_lo_R))
+    Lat.rdm1_lo_R = stripe(rdm1_lo)[None]
+    Lat.rdm1_lo_k = Lat._pairify(Lat.R2k(Lat.rdm1_lo_R))
+    Lat.use_hcore_as_emb_ham = False
+
+    ao_g = ks.ao_g
+    wts = ks.grid[1]
+
+    def xc_dc(rho_lo_tot):
+        rho_ao = C @ np.asarray(rho_lo_tot) @ C.T
+        _, vxc_ao = eval_exc_vxc(rho_ao, ao_g, wts, restricted=True,
+                                 xc=xc)
+        return C.T @ vxc_ao @ C
+
+    Lat.xc_dc = xc_dc
+    Lat.xc_hyb = hyb
+    return ks

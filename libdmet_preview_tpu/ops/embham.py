@@ -133,6 +133,14 @@ def _get_veff_rhf(rdm1_tot, eri):
 
 
 @jax.jit
+def _get_vjk_rhf(rdm1_tot, eri):
+    """Separate (J, K) of the spin-traced density (hybrid-aware dc)."""
+    vj = jnp.einsum("ijkl, kl -> ij", eri, rdm1_tot)
+    vk = jnp.einsum("ilkj, kl -> ij", eri, rdm1_tot)
+    return vj, vk
+
+
+@jax.jit
 def _get_veff_uhf(rdm1, eri_aa, eri_bb, eri_ab):
     """Unrestricted veff; rdm1 (2, neo, neo), eri blocks in chemists'
     notation (ij|kl)."""
@@ -463,7 +471,26 @@ def _emb_H1(lattice, basis, vcor, H2_emb, int_bath=True, add_vcor=False,
     if int_bath:
         rdm1_emb = np.asarray(foldRho_k(lattice.rdm1_lo_k, basis_k))
         H1 = np.asarray(transform_h1(fock_k, basis_k))
-        JK_emb = np.asarray(get_veff(rdm1_emb, jnp.asarray(H2_emb)))
+        xc_dc = getattr(lattice, "xc_dc", None)
+        if xc_dc is not None:
+            # DFT-in-DMET double counting (reference slater.py:525-688
+            # vxc handling + pdft_helper roles): the lattice fock is a KS
+            # fock (hcore + J + vxc [+ hyb HF-x]); remove the mean field
+            # the embedded electrons generate for themselves -- Coulomb +
+            # hybrid HF exchange + the xc potential evaluated AT the
+            # folded density (exact HF-limit identity: hyb=1, vxc=0
+            # reproduces the standard interacting-bath branch)
+            hyb = float(getattr(lattice, "xc_hyb", 0.0))
+            log.eassert(spin == 1, "DFT-in-DMET dc: restricted path")
+            vj, vk = _get_vjk_rhf(jnp.asarray(rdm1_emb[0]),
+                                  jnp.asarray(H2_emb[0]))
+            JK_emb = np.asarray(vj - 0.5 * hyb * vk)[None]
+            B = basis[0].reshape(-1, basis.shape[-1])
+            rho_fold_lo = B @ rdm1_emb[0] @ B.T
+            vxc_lo = np.asarray(xc_dc(rho_fold_lo))
+            JK_emb = JK_emb + (B.T @ vxc_lo @ B)[None]
+        else:
+            JK_emb = np.asarray(get_veff(rdm1_emb, jnp.asarray(H2_emb)))
         H1 = H1 - JK_emb
         lattice.JK_core = H1 - hcore_emb
     else:
