@@ -8,3 +8,5 @@ from libdmet_preview_tpu.solvers.casci import CASCI, project_active_space
 from libdmet_preview_tpu.solvers.external import (
     ExternalFCIDUMPSolver, Block2Solver, SHCISolver, AFQMCSolver,
     DQMCSolver)
+from libdmet_preview_tpu.solvers.gw import get_vsig_emb
+from libdmet_preview_tpu.solvers.ksdft import RKS, UKS
