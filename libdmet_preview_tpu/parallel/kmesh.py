@@ -221,3 +221,33 @@ def transform_h1_sharded(mesh, H1_k, basis_k, axis=K_AXIS):
                    in_specs=(spec, spec, spec, spec), out_specs=P())
     return jax.jit(fn)(jnp.asarray(H1_k[0]), jnp.asarray(H1_k[1]),
                        jnp.asarray(basis_k[0]), jnp.asarray(basis_k[1]))
+
+
+# ----------------------------------------------------------------------
+# sharded CCSD residual (the reference's MPI-GCCSD, solver/mpicc.py:33-356
+# + mpicc_main.py: hand-sharded einsums over MPI ranks.  TPU-native form:
+# the residual is pure einsums, so scale-out is GSPMD -- annotate the
+# amplitude shardings over a mesh axis and let XLA insert the collectives)
+# ----------------------------------------------------------------------
+
+def ccsd_residual_sharded(mesh, t1, t2, h_so, W, nocc, axis=K_AXIS):
+    """CCSD (R1, R2) with t2/R2 sharded over the leading occupied index.
+
+    mesh: jax.sharding.Mesh with `axis`; nocc must be divisible by the
+    axis size.  h_so/W stay replicated (they are O(n^2)/O(n^4) one-time
+    inputs; shard W too for very large problems).  Returns (R1, R2) with
+    R2 sharded like t2."""
+    from functools import partial as _partial
+    from libdmet_preview_tpu.solvers.cc import _residual
+    NS = jax.sharding.NamedSharding
+    P = jax.sharding.PartitionSpec
+    repl = NS(mesh, P())
+    sh_i = NS(mesh, P(axis))
+    f = jax.jit(_partial(_residual, nocc=nocc),
+                in_shardings=(repl, sh_i, repl, repl),
+                out_shardings=(repl, sh_i))
+    t1 = jax.device_put(jnp.asarray(t1), repl)
+    t2 = jax.device_put(jnp.asarray(t2), sh_i)
+    h_so = jax.device_put(jnp.asarray(h_so), repl)
+    W = jax.device_put(jnp.asarray(W), repl)
+    return f(t1, t2, h_so, W)
