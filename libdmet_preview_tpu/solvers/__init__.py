@@ -1,7 +1,7 @@
 """Impurity solvers (reference facade analog: solver/impurity_solver.py)."""
 from libdmet_preview_tpu.solvers.fci import FCI
 from libdmet_preview_tpu.solvers.scf import SCF, SCFSolver
-from libdmet_preview_tpu.solvers.cc import (
+from libdmet_preview_tpu.solvers.cc import (LCCSD, LCCD,
     CCSD, CCD, MP2, BCCSD, TCCSD, RCCSD, UCCSD, GCCSD, UCCD, GCCD,
     UTCCSD, GTCCSD)
 from libdmet_preview_tpu.solvers.casci import CASCI, project_active_space

@@ -205,7 +205,9 @@ class _AmpDIIS(object):
 
 
 def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
-                      freeze_t1=False):
+                      freeze_t1=False, lambda_sweeps=None):
+    # lambda_sweeps is consumed by the ADJOINT solve (approximate-lambda
+    # variants); it does not affect the amplitude fixed point
     """Preconditioned fixed point t <- t + R/D with DIIS.
 
     freeze_t1=True solves CCD (singles pinned at zero)."""
@@ -234,12 +236,17 @@ def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
 
 
 def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
-                   diis_space=8, freeze_t1=False):
+                   diis_space=8, freeze_t1=False, lambda_sweeps=None):
     """Solve (dR/dt)^T lam = -(w1, w2): the lambda equations as an adjoint
     linear system.  Krylov (LGMRES) on the Jacobi-preconditioned operator,
     with vjp products of the residual as the matvec -- robust even when the
     preconditioned fixed point has spectral radius > 1 (strong
-    correlation)."""
+    correlation).
+
+    lambda_sweeps: if set, do that many Jacobi-preconditioned Richardson
+    sweeps instead of the exact Krylov solve -- the approximate-lambda CC
+    family (reference lgccsd.py / lgccd.py role): lambda correct to the
+    given order in the fluctuation, RDMs cheaper and O(t^2)-approximate."""
     from scipy.sparse.linalg import LinearOperator, gmres
     D1, D2 = _denominators(h_so, W, nocc)
     s1, s2 = w1.shape, w2.shape
@@ -275,6 +282,17 @@ def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
 
     A = LinearOperator((ntot, ntot), matvec=mv)
     b = -np.concatenate([np.asarray(w1).ravel(), np.asarray(w2).ravel()])
+    if lambda_sweeps is not None:
+        # approximate lambda: truncated Richardson on the preconditioned
+        # system.  The Jacobi-preconditioned adjoint is ~ -I (the residual
+        # Jacobian diagonal is -D), so relax with omega = -1 and start at
+        # -b (1 sweep == linearized lambda)
+        x = -b.copy()
+        for _ in range(int(lambda_sweeps) - 1):
+            x = x - (b - A.matvec(x))
+        l1 = jnp.asarray(x[:n1].reshape(s1)) / D1
+        l2 = jnp.asarray(x[n1:].reshape(s2)) / D2
+        return l1, l2
     x, info = gmres(A, b, rtol=max(tol, 1e-12), atol=0.0,
                     restart=min(ntot, 400), maxiter=5)
     res_norm = float(np.linalg.norm(A.matvec(x) - b))
@@ -501,11 +519,15 @@ class CCSD(object):
         self._mo = None
         self.optimized = False
 
+    lambda_sweeps = None
+
     def _opts(self):
         opts = (("tol", self.conv_tol), ("max_cycle", self.max_cycle),
                 ("diis_space", self.diis_space))
         if self.freeze_t1:
             opts = opts + (("freeze_t1", True),)
+        if self.lambda_sweeps is not None:
+            opts = opts + (("lambda_sweeps", int(self.lambda_sweeps)),)
         return opts
 
     # -- integral unpacking ------------------------------------------
@@ -617,6 +639,24 @@ class CCD(CCSD):
 
 # spin-flavored aliases (reference class names)
 RCCSD = UCCSD = GCCSD = CCSD
+
+
+class LCCSD(CCSD):
+    """Approximate-lambda CCSD (reference lgccsd.py role): amplitudes
+    are full CCSD; the lambda (adjoint) solve is truncated to
+    `lambda_sweeps` preconditioned Richardson sweeps, making the response
+    RDMs cheaper and approximate to O(t^2)."""
+
+    lambda_sweeps = 2
+
+    def __init__(self, *args, lambda_sweeps=2, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.lambda_sweeps = lambda_sweeps
+
+
+class LCCD(LCCSD):
+    """Approximate-lambda CCD (reference lgccd.py role)."""
+    freeze_t1 = True
 UCCD = GCCD = CCD
 
 

@@ -193,3 +193,22 @@ def test_tccsd_beats_ccsd_strong_coupling():
     tcc = TCCSD(ncas=4, nelecas=4, restricted=True, tol=1e-9)
     _, E_tcc = tcc.run(Ham, nelec=6)
     assert abs(E_tcc - E_fci) < abs(E_cc - E_fci)
+
+
+def test_lambda_approx_ccsd():
+    """Approximate-lambda CCSD (reference lgccsd role): the ENERGY is
+    exactly CCSD (same amplitudes); the response rdm1 converges
+    geometrically to the exact-adjoint one with the sweep count."""
+    from libdmet_preview_tpu.solvers import CCSD
+    from libdmet_preview_tpu.solvers.cc import LCCSD
+    Ham = random_integral(4, restricted=True, seed=7)
+    cc = CCSD(restricted=True, tol=1e-11)
+    rdm_exact, E_exact = cc.run(Ham, nelec=4)
+    errs = []
+    for k in (1, 4):
+        lcc = LCCSD(restricted=True, tol=1e-11, lambda_sweeps=k)
+        rdm_k, E_k = lcc.run(Ham, nelec=4)
+        assert abs(E_k - E_exact) < 1e-9
+        errs.append(np.abs(np.asarray(rdm_k) - np.asarray(rdm_exact)).max())
+    assert errs[0] < 1e-3
+    assert errs[1] < errs[0] * 0.2
