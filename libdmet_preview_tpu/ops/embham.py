@@ -592,3 +592,40 @@ def add_bath(lattice, basis, ew, ev, nocc, nfrac, tol_bath=1e-6):
     basis_out = np.asarray([b[:, :nmax] for b in out]).reshape(
         spin, ncells, nlo, nmax)
     return basis_out[0] if squeeze else basis_out
+
+
+def get_rdm2_glob_R(basis, lattice, rdm2_emb):
+    """Global lattice rdm2 stripe from the embedded rdm2 by 4-anchor
+    democratic partitioning (reference slater_helper.py:311-363
+    get_rdm2_glob_R):
+
+      G[J,K,L]_{ijkl} = 1/4 sum_{anchor in (0,J,K,L)}
+          (B_{0-a} x B_{J-a} x B_{K-a} x B_{L-a}) . rdm2_emb
+
+    basis: (spin, ncells, nlo, neo) or (ncells, nlo, neo) (restricted /
+    one species); rdm2_emb: (neo,)*4 chemist.  Returns
+    (ncells, ncells, ncells, nlo, nlo, nlo, nlo)."""
+    basis = np.asarray(basis)
+    if basis.ndim == 4:
+        basis = basis[0]
+    ncells, nlo, neo = basis.shape
+    r2 = jnp.asarray(rdm2_emb)
+    b = jnp.asarray(basis)
+
+    @jax.jit
+    def term(bI, bJ, bK, bL):
+        return jnp.einsum("pqrs, ip, jq, kr, ls -> ijkl", r2,
+                          bI, bJ, bK, bL, optimize=True)
+
+    out = np.zeros((ncells,) * 3 + (nlo,) * 4)
+    for J in range(ncells):
+        for K in range(ncells):
+            for L in range(ncells):
+                acc = 0.0
+                for a in (0, J, K, L):
+                    acc = acc + term(b[lattice.subtract(0, a)],
+                                     b[lattice.subtract(J, a)],
+                                     b[lattice.subtract(K, a)],
+                                     b[lattice.subtract(L, a)])
+                out[J, K, L] = 0.25 * np.asarray(acc)
+    return out

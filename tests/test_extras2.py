@@ -143,3 +143,47 @@ def test_cvx_frac_capped_simplex():
     w2 = cvx_frac(C, 3.0 * rho, 3.0)
     assert abs(w2.sum() - 3.0) < 1e-8
     assert w2.min() >= -1e-12 and w2.max() <= 1 + 1e-12
+
+
+def test_rdm2_glob_democratic():
+    """Global rdm2 by 4-anchor democratic partitioning (reference
+    slater_helper.py:311): the all-impurity block (0,0,0) is EXACT in the
+    non-interacting limit (determinant factorization), and the chemist
+    (ij)<->(kl) symmetry holds."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.ops import embham
+    from libdmet_preview_tpu.solvers.scf import SCFSolver
+    from libdmet_preview_tpu.models.hamiltonian import HubbardHamiltonian
+
+    Lat = dmet.ChainLattice(12, 2)
+    Ham = HubbardHamiltonian(Lat, 0.0)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    vcor = dmet.VcorLocal(True, False, 2)
+    vcor.update(np.zeros(vcor.length()))
+    rho, mu = dmet.RHartreeFock(Lat, vcor, 0.25, 0.0)
+    ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                              matching=False,
+                                              int_bath=False)
+    solver = SCFSolver(restricted=True, tol=1e-12)
+    ne = (Lat.ncore + Lat.nval) * 2
+    rhoEmb, E = solver.run(ImpHam, nelec=ne)
+    rdm2 = np.asarray(solver.make_rdm2())[0]
+    G = embham.get_rdm2_glob_R(basis, Lat, rdm2)
+    rg = np.asarray(embham.get_rho_glob_R(basis, Lat,
+                                          np.asarray(rhoEmb)))[0] * 2.0
+    det000 = np.einsum("ij, kl -> ijkl", rg[0], rg[0]) \
+        - 0.5 * np.einsum("il, kj -> ijkl", rg[0], rg[0])
+    assert np.abs(G[0, 0, 0] - det000).max() < 1e-8
+    # chemist (ij) <-> (kl) symmetry of the same-cell block
+    assert np.abs(G[0, 0, 0] - G[0, 0, 0].transpose(2, 3, 0, 1)).max() \
+        < 1e-10
+    # single-cell lattice: democratic == plain transform == rdm2_emb
+    Lat1 = dmet.ChainLattice(2, 2)
+    Ham1 = HubbardHamiltonian(Lat1, 1.0)
+    Lat1.set_Ham(Ham1, use_hcore_as_emb_ham=True)
+    eye_basis = np.eye(2).reshape(1, 1, 2, 2)
+    r2 = np.random.RandomState(0).randn(2, 2, 2, 2)
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    r2 = r2 + r2.transpose(2, 3, 0, 1)
+    G1 = embham.get_rdm2_glob_R(eye_basis, Lat1, r2)
+    assert np.abs(G1[0, 0, 0] - r2).max() < 1e-12
