@@ -193,6 +193,9 @@ def timeit(fn, n=5):
 
 def main():
     inputs = make_inputs()
+    # fast eigh path: f32 seed + f64 masked refinement (validated to
+    # machine precision against the direct eigh in tests/test_units.py)
+    zlinalg.EIGH_REFINE = 2
     jitted = jax.jit(dmet_iteration)
     dev_inputs = jax.device_put(tuple(jnp.asarray(x) for x in inputs))
 

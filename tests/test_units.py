@@ -493,3 +493,45 @@ def test_zrho_fermi_weighted_tr_mesh():
     eps = 1e-5
     g_fd = (float(obj(eps)) - float(obj(-eps))) / (2 * eps)
     assert abs(g_ad - g_fd) < 1e-6 * max(1.0, abs(g_fd))
+
+
+def test_zeigh_refined_matches_direct():
+    """f32-seeded refined eigh (the bench fast path): eigenvalues, matrix
+    functions, and zrho_fermi_w gradients agree with the direct f64 eigh
+    to near machine precision (incl. the exactly-doubled spectrum)."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops import zlinalg
+    rng = np.random.RandomState(0)
+    nk, n = 14, 16
+    hre = rng.randn(nk, n, n) * 0.2
+    hre = 0.5 * (hre + hre.transpose(0, 2, 1))
+    him = rng.randn(nk, n, n) * 0.1
+    him = 0.5 * (him - him.transpose(0, 2, 1))
+    w0, V0 = zlinalg.zeigh(jnp.asarray(hre), jnp.asarray(him))
+    w1, V1 = zlinalg.zeigh_refined(jnp.asarray(hre), jnp.asarray(him),
+                                   iters=2)
+    assert np.abs(np.sort(np.asarray(w1), axis=-1)
+                  - np.asarray(w0)).max() < 1e-12
+    occ0 = zlinalg._fermi(w0, 0.1, 1000.0)
+    occ1 = zlinalg._fermi(w1, 0.1, 1000.0)
+    r0 = zlinalg.zfunc_from_eig(V0, occ0)
+    r1 = zlinalg.zfunc_from_eig(V1, occ1)
+    for i in (0, 1):
+        assert np.abs(np.asarray(r0[i]) - np.asarray(r1[i])).max() < 1e-12
+    # gradients through the Fermi-density op agree between the paths
+    wk = jnp.asarray([1.0] + [2.0] * (nk - 1))
+
+    def loss(a):
+        rr, ri, mu = zlinalg.zrho_fermi_w(a, jnp.asarray(him), 200.0,
+                                          1000.0, wk)
+        return jnp.sum(rr ** 2) + jnp.sum(ri ** 2)
+
+    g0 = np.asarray(jax.grad(loss)(jnp.asarray(hre)))
+    old = zlinalg.EIGH_REFINE
+    try:
+        zlinalg.EIGH_REFINE = 2
+        g1 = np.asarray(jax.grad(loss)(jnp.asarray(hre)))
+    finally:
+        zlinalg.EIGH_REFINE = old
+    assert np.abs(g0 - g1).max() < 1e-9
