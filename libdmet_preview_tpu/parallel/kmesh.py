@@ -251,3 +251,69 @@ def ccsd_residual_sharded(mesh, t1, t2, h_so, W, nocc, axis=K_AXIS):
     h_so = jax.device_put(jnp.asarray(h_so), repl)
     W = jax.device_put(jnp.asarray(W), repl)
     return f(t1, t2, h_so, W)
+
+
+# ----------------------------------------------------------------------
+# q-sharded k-resolved GDF embedding-ERI transform (the reference's MPI
+# driver eri_transform_mpi.py:28-394: @mpi.parallel_call over the kL IBZ
+# loop with static workload by time-reversal weight + allreduce.  Here:
+# pad the per-transfer factors to one stacked array, shard the transfer
+# axis over the mesh, psum the ERI)
+# ----------------------------------------------------------------------
+
+def _eri_gdf_shard(F_re, F_im, Cq_re, Cq_im, C_re, C_im, w, axis):
+    """Local shard of momentum transfers: each leading entry carries its
+    own rolled basis and weight (zero-weight entries are padding)."""
+    from libdmet_preview_tpu.ops.eri_transform import _cplx_einsum
+    Cc = (C_re, -C_im)
+    Cq = (Cq_re, Cq_im)
+    G = _cplx_einsum("qkpax, kpi, qkaj -> qxij", (F_re, F_im), Cc, Cq)
+    H = _cplx_einsum("qksrx, qkrm, ksl -> qxml", (F_re, F_im), Cq, Cc)
+    eri = jnp.einsum("q, qxij, qxkl -> ijkl", w, G[0], H[0],
+                     optimize=True) \
+        + jnp.einsum("q, qxij, qxkl -> ijkl", w, G[1], H[1],
+                     optimize=True)
+    return lax.psum(eri, axis)
+
+
+def get_emb_eri_gdf_sharded(mesh, factors, basis_k, ncells, nlo,
+                            axis="aux", tr_symm=False):
+    """Sharded ops.eri_transform.get_emb_eri_gdf: momentum transfers are
+    distributed over the mesh axis (padded to a multiple of its size with
+    zero-weight entries -- the reference's static workload assignment)."""
+    from libdmet_preview_tpu.ops.eri_transform import get_emb_eri_gdf  # noqa: F401 (serial oracle)
+    C_re = np.asarray(basis_k[0][0])
+    C_im = np.asarray(basis_k[1][0])
+    if tr_symm:
+        items = [(q, f, 2.0 if (ncells - q) % ncells != q else 1.0)
+                 for q, f in factors.items()
+                 if q <= (ncells - q) % ncells]
+    else:
+        items = [(q, f, 1.0) for q, f in factors.items()]
+    nax = mesh.devices.size
+    naux_max = max(f[0].shape[-1] for _, f, _ in items)
+    npad = (-len(items)) % nax
+    nq = len(items) + npad
+    F_re = np.zeros((nq, ncells, nlo, nlo, naux_max))
+    F_im = np.zeros_like(F_re)
+    Cq_re = np.zeros((nq,) + C_re.shape)
+    Cq_im = np.zeros_like(Cq_re)
+    w = np.zeros(nq)
+    for i, (q, (fr, fi), wi) in enumerate(items):
+        F_re[i, ..., :fr.shape[-1]] = fr
+        F_im[i, ..., :fi.shape[-1]] = fi
+        Cq_re[i] = np.roll(C_re, -q, axis=0)
+        Cq_im[i] = np.roll(C_im, -q, axis=0)
+        w[i] = wi
+    for i in range(len(items), nq):
+        Cq_re[i] = C_re       # benign padding (weight 0)
+        Cq_im[i] = C_im
+    fn = shard_map(partial(_eri_gdf_shard, axis=axis), mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis), P(axis),
+                             P(None, None), P(None, None), P(axis)),
+                   out_specs=P())
+    eri = jax.jit(fn)(jnp.asarray(F_re), jnp.asarray(F_im),
+                      jnp.asarray(Cq_re), jnp.asarray(Cq_im),
+                      jnp.asarray(C_re), jnp.asarray(C_im),
+                      jnp.asarray(w))
+    return np.asarray(eri)[None] / ncells ** 2

@@ -120,3 +120,28 @@ def test_ccsd_residual_sharded():
     # R2 is genuinely sharded over the mesh axis
     shard_shapes = {s.data.shape for s in R2.addressable_shards}
     assert shard_shapes == {(nocc // 8, nocc, nvir, nvir)}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_gdf_sharded_matches_serial():
+    """q-sharded GDF embedding-ERI transform == serial (the reference's
+    eri_transform_mpi allreduce driver, as a shard_map + psum)."""
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.parallel.kmesh import (
+        get_emb_eri_gdf_sharded, make_mesh)
+    from libdmet_preview_tpu.ops.eri_transform import (make_gdf_factors,
+                                                       get_emb_eri_gdf)
+    from libdmet_preview_tpu.models.abinitio import make_h_ring_lattice
+    Lat, meta = make_h_ring_lattice(ncells=3, atoms_per_cell=2,
+                                    r_bond=1.8, basis="sto-6g")
+    nc, nlo = Lat.ncells, Lat.nscsites
+    rng = np.random.RandomState(4)
+    basis = rng.randn(1, nc, nlo, 4)
+    basis_k = Lat.R2k_basis(basis)
+    factors = make_gdf_factors(meta["eri_lo"], nc, nlo)
+    mesh = make_mesh(8, axis="aux")
+    for tr in (False, True):
+        g_serial = get_emb_eri_gdf(factors, basis_k, nc, nlo, tr_symm=tr)
+        g_shard = get_emb_eri_gdf_sharded(mesh, factors, basis_k, nc, nlo,
+                                          tr_symm=tr)
+        assert np.max(np.abs(g_shard - g_serial)) < 1e-11
