@@ -124,3 +124,88 @@ def DQMCSolver(executable="DQMC", mpirun="mpirun", nproc=1, **kwargs):
         [executable, "{workdir}/dqmc.json"],
         energy_pattern=r"[Ee]nergy[:=\s]+([-\d.eE+]+)\s*\+/-",
         mpirun=mpirun, nproc=nproc, **kwargs)
+
+
+# ----------------------------------------------------------------------
+# solver-specific Hamiltonian dumps (reference solver/afqmc.py:11-120
+# dumpH1/dumpH2 text format and solver/dqmc.py:30-180 Cholesky h5 dump
+# capabilities; formats re-designed, same information content)
+# ----------------------------------------------------------------------
+
+def dump_afqmc_ham(filename, Ham, eta=1e-12):
+    """Sparse text dump of an (unrestricted Hubbard-type) embedding
+    Hamiltonian for an external AFQMC code: per-spin nonzero hoppings +
+    per-site Hubbard U diagonal.  Returns the on-site U vector."""
+    H1 = np.asarray(Ham.H1["cd"])
+    if H1.shape[0] == 1:
+        H1 = np.concatenate([H1, H1])
+    n = Ham.norb
+    H2 = np.asarray(Ham.H2["ccdd"])
+    g_ab = H2[2] if H2.shape[0] == 3 else H2[0]
+    U = np.array([g_ab[i, i, i, i] for i in range(n)])
+    with open(filename, "w") as f:
+        f.write("norb %d\n" % n)
+        for s in range(2):
+            nz = [(i, j, H1[s, i, j]) for i in range(n) for j in range(n)
+                  if abs(H1[s, i, j]) > eta]
+            f.write("h1 spin %d nnz %d\n" % (s, len(nz)))
+            for i, j, v in nz:
+                f.write("%5d %5d %s\n" % (i, j, repr(float(v))))
+        f.write("hubbard_u %d\n" % n)
+        for i in range(n):
+            f.write("%5d %s\n" % (i, repr(float(U[i]))))
+        f.write("h0 %s\n" % repr(float(Ham.H0)))
+    return U
+
+
+def read_afqmc_ham(filename):
+    """Read back a dump_afqmc_ham file: (H1 (2, n, n), U (n,), H0)."""
+    with open(filename) as f:
+        tok = f.readline().split()
+        n = int(tok[1])
+        H1 = np.zeros((2, n, n))
+        for s in range(2):
+            nnz = int(f.readline().split()[-1])
+            for _ in range(nnz):
+                i, j, v = f.readline().split()
+                H1[s, int(i), int(j)] = float(v)
+        nu = int(f.readline().split()[-1])
+        U = np.zeros(nu)
+        for _ in range(nu):
+            i, v = f.readline().split()
+            U[int(i)] = float(v)
+        H0 = float(f.readline().split()[-1])
+    return H1, U, H0
+
+
+def dump_dqmc_cholesky(filename, Ham, tol=1e-9):
+    """HDF5 dump of the embedding Hamiltonian with Cholesky-decomposed
+    two-body integrals (reference solver/dqmc.py:30-180 contract for
+    Sharma's DQMC): hcore per spin, factors L with eri ~= sum_x L_x (x)
+    L_x, core energy, sizes.  Returns the rank."""
+    import h5py
+    from libdmet_preview_tpu.ops.eri_transform import cholesky_eri
+    from libdmet_preview_tpu.models.integral import restore_eri
+    n = Ham.norb
+    H1 = np.asarray(Ham.H1["cd"])
+    if H1.shape[0] == 1:
+        H1 = np.concatenate([H1, H1])
+    g = restore_eri(np.asarray(Ham.H2["ccdd"][0]), n, 1)
+    L = cholesky_eri(g, tol=tol)
+    with h5py.File(filename, "w") as f:
+        f["hcore_a"] = H1[0]
+        f["hcore_b"] = H1[1]
+        f["chol"] = L.reshape(L.shape[0], -1)
+        f["e0"] = np.asarray(float(Ham.H0))
+        f["norb"] = np.asarray(n)
+        f["nchol"] = np.asarray(L.shape[0])
+    return L.shape[0]
+
+
+def read_dqmc_cholesky(filename):
+    import h5py
+    with h5py.File(filename, "r") as f:
+        n = int(f["norb"][()])
+        L = f["chol"][()].reshape(-1, n, n)
+        return (np.asarray([f["hcore_a"][()], f["hcore_b"][()]]), L,
+                float(f["e0"][()]))

@@ -104,3 +104,29 @@ def test_project_active_space():
     from libdmet_preview_tpu.solvers.scf import SCFSolver
     _, E_hf = SCFSolver(restricted=True).run(Ham, nelec=4)
     assert E_fci - 1e-9 <= E_small <= E_hf + 1e-9
+
+
+def test_afqmc_dqmc_dumps(tmp_path):
+    """Solver-specific Hamiltonian dumps (reference afqmc.py dumpH1/H2,
+    dqmc.py Cholesky h5): roundtrip and factorization exactness."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cc import hubbard_integral
+    from libdmet_preview_tpu.solvers.external import (
+        dump_afqmc_ham, read_afqmc_ham, dump_dqmc_cholesky,
+        read_dqmc_cholesky)
+    Ham = hubbard_integral(4, U=4.0, restricted=True)
+    p = tmp_path / "afqmc.txt"
+    U = dump_afqmc_ham(str(p), Ham)
+    H1, U2, H0 = read_afqmc_ham(str(p))
+    assert np.allclose(U2, 4.0) and np.allclose(U, U2)
+    assert np.allclose(H1[0], np.asarray(Ham.H1["cd"][0]))
+    assert H0 == float(Ham.H0)
+    ph5 = tmp_path / "dqmc.h5"
+    rank = dump_dqmc_cholesky(str(ph5), Ham, tol=1e-12)
+    h1, L, e0 = read_dqmc_cholesky(str(ph5))
+    from libdmet_preview_tpu.models.integral import restore_eri
+    g = restore_eri(np.asarray(Ham.H2["ccdd"][0]), 4, 1)
+    g_rec = np.einsum("xpq, xrs -> pqrs", L, L)
+    assert np.abs(g_rec - g).max() < 1e-10
+    assert rank == L.shape[0]
