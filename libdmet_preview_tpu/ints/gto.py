@@ -149,7 +149,14 @@ class Mole(object):
         return self.intor_kin() + self.intor_nuc()
 
     def intor_eri(self):
-        """Full (nao,)*4 chemist ERI tensor (s-only, 8-fold symmetric)."""
+        """Full (nao,)*4 chemist ERI tensor (s-only, 8-fold symmetric).
+
+        Uses the native C++ core (ints/native.py) when available; the
+        NumPy loop below is the validated fallback."""
+        from libdmet_preview_tpu.ints import native
+        out = native.eri_s_shells(self.shells)
+        if out is not None:
+            return out
         exps, cofs, cens = self._pairs()
         nao = self.nao
         eri = np.zeros((nao,) * 4)

@@ -1,0 +1,88 @@
+"""
+Lazy build + ctypes binding of the native integral core (_gto_core.cpp).
+
+The reference leans on PySCF's C libcgto for AO integrals (SURVEY 2.8);
+this framework owns that capability: the O(nao^4) s-shell ERI loop runs
+in C++ (built once with g++ into the package directory), with the pure
+NumPy implementation in ints/gto.py as the validated fallback.  pybind11
+is not available in this image, so the binding is a plain C ABI through
+ctypes.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from libdmet_preview_tpu.utils import logger as log
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "_gto_core.cpp")
+_SO = os.path.join(_HERE, "_gto_core.so")
+_LIB = None
+_TRIED = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # compiler missing / sandboxed build dir
+        log.warn("native integral core build failed (%s); "
+                 "using the NumPy path", e)
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None (NumPy fallback)."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("LIBDMET_TPU_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO) or \
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        log.warn("native integral core load failed (%s)", e)
+        return None
+    lib.eri_s_shells.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    lib.eri_s_shells.restype = None
+    _LIB = lib
+    return _LIB
+
+
+def eri_s_shells(shells):
+    """Native ERI for a list of contracted s shells
+    [(center_xyz, [(exp, coeff), ...]), ...]; returns (nao,)*4 or None if
+    the native core is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nao = len(shells)
+    nprim = np.asarray([len(prims) for _, prims in shells], dtype=np.int64)
+    exps = np.ascontiguousarray(
+        np.concatenate([[a for a, _ in prims] for _, prims in shells]),
+        dtype=np.float64)
+    cofs = np.ascontiguousarray(
+        np.concatenate([[c for _, c in prims] for _, prims in shells]),
+        dtype=np.float64)
+    cens = np.ascontiguousarray(
+        np.asarray([xyz for xyz, _ in shells], dtype=np.float64))
+    out = np.zeros((nao,) * 4)
+    lib.eri_s_shells(nao, nprim, exps, cofs, cens.reshape(-1),
+                     out.reshape(-1))
+    return out

@@ -295,15 +295,21 @@ def test_csc_hf_fixed_point(hring6):
     rho_latt = np.asarray(Lat.rdm1_lo_R)   # total (spin-traced)
     h = np.asarray(Lat.getH1(kspace=False))
     E1_direct = float(np.einsum("Rpq, Rpq ->", h, rho_latt[0]))
-    assert abs(E1_glob - E1_direct) < 1e-7
+    # precision limited by the SCF fixed points (molecular HF 1e-12,
+    # embedded HF 1e-11 on E -> ~1e-6 on the density), not the transform
+    assert abs(E1_glob - E1_direct) < 5e-6
 
     # CSC fixed point: the rebuilt fock equals the converged lattice fock
     fock_before = np.array(Lat.fock_lo_R, copy=True)
+    rdm1_before = np.array(Lat.rdm1_lo_R, copy=True)
     dfock = embham.update_lattice_csc(Lat, rhoEmb, basis)
     assert dfock < 1e-6
-    # restore state for other tests sharing the fixture
+    # restore state for other tests sharing the fixture (the CSC update
+    # also swaps in the democratic global rdm)
     Lat.fock_lo_R = fock_before
     Lat.fock_lo_k = Lat._pairify(Lat.R2k(fock_before))
+    Lat.rdm1_lo_R = rdm1_before
+    Lat.rdm1_lo_k = Lat._pairify(Lat.R2k(rdm1_before))
 
 
 def test_gso_eri_chol_vs_brute_force():
@@ -426,3 +432,26 @@ def test_csc_full_loop_fci():
     E_cell = E_hist[-1] * nlo - float(ImpHam.H0) \
         + meta["mole"].energy_nuc() / 3.0
     assert E_cell < meta["E_hf"] / 3.0 - 1e-6
+
+
+def test_native_eri_core_matches_numpy():
+    """The C++ integral core (ints/_gto_core.cpp via ctypes) reproduces
+    the validated NumPy s-shell ERI loop to machine precision (the
+    framework's ownership of the reference's PySCF-C libcgto role,
+    SURVEY 2.8)."""
+    import libdmet_preview_tpu.ints.native as native
+    from libdmet_preview_tpu.ints.gto import Mole
+    mol = Mole([("H", (0, 0, 0)), ("H", (0, 0, 1.4)),
+                ("H", (1.2, 0.5, 0))], basis="sto-6g")
+    out = native.eri_s_shells(mol.shells)
+    if out is None:
+        pytest.skip("native core unavailable (no g++)")
+    import os
+    os.environ["LIBDMET_TPU_NO_NATIVE"] = "1"
+    try:
+        native._LIB, native._TRIED = None, True
+        ref = mol.intor_eri()
+    finally:
+        del os.environ["LIBDMET_TPU_NO_NATIVE"]
+        native._TRIED = False
+    assert np.abs(out - ref).max() < 1e-13
