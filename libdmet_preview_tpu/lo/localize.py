@@ -84,3 +84,26 @@ def localize_er(C_occ, eri, **kwargs):
     """Edmiston-Ruedenberg localization.  Returns (C_loc, metric)."""
     return _maximize_rotation(np.asarray(C_occ),
                               lambda C: er_metric(C, eri), **kwargs)
+
+
+def ibo_metric(C, C_iao, S, atom_slices, power=4):
+    """IBO metric (reference ibo.py:39-300): PM charges computed from
+    IAO populations, quartic power (Knizia's IBO choice).
+
+    C: (nao, nmo) occupied MOs; C_iao: (nao, niao) S-orthonormal IAOs;
+    atom_slices: list of (start, stop) IAO index ranges per atom."""
+    proj = jnp.einsum("pm, pq, qi -> mi", jnp.asarray(C_iao),
+                      jnp.asarray(S), C, optimize=True)   # <iao_m | i>
+    val = 0.0
+    for (a, b) in atom_slices:
+        Q = jnp.sum(proj[a:b] ** 2, axis=0)               # q_A(i)
+        val = val + jnp.sum(Q ** power)
+    return val
+
+
+def localize_ibo(C_occ, C_iao, S, atom_slices, **kwargs):
+    """Intrinsic bond orbitals: maximize the quartic IAO-charge metric
+    over orthogonal rotations of the occupied space."""
+    return _maximize_rotation(
+        np.asarray(C_occ),
+        lambda C: ibo_metric(C, C_iao, S, atom_slices), **kwargs)

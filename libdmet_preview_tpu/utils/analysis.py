@@ -135,3 +135,19 @@ def get_symm_orb(perms, nsites=None, tol=1e-9, seed=11):
             blocks.append(v[:, start:i])
             start = i
     return blocks
+
+
+def mo_composition(C_lo_mo, groups):
+    """Per-MO composition over LO groups (reference analyze.py:354 k-MO
+    composition analysis): fraction of each (orthonormal-LO-basis) MO on
+    each group of LO indices.
+
+    C_lo_mo: (..., nlo, nmo) real, or a (re, im) pair for k orbitals;
+    groups: {name: [lo indices]}.  Returns {name: (..., nmo) weights};
+    weights over a complete partition sum to 1 per MO."""
+    if isinstance(C_lo_mo, (tuple, list)):
+        w2 = np.asarray(C_lo_mo[0]) ** 2 + np.asarray(C_lo_mo[1]) ** 2
+    else:
+        w2 = np.asarray(C_lo_mo) ** 2
+    return {name: w2[..., idx, :].sum(axis=-2)
+            for name, idx in groups.items()}

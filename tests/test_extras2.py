@@ -187,3 +187,50 @@ def test_rdm2_glob_democratic():
     r2 = r2 + r2.transpose(2, 3, 0, 1)
     G1 = embham.get_rdm2_glob_R(eye_basis, Lat1, r2)
     assert np.abs(G1[0, 0, 0] - r2).max() < 1e-12
+
+
+def test_ibo_localization():
+    """IBO (PM-with-IAO-charges, quartic): on an H4 chain the localized
+    occupied orbitals concentrate on bonds -- the max atomic IAO charge
+    per orbital increases and the orbitals stay orthonormal."""
+    import jax
+    from libdmet_preview_tpu.ints.gto import Mole
+    from libdmet_preview_tpu.lo.iao import get_iao
+    from libdmet_preview_tpu.lo.localize import localize_ibo, ibo_metric
+    from libdmet_preview_tpu.solvers.scf import SCF
+    from libdmet_preview_tpu.models.integral import Integral
+    mol = Mole([("H", (0, 0, 0)), ("H", (0, 0, 1.6)),
+                ("H", (0, 0, 3.6)), ("H", (0, 0, 5.2))], basis="sto-6g")
+    S = mol.intor_ovlp()
+    Ham = Integral(mol.nao, True, False, mol.energy_nuc(),
+                   {"cd": mol.intor_hcore()[None]},
+                   {"ccdd": mol.intor_eri()[None]}, ovlp=S)
+    myscf = SCF()
+    myscf.set_system(4, 0, False, True)
+    myscf.set_integral(Ham)
+    myscf.HF(tol=1e-11)
+    C_occ = myscf.mo_coeff[0][:, :2]
+    C_iao = get_iao(S, S, S, C_occ)     # minimal basis: IAO ref == basis
+    slices = [(i, i + 1) for i in range(4)]
+    m0 = float(ibo_metric(C_occ, C_iao, S, slices))
+    C_loc, m1 = localize_ibo(C_occ, C_iao, S, slices)
+    assert m1 >= m0 - 1e-10
+    assert np.allclose(C_loc.T @ S @ C_loc, np.eye(2), atol=1e-8)
+    # localized: each orbital sits mostly on one bond (2 atoms)
+    proj = C_iao.T @ S @ C_loc
+    for i in range(2):
+        q = np.sort(proj[:, i] ** 2)[::-1]
+        assert q[:2].sum() > 0.85
+
+
+def test_mo_composition():
+    from libdmet_preview_tpu.utils.analysis import mo_composition
+    rng = np.random.RandomState(0)
+    C = np.linalg.qr(rng.randn(6, 6))[0]
+    comp = mo_composition(C, {"a": [0, 1, 2], "b": [3, 4, 5]})
+    tot = comp["a"] + comp["b"]
+    assert np.allclose(tot, 1.0)
+    # complex-pair input
+    Ck = (C[None], np.zeros((1, 6, 6)))
+    comp_k = mo_composition(Ck, {"a": [0, 1, 2]})
+    assert np.allclose(comp_k["a"], comp["a"])
