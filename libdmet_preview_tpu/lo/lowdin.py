@@ -28,3 +28,25 @@ def vec_lowdin(C, S=None):
 def check_orthonormal(C, S=None, tol=1e-10):
     M = C.T @ C if S is None else C.T @ S @ C
     return np.max(np.abs(M - np.eye(M.shape[0]))) < tol
+
+
+def symmetrize_lo_kpair(C_re, C_im, neg_map):
+    """Enforce time-reversal symmetry C(-k) = C(k)* on a k-resolved LO
+    coefficient pair (reference system/analyze.py:18-151 LO
+    symmetrization role): average each k with the conjugate of its -k
+    partner.  neg_map[k] = index of -k.  Returns a new (re, im) pair."""
+    import numpy as np
+    C_re = np.asarray(C_re)
+    C_im = np.asarray(C_im)
+    out_re = 0.5 * (C_re + C_re[neg_map])
+    out_im = 0.5 * (C_im - C_im[neg_map])
+    return out_re, out_im
+
+
+def check_lo_time_reversal(C_re, C_im, neg_map, tol=1e-9):
+    """Max violation of C(-k) = C(k)* (0 for a symmetrized set)."""
+    import numpy as np
+    C_re = np.asarray(C_re)
+    C_im = np.asarray(C_im)
+    return max(float(np.abs(C_re - C_re[neg_map]).max()),
+               float(np.abs(C_im + C_im[neg_map]).max()))

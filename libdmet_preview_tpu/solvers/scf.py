@@ -390,3 +390,55 @@ class SCFSolver(object):
 
     def cleanup(self):
         pass
+
+
+def ao2mo_Ham(Ham, C):
+    """Rotate an Integral into an MO basis (reference solver/scf.py:121-230
+    ao2mo_Ham role): H1/H2 transformed per spin; H0 unchanged.
+
+    C: (nao, nmo) or (spin, nao, nmo).  Restricted Integrals stay
+    restricted; unrestricted rotate each spin block (H2 spin order
+    [aa, bb, ab])."""
+    import jax.numpy as jnp
+    import jax
+    from libdmet_preview_tpu.models.integral import Integral, restore_eri
+    C = np.asarray(C)
+    n = Ham.norb
+    H1 = np.asarray(Ham.H1["cd"])
+    spin = H1.shape[0]
+    if C.ndim == 2:
+        C = np.asarray([C] * spin)
+    nmo = C.shape[-1]
+
+    @jax.jit
+    def t4(g, ca, cb):
+        return jnp.einsum("pqrs, pi, qj, rk, sl -> ijkl", g, ca, ca,
+                          cb, cb, optimize=True)
+
+    h1 = np.asarray([C[s].T @ H1[s] @ C[s] for s in range(spin)])
+    H2 = Ham.H2["ccdd"]
+    if len(H2) == 1:
+        g = jnp.asarray(restore_eri(np.asarray(H2[0]), n, 1))
+        g_mo = np.asarray(t4(g, jnp.asarray(C[0]), jnp.asarray(C[0])))[None]
+    else:
+        gs = [jnp.asarray(restore_eri(np.asarray(H2[i]), n, 1))
+              for i in range(3)]
+        Ca, Cb = jnp.asarray(C[0]), jnp.asarray(C[1])
+        g_mo = np.asarray([np.asarray(t4(gs[0], Ca, Ca)),
+                           np.asarray(t4(gs[1], Cb, Cb)),
+                           np.asarray(t4(gs[2], Ca, Cb))])
+    return Integral(nmo, Ham.restricted, Ham.bogoliubov, Ham.H0,
+                    {"cd": h1}, {"ccdd": g_mo})
+
+
+def restore_Ham(Ham_mo, C, ovlp=None):
+    """Back-rotate an MO-basis Integral to the original basis (inverse of
+    ao2mo_Ham for S-orthonormal C): X_ao = (S C) X_mo (S C)^T, i.e.
+    ao2mo_Ham with the rotation (S C)^T."""
+    C = np.asarray(C)
+    n = C.shape[-2]
+    S = np.eye(n) if ovlp is None else np.asarray(ovlp)
+    if C.ndim == 2:
+        return ao2mo_Ham(Ham_mo, (S @ C).T)
+    return ao2mo_Ham(Ham_mo, np.asarray([(S @ C[s]).T
+                                         for s in range(C.shape[0])]))

@@ -234,3 +234,45 @@ def test_mo_composition():
     Ck = (C[None], np.zeros((1, 6, 6)))
     comp_k = mo_composition(Ck, {"a": [0, 1, 2]})
     assert np.allclose(comp_k["a"], comp["a"])
+
+
+def test_ao2mo_restore_ham_roundtrip():
+    """Integral rotation to an (S-orthonormal) MO basis and back
+    (reference scf.py ao2mo_Ham/restore_Ham): energies are invariant and
+    the roundtrip reproduces the original integrals."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cc import random_integral
+    from libdmet_preview_tpu.solvers.scf import (SCF, ao2mo_Ham,
+                                                 restore_Ham)
+    from libdmet_preview_tpu.solvers import FCI
+    Ham = random_integral(4, restricted=True, seed=3)
+    rng = np.random.RandomState(1)
+    C = np.linalg.qr(rng.randn(4, 4))[0]
+    Ham_mo = ao2mo_Ham(Ham, C)
+    _, E1 = FCI(restricted=True, tol=1e-12).run(Ham, nelec=4)
+    _, E2 = FCI(restricted=True, tol=1e-12).run(Ham_mo, nelec=4)
+    assert abs(E1 - E2) < 1e-9
+    Ham_back = restore_Ham(Ham_mo, C)
+    assert np.abs(np.asarray(Ham_back.H1["cd"])
+                  - np.asarray(Ham.H1["cd"])).max() < 1e-10
+    from libdmet_preview_tpu.models.integral import restore_eri
+    g0 = restore_eri(np.asarray(Ham.H2["ccdd"][0]), 4, 1)
+    g1 = np.asarray(Ham_back.H2["ccdd"][0])
+    assert np.abs(g1 - g0).max() < 1e-9
+
+
+def test_lo_time_reversal_symmetrize():
+    from libdmet_preview_tpu.lo.lowdin import (symmetrize_lo_kpair,
+                                               check_lo_time_reversal)
+    rng = np.random.RandomState(0)
+    nk, n = 6, 3
+    neg = np.array([(-k) % nk for k in range(nk)])
+    C_re = rng.randn(nk, n, n)
+    C_im = rng.randn(nk, n, n) * 0.1
+    assert check_lo_time_reversal(C_re, C_im, neg) > 0.1
+    S_re, S_im = symmetrize_lo_kpair(C_re, C_im, neg)
+    assert check_lo_time_reversal(S_re, S_im, neg) < 1e-14
+    # already-symmetric input is a fixed point
+    T_re, T_im = symmetrize_lo_kpair(S_re, S_im, neg)
+    assert np.abs(T_re - S_re).max() < 1e-14
