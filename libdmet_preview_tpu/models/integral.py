@@ -134,8 +134,7 @@ def dump_FCIDUMP(filename, integral_obj, thr=1e-12, nelec=None, spin_sz=0):
             for i in range(norb):
                 for j in range(i + 1):
                     wr(h1[i, j], i + 1, j + 1, 0, 0)
-            wr_any = f.write(" %19.12E %4d %4d %4d %4d\n"
-                             % (ints.H0, 0, 0, 0, 0))
+            f.write(" %19.12E %4d %4d %4d %4d\n" % (ints.H0, 0, 0, 0, 0))
         else:
             # UHF FCIDUMP: aa, bb, ab blocks separated by 0 0 0 0 lines
             for s, eri in enumerate(H2):
