@@ -223,3 +223,41 @@ def load_h5(filename):
         return Integral(int(f["norb"][()]), bool(f["restricted"][()]),
                         bool(f["bogoliubov"][()]), float(f["H0"][()]),
                         H1, H2, ovlp=ovlp)
+
+
+def save_mmap(prefix, integral_obj):
+    """Memory-mapped dump of the Integral's big tensors (reference
+    integral.py:792-860 mmap dump + slater.py:391-396 shared-memory ERI
+    role): each H1/H2 block goes to `prefix.<name>.npy` written with
+    np.lib.format (mmap-loadable); metadata to `prefix.meta.npz`."""
+    meta = {"norb": integral_obj.norb,
+            "restricted": integral_obj.restricted,
+            "bogoliubov": integral_obj.bogoliubov,
+            "H0": integral_obj.H0,
+            "h1_keys": sorted(integral_obj.H1),
+            "h2_keys": sorted(integral_obj.H2),
+            "has_ovlp": integral_obj.ovlp is not None}
+    np.savez(prefix + ".meta.npz", **meta)
+    for k in integral_obj.H1:
+        np.save("%s.H1.%s.npy" % (prefix, k),
+                np.asarray(integral_obj.H1[k]))
+    for k in integral_obj.H2:
+        np.save("%s.H2.%s.npy" % (prefix, k),
+                np.asarray(integral_obj.H2[k]))
+    if integral_obj.ovlp is not None:
+        np.save(prefix + ".ovlp.npy", np.asarray(integral_obj.ovlp))
+
+
+def load_mmap(prefix, mode="r"):
+    """Load a save_mmap dump with the tensors memory-mapped (mode 'r'):
+    H2 never materializes in RAM until sliced -- the >memory-ERI path."""
+    meta = np.load(prefix + ".meta.npz", allow_pickle=True)
+    H1 = {str(k): np.load("%s.H1.%s.npy" % (prefix, k), mmap_mode=mode)
+          for k in meta["h1_keys"]}
+    H2 = {str(k): np.load("%s.H2.%s.npy" % (prefix, k), mmap_mode=mode)
+          for k in meta["h2_keys"]}
+    ovlp = np.load(prefix + ".ovlp.npy", mmap_mode=mode) \
+        if bool(meta["has_ovlp"]) else None
+    return Integral(int(meta["norb"]), bool(meta["restricted"]),
+                    bool(meta["bogoliubov"]), float(meta["H0"]),
+                    H1, H2, ovlp=ovlp)

@@ -59,26 +59,38 @@ def _syrk_eri(La, Lb):
     return jnp.einsum("xij, xkl -> ijkl", La, Lb, optimize=True)
 
 
-def get_emb_eri_chol(L, basis):
+def get_emb_eri_chol(L, basis, outcore=None):
     """Embedding ERI from Cholesky/DF factors.
 
     L: (naux, nsite, nsite) factors in the (LO, full-lattice) site basis;
     basis: (spin, ncells, nlo, neo) embedding basis (R stripe).
     Returns (spin_pair, neo, neo, neo, neo) with blocks [aa] or
-    [aa, bb, ab] (chemist), matching embham._emb_H2's contract."""
+    [aa, bb, ab] (chemist), matching embham._emb_H2's contract.
+
+    outcore: optional HDF5 path -- the result is streamed to a dataset
+    "eri" and returned as an open-for-read h5py Dataset (the reference's
+    outcore result mode, eri_transform.py:311-327), for embeddings whose
+    ERI exceeds host RAM."""
     basis = np.asarray(basis)
     spin, ncells, nlo, neo = basis.shape
     C = basis.reshape(spin, ncells * nlo, neo)
     Lj = jnp.asarray(L)
     Ls = [_rotate_chol(Lj, jnp.asarray(C[s])) for s in range(spin)]
     if spin == 1:
-        return np.asarray(_syrk_eri(Ls[0], Ls[0]))[None]
-    out = [
-        _syrk_eri(Ls[0], Ls[0]),
-        _syrk_eri(Ls[1], Ls[1]),
-        _syrk_eri(Ls[0], Ls[1]),
-    ]
-    return np.asarray([np.asarray(x) for x in out])
+        blocks = [_syrk_eri(Ls[0], Ls[0])]
+    else:
+        blocks = [_syrk_eri(Ls[0], Ls[0]), _syrk_eri(Ls[1], Ls[1]),
+                  _syrk_eri(Ls[0], Ls[1])]
+    if outcore is not None:
+        import h5py
+        with h5py.File(outcore, "w") as f:
+            dset = f.create_dataset(
+                "eri", (len(blocks),) + (neo,) * 4, dtype="f8")
+            for i, b in enumerate(blocks):
+                dset[i] = np.asarray(b)
+        f = h5py.File(outcore, "r")
+        return f["eri"]
+    return np.asarray([np.asarray(x) for x in blocks])
 
 
 def get_emb_eri_gso_chol(L, basis):
