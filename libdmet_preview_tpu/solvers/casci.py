@@ -158,3 +158,123 @@ def project_active_space(Ham, nelec, ncas, nelecas, mo_coeff=None):
     info = {"C_core": C_core, "C_cas": C_cas, "e_core": e_core,
             "dm_core": dm_core}
     return Ham_cas, info
+
+
+class CASSCF(object):
+    """Orbital-optimized CASCI (reference solver/umc1step.py:1210 /
+    casscf.py:137 capability): minimize the CASCI energy over
+    nonredundant orbital rotations exp(K) (core-active, core-virtual,
+    active-virtual; intra-space rotations are redundant because the
+    active problem is solved exactly and core/virtual spaces enter only
+    through their span).
+
+    Small embedding problems only: derivative-free-gradient BFGS with a
+    CASCI energy evaluation per point (the DMET impurity regime, where
+    the reference also runs its 1-step CASSCF on a handful of orbitals).
+    """
+
+    def __init__(self, ncas, nelecas, restricted=True, tol=1e-9,
+                 max_cycle=200, fcisolver=None):
+        assert restricted
+        self.ncas = ncas
+        self.nelecas = nelecas
+        self.tol = tol
+        self.max_cycle = max_cycle
+        self.fcisolver = fcisolver
+        self.onepdm = None
+        self.e_tot = None
+        self.mo_coeff = None
+        self.converged = False
+
+    def run(self, Ham, nelec=None, **kwargs):
+        from scipy.optimize import minimize as sp_minimize
+        import scipy.linalg as sla
+        if nelec is None:
+            raise ValueError("CASSCF.run requires nelec")
+        n = Ham.norb
+        ncore = (nelec - self.nelecas) // 2
+        ncas = self.ncas
+        nvirt = n - ncore - ncas
+        assert ncore >= 0 and nvirt >= 0
+
+        # start from the CASCI solution's orbitals (HF -> MP2 NOs)
+        cas0 = CASCI(self.ncas, self.nelecas, fcisolver=self.fcisolver)
+        _, E0 = cas0.run(Ham, nelec=nelec)
+        C_core, C_cas, _ = cas0._cas
+        # complete to a full orthonormal set
+        C0 = np.hstack([C_core, C_cas])
+        q, _ = np.linalg.qr(np.eye(n) - C0 @ C0.T)
+        # pick nvirt orthonormal completion vectors
+        resid = np.eye(n) - C0 @ C0.T
+        w, v = np.linalg.eigh(resid)
+        C_virt = v[:, -nvirt:] if nvirt > 0 else np.zeros((n, 0))
+        C_full = np.hstack([C0, C_virt])
+
+        # nonredundant rotation parameters
+        pairs = [(i, j) for i in range(ncore) for j in
+                 range(ncore, ncore + ncas)]
+        pairs += [(i, j) for i in range(ncore) for j in
+                  range(ncore + ncas, n)]
+        pairs += [(i, j) for i in range(ncore, ncore + ncas) for j in
+                  range(ncore + ncas, n)]
+        npar = len(pairs)
+        rows = np.array([p[0] for p in pairs], dtype=int)
+        cols = np.array([p[1] for p in pairs], dtype=int)
+
+        h1 = np.asarray(Ham.H1["cd"][0])
+        from libdmet_preview_tpu.models.integral import (Integral,
+                                                         restore_eri)
+        g = restore_eri(np.asarray(Ham.H2["ccdd"][0]), n, 1)
+
+        def casci_energy(C):
+            import jax.numpy as jnp
+            from libdmet_preview_tpu.solvers.scf import _veff_uhf
+            C_cor = C[:, :ncore]
+            C_act = C[:, ncore:ncore + ncas]
+            dm_core = 2.0 * C_cor @ C_cor.T
+            v_core = np.asarray(_veff_uhf(
+                jnp.asarray(dm_core * 0.5), jnp.asarray(dm_core * 0.5),
+                jnp.asarray(g), jnp.asarray(g), jnp.asarray(g))[0])
+            e_core = float(np.sum((h1 + 0.5 * v_core) * dm_core)) \
+                + float(Ham.H0)
+            h_cas = C_act.T @ (h1 + v_core) @ C_act
+            import jax
+            g_cas = np.asarray(jax.jit(lambda gg, cc: jnp.einsum(
+                "pqrs, pi, qj, rk, sl -> ijkl", gg, cc, cc, cc, cc,
+                optimize=True))(jnp.asarray(g), jnp.asarray(C_act)))
+            Ham_cas = Integral(ncas, True, False, e_core,
+                               {"cd": h_cas[None]}, {"ccdd": g_cas[None]})
+            solver = self.fcisolver or FCI(restricted=True, tol=1e-11)
+            rdm_cas, E = solver.run(Ham_cas, nelec=self.nelecas)
+            return E, (C_cor, C_act, rdm_cas, dm_core)
+
+        def energy(p):
+            K = np.zeros((n, n))
+            K[rows, cols] = p
+            K = K - K.T
+            C = C_full @ sla.expm(K)
+            return casci_energy(C)[0]
+
+        if npar == 0:
+            res_x = np.zeros(0)
+            E_opt = E0
+        else:
+            res = sp_minimize(energy, np.zeros(npar), method="BFGS",
+                              options={"gtol": self.tol * 10,
+                                       "maxiter": self.max_cycle})
+            res_x, E_opt = res.x, float(res.fun)
+            self.converged = bool(res.success) or E_opt <= E0 + 1e-12
+
+        K = np.zeros((n, n))
+        K[rows, cols] = res_x
+        K = K - K.T
+        C = C_full @ sla.expm(K)
+        E_fin, (C_cor, C_act, rdm_cas, dm_core) = casci_energy(C)
+        rdm1 = C_act @ np.asarray(rdm_cas[0]) @ C_act.T + 0.5 * dm_core
+        self.onepdm = rdm1[None]
+        self.e_tot = E_fin
+        self.mo_coeff = C
+        return self.onepdm, E_fin
+
+    def cleanup(self):
+        pass

@@ -130,3 +130,27 @@ def test_afqmc_dqmc_dumps(tmp_path):
     g_rec = np.einsum("xpq, xrs -> pqrs", L, L)
     assert np.abs(g_rec - g).max() < 1e-10
     assert rank == L.shape[0]
+
+
+def test_casscf():
+    """CASSCF (orbital-optimized CASCI): full active space == FCI from
+    ANY starting orbitals; a (2,2) active space improves on CASCI(2,2)
+    and stays variational (>= FCI)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cc import random_integral
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.solvers.casci import CASCI, CASSCF
+    Ham = random_integral(4, restricted=True, seed=11)
+    _, E_fci = FCI(restricted=True, tol=1e-12).run(Ham, nelec=4)
+    # full window: exact regardless of rotations
+    mc_full = CASSCF(ncas=4, nelecas=4)
+    _, E_full = mc_full.run(Ham, nelec=4)
+    assert abs(E_full - E_fci) < 1e-8
+    # (2,2): at least as good as CASCI(2,2), never below FCI
+    _, E_casci = CASCI(ncas=2, nelecas=2).run(Ham, nelec=4)
+    mc = CASSCF(ncas=2, nelecas=2)
+    rdm1, E_mc = mc.run(Ham, nelec=4)
+    assert E_mc <= E_casci + 1e-10
+    assert E_mc >= E_fci - 1e-9
+    assert abs(np.trace(rdm1[0]) * 2 - 4) < 1e-8
