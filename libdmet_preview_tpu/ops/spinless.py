@@ -456,3 +456,53 @@ def transform_results(GRhoEmb, E_emb, basis, ImpHam, lattice, mu,
     E1 = float(np.einsum("pq, qp ->", H1_scaled, GRhoEmb))
     Efrag = E1 + E2 + H0
     return GRhoImp, Efrag / nao, n_phys / nao
+
+
+def GKS_mu_fit(lattice, GH1_k, filling_phys, xc_eval, vcor_mat=None,
+               mu0=0.0, beta=np.inf, max_cycle=50, conv_tol=1e-8,
+               mix=0.5, **kwargs):
+    """Generalized Kohn-Sham in the spinless (GSO) frame (reference
+    routine/kgks.py:240 KGKS role): self-consistent mean field where a
+    density functional potential acts on the PHYSICAL per-spin densities.
+
+    xc_eval(rho_a, rho_b) -> (vxc_a, vxc_b) with rho_s the (nao, nao)
+    physical per-spin cell densities; the potential enters the GSO frame
+    through the partial particle-hole transform,
+    V_gso = diag(vxc_a, -vxc_b^T) (the b block rides the hole species; the
+    constant tr(vxc_b) only shifts the total energy bookkeeping, not the
+    state).  xc_eval == None reduces EXACTLY to GHF_mu_fit (oracle).
+
+    Returns (GRho_R, mu, res) like GHF_mu_fit, with res["cycles"] and
+    res["dGRho"]."""
+    nso = np.asarray(GH1_k[0]).shape[-1]
+    nao = nso // 2
+    base = np.zeros((nso, nso)) if vcor_mat is None else np.asarray(vcor_mat)
+    v_gso = np.array(base, copy=True)
+    GRho_old = None
+    mu = mu0
+    dG = np.inf
+    for it in range(max_cycle):
+        GRho_R, mu, res = GHF_mu_fit(lattice, GH1_k, v_gso, filling_phys,
+                                     mu0=mu, beta=beta, **kwargs)
+        if xc_eval is None:
+            res["cycles"] = it + 1
+            res["dGRho"] = 0.0
+            return GRho_R, mu, res
+        rA, rB, _ = extract_rdm(GRho_R[0] if GRho_R.ndim == 3 else GRho_R)
+        vxc_a, vxc_b = xc_eval(np.asarray(rA), np.asarray(rB))
+        v_new = np.array(base, copy=True)
+        v_new[:nao, :nao] += vxc_a
+        v_new[nao:, nao:] -= np.asarray(vxc_b).T
+        if GRho_old is not None:
+            dG = float(np.max(np.abs(np.asarray(GRho_R)
+                                     - np.asarray(GRho_old))))
+            if dG < conv_tol:
+                res["cycles"] = it + 1
+                res["dGRho"] = dG
+                return GRho_R, mu, res
+        GRho_old = np.asarray(GRho_R)
+        v_gso = (1.0 - mix) * v_gso + mix * v_new
+    log.warn("GKS_mu_fit: not converged, dGRho = %.2e", dG)
+    res["cycles"] = max_cycle
+    res["dGRho"] = dG
+    return GRho_R, mu, res

@@ -300,3 +300,45 @@ def test_gso_abinitio_1shot_equals_slater_nib():
     assert abs(n_sl - 2 * filling) < 5e-6
     assert abs(n_gso - 2 * filling) < 5e-6
     assert abs(E_gso - E_sl) < 1e-5
+
+
+def test_gks_gso_mean_field():
+    """Generalized KS in the GSO frame (reference kgks role): with no
+    functional it reduces exactly to GHF_mu_fit; with a density-dependent
+    local potential it converges self-consistently, holds the physical
+    filling, and responds to the functional (state changes)."""
+    from libdmet_preview_tpu.dmet import hubbard_gso as dmet
+    from libdmet_preview_tpu.ops import spinless
+    Lat = dmet.ChainLattice(12, 2)
+    Ham = dmet.Ham(Lat, 4.0)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    gham = dmet.GSOHam(Lat)
+    GH1 = (gham.GH1_k[0], gham.GH1_k[1])
+    nao = Lat.nscsites
+
+    G0, mu0, _ = spinless.GHF_mu_fit(Lat, GH1,
+                                     np.zeros((2 * nao, 2 * nao)), 0.4,
+                                     mu0=0.0, beta=50.0)
+    G1, mu1, r1 = spinless.GKS_mu_fit(Lat, GH1, 0.4, None, mu0=0.0,
+                                      beta=50.0)
+    assert np.abs(np.asarray(G1) - np.asarray(G0)).max() < 1e-12
+
+    # a Hartree-like local functional with a staggered coupling (a
+    # uniform shift would be absorbed by the mu fit): v_s = u*stag*n_{-s}
+    u = 0.5
+    stag = np.diag([1.0, -1.0])
+
+    def xc_eval(rA, rB):
+        return (u * stag * np.diag(np.diag(rB)),
+                u * stag * np.diag(np.diag(rA)))
+
+    # finite T smooths the fractional frontier occupations (the
+    # self-consistency is discontinuous at T = 0 degeneracies)
+    G2, mu2, r2 = spinless.GKS_mu_fit(Lat, GH1, 0.4, xc_eval, mu0=0.0,
+                                      conv_tol=1e-9, mix=0.4,
+                                      max_cycle=200, beta=50.0)
+    assert r2["dGRho"] < 1e-9
+    rA, rB, _ = spinless.extract_rdm(np.asarray(G2)[0])
+    n_phys = np.trace(rA) + np.trace(rB)
+    assert abs(n_phys - 0.4 * 2 * nao) < 1e-6
+    assert np.abs(np.asarray(G2) - np.asarray(G0)).max() > 1e-3
