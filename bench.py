@@ -94,7 +94,18 @@ def dmet_iteration(f_re, f_im, vmat, rho_target, cos_t, sin_t, env_idx):
              - jnp.einsum("kR, skpq -> sRpq", sin_w, rho_kim0)) / NK
     flat = rho_R.reshape(spin, NK * NLO, NLO)
     env = flat[:, env_idx, :NVAL]
-    u, _, _ = jnp.linalg.svd(env, full_matrices=False)
+    # left singular vectors via the NVAL x NVAL Gram eigh (SVD-free: the
+    # tall f64 SVD is the slower TPU op; the bath SPAN is what matters,
+    # and the benched loss is gauge-invariant -- verified == svd on CPU).
+    # Clamped inverse-sqrt + two Newton-Schulz passes keep u orthonormal.
+    G = jnp.einsum("spi, spj -> sij", env, env)
+    w, V = jnp.linalg.eigh(G)
+    w = jnp.maximum(w, 1e-14 * w.max())
+    u = jnp.einsum("spi, sij -> spj", env, V) / jnp.sqrt(w)[:, None, :]
+    eye16 = jnp.eye(u.shape[-1], dtype=env.dtype)
+    for _ in range(2):
+        g2 = jnp.einsum("spi, spj -> sij", u, u)
+        u = u @ (1.5 * eye16 - 0.5 * g2)
     basis = jnp.zeros((spin, NK * NLO, NEO), f_re.dtype)
     basis = basis.at[:, :NLO, :NLO].set(jnp.eye(NLO))
     basis = basis.at[:, env_idx, NLO:].set(u)
