@@ -50,3 +50,25 @@ def check_lo_time_reversal(C_re, C_im, neg_map, tol=1e-9):
     C_im = np.asarray(C_im)
     return max(float(np.abs(C_re - C_re[neg_map]).max()),
                float(np.abs(C_im + C_im[neg_map]).max()))
+
+
+def make_real_columns(C_re, C_im, tol=1e-9):
+    """Fix the column phase gauge so complex orbitals become real when a
+    real gauge exists (reference make_basis.py:1096-1182
+    detect_inv_sym/build_Martin_basis capability: at inversion-symmetric
+    k points the Bloch orbitals admit a real representation).
+
+    For c = e^{i theta} r with r real, sum_j c_j^2 = e^{2 i theta} |r|^2,
+    so theta is half the phase of the column's plain (non-conjugated)
+    self-product.  Returns (C_re', C_im', ok) with ok a per-column bool
+    marking columns that became real to tol."""
+    import numpy as np
+    C_re = np.asarray(C_re, dtype=float)
+    C_im = np.asarray(C_im, dtype=float)
+    z2 = np.sum((C_re + 1j * C_im) ** 2, axis=-2)      # (..., ncols)
+    theta = 0.5 * np.angle(z2)
+    ph = np.exp(-1j * theta)
+    C = (C_re + 1j * C_im) * ph[..., None, :]
+    ok = np.abs(C.imag).max(axis=-2) < tol
+    return (np.ascontiguousarray(C.real), np.ascontiguousarray(C.imag),
+            ok)

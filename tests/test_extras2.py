@@ -276,3 +276,40 @@ def test_lo_time_reversal_symmetrize():
     # already-symmetric input is a fixed point
     T_re, T_im = symmetrize_lo_kpair(S_re, S_im, neg)
     assert np.abs(T_re - S_re).max() < 1e-14
+
+
+def test_make_real_columns():
+    """Real-gauge fixer (Martin-basis capability): columns that are real
+    up to a phase become exactly real; genuinely complex columns are
+    flagged."""
+    from libdmet_preview_tpu.lo.lowdin import make_real_columns
+    rng = np.random.RandomState(0)
+    r = rng.randn(5, 3)
+    th = np.array([0.3, -1.2, 2.0])
+    C = r * np.exp(1j * th)[None, :]
+    re, im, ok = make_real_columns(C.real, C.imag)
+    assert ok.all()
+    assert np.abs(im).max() < 1e-12
+    # recovered real vectors span the same columns (up to sign)
+    for j in range(3):
+        s = np.sign(re[:, j] @ r[:, j])
+        assert np.allclose(re[:, j] * s, r[:, j], atol=1e-12)
+    # a genuinely complex column is flagged not-ok
+    Cbad = C.copy()
+    Cbad[:, 0] = r[:, 0] * np.exp(1j * np.linspace(0, 1.5, 5))
+    _, _, ok2 = make_real_columns(Cbad.real, Cbad.imag)
+    assert not ok2[0] and ok2[1] and ok2[2]
+
+
+def test_iter_history_table(capsys):
+    """IterHistory writes the per-iteration convergence table (reference
+    HubPhSymm.py:302-325)."""
+    from libdmet_preview_tpu.dmet.hubbard import IterHistory
+    from libdmet_preview_tpu.ops.diis import FDiisContext
+    hist = IterHistory()
+    dc = FDiisContext(4)
+    hist.update(-0.5, 0.01, 1e-3, 1e-4, dc)
+    hist.update(-0.51, 0.005, 5e-4, 5e-5, dc)
+    out = capsys.readouterr()
+    assert len(hist.history) == 2
+    assert hist.history[-1][0] == -0.51
