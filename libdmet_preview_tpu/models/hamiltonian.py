@@ -215,3 +215,29 @@ def Hubbard3band_ref(lattice, name="Hanke", min_model=False, hole_rep=False,
                             -p["ed"] - p["Ud"] + 2.0 * p["Vpd"] * 0.0,
                             p["tpd"], p["tpp"], p["tpp1"], Vpd=p["Vpd"],
                             ignore_intercell=ignore_intercell)
+
+
+def HubbardDCA(lattice, lattice_fine, U, tlist=(1.0,), tol=1e-8):
+    """DCA-coarse-grained Hubbard model (reference hamiltonian.py:167
+    HubbardDCA): the cluster hopping is the Brillouin-zone patch average
+    of the FINE-mesh dispersion (utils/dca.dca_coarse_grain), so the
+    cluster model reproduces the lattice band structure at the cluster
+    momenta instead of simple truncation.
+
+    lattice: the cluster-mesh lattice the DMET calculation runs on;
+    lattice_fine: a lattice of the same geometry on a finer mesh (each
+    cluster dim dividing the fine dim).  Onsite U is unchanged by the
+    coarse graining (it is k-independent)."""
+    from libdmet_preview_tpu.utils.dca import dca_cluster_H1R
+    from libdmet_preview_tpu.ops import zlinalg
+    H1_fine = HubbardHamiltonian(lattice_fine, U, tlist=tlist,
+                                 return_H1=True)
+    kmesh_f = tuple(int(x) for x in lattice_fine.kmesh)
+    H1_fine_k = zlinalg.R2k(np.asarray(H1_fine), kmesh_f)
+    cmesh = tuple(int(x) for x in lattice.kmesh)
+    H1 = np.ascontiguousarray(dca_cluster_H1R(H1_fine_k, kmesh_f, cmesh))
+    nsc = lattice.nscsites
+    H2 = np.zeros((nsc,) * 4)
+    for i in range(nsc):
+        H2[i, i, i, i] = U
+    return HamNonInt(lattice, H1, H2)

@@ -151,3 +151,30 @@ def test_3band_hubbard_dmet_1shot():
     assert 0.05 < hole_d < 0.95
     assert 0.05 < hole_p < 0.95
     assert abs(hole_d + hole_p - 1.0) < 1e-4
+
+
+def test_hubbard_dca_model():
+    """DCA-coarse-grained Hubbard (reference HubbardDCA): when the fine
+    mesh EQUALS the cluster mesh the DCA hopping is the plain hopping;
+    on a finer mesh the cluster dispersion matches the patch-averaged
+    lattice dispersion at the cluster momenta and the mean field runs."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.models.hamiltonian import (HubbardDCA,
+                                                        HubbardHamiltonian)
+    Lat = dmet.ChainLattice(8, 2)       # 4 cluster cells
+    Lat_same = dmet.ChainLattice(8, 2)
+    Ham0 = HubbardHamiltonian(Lat, 4.0)
+    Ham_dca0 = HubbardDCA(Lat, Lat_same, 4.0)
+    assert np.abs(np.asarray(Ham_dca0.H1) - np.asarray(Ham0.H1)).max() \
+        < 1e-10
+    # finer mesh: different (coarse-grained) hopping, working mean field
+    Lat_fine = dmet.ChainLattice(32, 2)
+    Lat2 = dmet.ChainLattice(8, 2)
+    Ham_dca = HubbardDCA(Lat2, Lat_fine, 4.0)
+    assert np.abs(np.asarray(Ham_dca.H1) - np.asarray(Ham0.H1)).max() \
+        > 1e-3
+    Lat2.set_Ham(Ham_dca, use_hcore_as_emb_ham=True)
+    vcor = dmet.VcorLocal(True, False, 2)
+    vcor.update(np.zeros(vcor.length()))
+    rho, mu, res = dmet.RHartreeFock(Lat2, vcor, 0.5, 0.0, ires=True)
+    assert np.isfinite(res["e"]).all()
