@@ -133,3 +133,52 @@ def band_velocity(H_R_stripe, kmesh, kpts_frac):
             vel[ik, d] = np.real(np.einsum("pi, pq, qi -> i",
                                            ev.conj(), dHk[d], ev))
     return bands, vel
+
+
+def fold_mo_k2gamma(C_k, mo_energy, kmesh, make_real=True):
+    """Fold k-resolved MOs to Gamma-point supercell MOs (reference
+    fourier.py:354-609 fold_kmf/unfold_mo_coeff role).
+
+    C_k: (re, im) pair (nk, n, nmo); mo_energy: (nk, nmo).
+    Returns (C_sc, e_sc, ok): C_sc (nk*n, nk*nmo) supercell MO matrix
+    (columns energy-sorted), e_sc the sorted energies, ok per-column
+    real-gauge success flags (time-reversal-paired columns are real up to
+    gauge; make_real fixes the gauge via lo.lowdin.make_real_columns)."""
+    import numpy as np
+    import itertools as it
+    from libdmet_preview_tpu.lo.lowdin import make_real_columns
+    C_re, C_im = np.asarray(C_k[0]), np.asarray(C_k[1])
+    nk, n, nmo = C_re.shape
+    kmesh = [int(x) for x in kmesh]
+    kfrac = np.asarray(list(it.product(*[np.fft.fftfreq(m)
+                                         for m in kmesh])))
+    cells = np.asarray(list(it.product(*[range(m) for m in kmesh])),
+                       dtype=float)
+    phase = np.exp(2j * np.pi * (cells @ kfrac.T)) / np.sqrt(nk)  # (R, k)
+    C = C_re + 1j * C_im
+    # C_sc[(R p), (k m)] = e^{+ik.R} C_k[p, m] / sqrt(nk)
+    C_sc = np.einsum("Rk, kpm -> Rpkm", phase, C).reshape(nk * n, nk * nmo)
+    e_sc = np.asarray(mo_energy).reshape(nk * nmo)
+    order = np.argsort(e_sc, kind="mergesort")
+    C_sc = C_sc[:, order]
+    e_sc = e_sc[order]
+    if not make_real:
+        return C_sc, e_sc, None
+    # k/-k partner columns are degenerate; rotate each degenerate group
+    # to a real basis (exists by time reversal)
+    re, im = C_sc.real.copy(), C_sc.imag.copy()
+    ok = np.zeros(nk * nmo, dtype=bool)
+    start = 0
+    tolg = 1e-8 * max(1.0, float(np.abs(e_sc).max()))
+    for i in range(1, nk * nmo + 1):
+        if i == nk * nmo or e_sc[i] - e_sc[start] > tolg:
+            blk = C_sc[:, start:i]
+            # real span: eigenvectors of the real part of the projector
+            P = (blk @ blk.conj().T).real
+            w, v = np.linalg.eigh(P)
+            nb = i - start
+            re[:, start:i] = v[:, -nb:]
+            im[:, start:i] = 0.0
+            ok[start:i] = w[-nb:] > 1.0 - 1e-7
+            start = i
+    return re if make_real else C_sc, e_sc, ok

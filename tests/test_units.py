@@ -535,3 +535,30 @@ def test_zeigh_refined_matches_direct():
     finally:
         zlinalg.EIGH_REFINE = old
     assert np.abs(g0 - g1).max() < 1e-9
+
+
+def test_fold_mo_k2gamma():
+    """MO folding to the Gamma supercell (reference fold_kmf role): the
+    folded REAL orbitals diagonalize the supercell Hamiltonian with the
+    folded (sorted) spectrum."""
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops import zlinalg, fourier
+    rng = np.random.RandomState(0)
+    nk, n = 6, 3
+    hR = rng.randn(nk, n, n) * 0.3
+    hR[0] = 0.5 * (hR[0] + hR[0].T)
+    hR[nk // 2] = 0.5 * (hR[nk // 2] + hR[nk // 2].T)  # self-paired R
+    for R in range(1, nk // 2):
+        hR[(-R) % nk] = hR[R].T
+    hk = zlinalg.R2k(hR, (nk,))
+    # complex spectrum/orbitals per k (host side, from the raw pair)
+    h_cplx = np.asarray(hk[0]) + 1j * np.asarray(hk[1])
+    ew, ev = np.linalg.eigh(h_cplx)
+    C_sc, e_sc, ok = fourier.fold_mo_k2gamma((ev.real, ev.imag), ew, (nk,))
+    assert ok.all()
+    H_sc = fourier.k2gamma(hk, (nk,))
+    # orthonormal real eigenvectors with the folded spectrum
+    assert np.abs(C_sc.T @ C_sc - np.eye(nk * n)).max() < 1e-9
+    resid = H_sc @ C_sc - C_sc * e_sc[None, :]
+    assert np.abs(resid).max() < 1e-8
+    assert np.abs(np.sort(np.linalg.eigvalsh(H_sc)) - e_sc).max() < 1e-9
