@@ -313,3 +313,35 @@ def test_iter_history_table(capsys):
     out = capsys.readouterr()
     assert len(hist.history) == 2
     assert hist.history[-1][0] == -0.51
+
+
+def test_fit_vcor_full_stage():
+    """Whole-lattice fit stage (reference FitVcorFull/TwoStep,
+    slater.py:1352-1714): the full stage re-solves the mean field per
+    step and never worsens ITS OWN objective (the folded full-lattice
+    density match); the two-step wrapper runs end to end."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.ops import fit as vfit
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.models.hamiltonian import HubbardHamiltonian
+
+    Lat = dmet.ChainLattice(12, 2)
+    Ham = HubbardHamiltonian(Lat, 4.0)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    vcor = dmet.PMInitGuess([2], 4.0, 0.5)
+    rho, mu = dmet.RHartreeFock(Lat, vcor, 0.5, None)
+    ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                              matching=False,
+                                              int_bath=False)
+    solver = FCI(restricted=True, tol=1e-11)
+    rhoEmb, E = solver.run(ImpHam, nelec=(Lat.ncore + Lat.nval) * 2)
+
+    import copy
+    v_full, err_begin, err_end = vfit.FitVcorFull(
+        rhoEmb, Lat, basis, copy.deepcopy(vcor), np.inf, 0.5, MaxIter=8)
+    assert np.isfinite(err_begin) and np.isfinite(err_end)
+    assert err_end <= err_begin + 1e-12
+    v_two, err_two = dmet.FitVcor(rhoEmb, Lat, basis, vcor, np.inf, 0.5,
+                                  MaxIter1=150, MaxIter2=5)
+    assert np.isfinite(err_two)
+    assert v_two.get().shape == np.asarray(vcor.get()).shape
