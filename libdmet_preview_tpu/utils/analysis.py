@@ -151,3 +151,20 @@ def mo_composition(C_lo_mo, groups):
         w2 = np.asarray(C_lo_mo) ** 2
     return {name: w2[..., idx, :].sum(axis=-2)
             for name, idx in groups.items()}
+
+
+def spin_corr_from_rdm2(rdm1, rdm2, i, j):
+    """Correlated <S^z_i S^z_j> from spin-blocked RDMs (reference
+    utils/plot.py:684-824 correlated path).
+
+    rdm1: (2, n, n) per spin; rdm2: (3, n, n, n, n) chemist blocks
+    [aa, bb, ab] with G[p,q,r,s] = <p+ r+ s q>.  Uses
+    <n^s_i n^t_j> = G^{st}[i,i,j,j] + delta_st delta_ij n^s_i."""
+    rdm1 = np.asarray(rdm1)
+    rdm2 = np.asarray(rdm2)
+    na_i, nb_i = rdm1[0, i, i], rdm1[1, i, i]
+    naa = rdm2[0, i, i, j, j] + (na_i if i == j else 0.0)
+    nbb = rdm2[1, i, i, j, j] + (nb_i if i == j else 0.0)
+    nab = rdm2[2, i, i, j, j]
+    nba = rdm2[2, j, j, i, i]
+    return float(0.25 * (naa + nbb - nab - nba))

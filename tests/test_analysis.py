@@ -77,3 +77,39 @@ def test_checkpoint_roundtrip(tmp_path):
     mu, last_dmu = restart_from_dmet_iter(v2, path)
     assert abs(mu - 1.5) < 1e-12 and abs(last_dmu + 0.2) < 1e-12
     assert np.allclose(v2.param, p)
+
+
+def test_spin_corr_from_rdm2_fci():
+    """Correlated <Sz_i Sz_j> from FCI RDMs on the 2-site Hubbard dimer:
+    matches the analytic ground-state value and approaches the singlet
+    limit -0.25 + O(t/U) at large U."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cc import hubbard_integral
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.utils.analysis import spin_corr_from_rdm2
+
+    for U in (4.0, 40.0):
+        Ham = hubbard_integral(2, U=U, restricted=True)
+        fci = FCI(restricted=True, tol=1e-12)
+        rdm1, E = fci.run(Ham, nelec=2)
+        from libdmet_preview_tpu.solvers.fci import make_rdm2s
+        Gaa, Gbb, Gab = make_rdm2s(fci.ci, fci.norb, fci.nelec)
+        rdm2 = np.asarray([Gaa, Gbb, Gab])
+        rdm1_s = np.asarray(rdm1)
+        if rdm1_s.shape[0] == 1:
+            rdm1_s = np.concatenate([rdm1_s, rdm1_s]) * 1.0
+        # analytic 2-site Hubbard ground state: <Sz1 Sz2> =
+        # -(1/4) * 16t^2 / (U*sqrt(U^2+16) + U^2 + 16)... use the exact
+        # wavefunction instead: |gs> = cos(a)(singlet covalent)
+        # + sin(a)(ionic); <Sz1 Sz2> = -0.25 cos^2(a) ... compute from
+        # diagonalizing the 2x2 block directly
+        t = 1.0
+        H2 = np.array([[0.0, 2.0 * t], [2.0 * t, U]])
+        w, v = np.linalg.eigh(H2)
+        c_cov, c_ion = v[0, 0], v[1, 0]
+        sz_exact = -0.25 * c_cov ** 2 + 0.0 * c_ion ** 2
+        got = spin_corr_from_rdm2(rdm1_s, rdm2, 0, 1)
+        assert abs(got - sz_exact) < 1e-8
+        if U == 40.0:
+            assert got < -0.2
