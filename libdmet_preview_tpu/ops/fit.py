@@ -439,3 +439,48 @@ def cvx_frac(mo_coeff, rho_target, nelec, tol=1e-10):
             break
     w = np.clip(d + 0.5 * (lo + hi), 0.0, 1.0)
     return w
+
+
+def minimize(fun_grad, x0, method="CG", max_iter=300, **kwargs):
+    """Optimizer dispatcher (reference fit.py:17-40 minimize): 'CG' uses
+    the in-repo jitted-kernel CG (minimize_cg); 'BFGS'/'trust-ncg'/'SD'
+    map to scipy / plain steepest descent.  fun_grad(x) -> (f, grad)."""
+    import numpy as np
+    method = method.upper()
+    if method == "CG":
+        x, f, _ = minimize_cg(fun_grad, x0, max_iter=max_iter, **kwargs)
+        return x, f
+    if method in ("BFGS", "TRUST-NCG", "TRUSTNCG"):
+        from scipy import optimize as opt
+        name = "BFGS" if method == "BFGS" else "trust-ncg"
+        extra = {}
+        if name == "trust-ncg":
+            # scipy requires a hessp for trust-ncg: finite-difference on
+            # the gradient
+            def hessp(x, p):
+                eps = 1e-6
+                g1 = fun_grad(np.asarray(x) + eps * np.asarray(p))[1]
+                g0 = fun_grad(np.asarray(x))[1]
+                return (np.asarray(g1) - np.asarray(g0)) / eps
+            extra["hessp"] = hessp
+        res = opt.minimize(lambda x: [np.asarray(v) for v in fun_grad(x)][0],
+                           np.asarray(x0), jac=lambda x: np.asarray(
+                               fun_grad(x)[1]),
+                           method=name, options={"maxiter": max_iter},
+                           **extra)
+        return np.asarray(res.x), float(res.fun)
+    if method == "SD":
+        x = np.array(x0, dtype=float)
+        step = kwargs.get("step", 0.1)
+        f_old = None
+        for _ in range(max_iter):
+            f, g = fun_grad(x)
+            f = float(f)
+            if f_old is not None and abs(f - f_old) < kwargs.get(
+                    "ytol", 1e-9):
+                break
+            x = x - step * np.asarray(g)
+            f_old = f
+        f, _ = fun_grad(x)
+        return x, float(f)
+    raise ValueError("unknown method %s" % method)

@@ -345,3 +345,21 @@ def test_fit_vcor_full_stage():
                                   MaxIter1=150, MaxIter2=5)
     assert np.isfinite(err_two)
     assert v_two.get().shape == np.asarray(vcor.get()).shape
+
+
+def test_minimize_dispatcher():
+    """Optimizer dispatcher (reference fit.py minimize): every method
+    reaches the quadratic minimum."""
+    from libdmet_preview_tpu.ops.fit import minimize
+    A = np.diag([1.0, 3.0, 0.5])
+    b = np.array([1.0, -2.0, 0.5])
+
+    def fg(x):
+        x = np.asarray(x)
+        return 0.5 * x @ A @ x - b @ x, A @ x - b
+
+    x_star = np.linalg.solve(A, b)
+    for method in ("CG", "BFGS", "trust-ncg", "SD"):
+        x, f = minimize(fg, np.zeros(3), method=method, max_iter=500)
+        tol = 1e-2 if method == "SD" else 1e-5
+        assert np.abs(np.asarray(x) - x_star).max() < tol, method
