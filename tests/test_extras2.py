@@ -360,6 +360,8 @@ def test_minimize_dispatcher():
 
     x_star = np.linalg.solve(A, b)
     for method in ("CG", "BFGS", "trust-ncg", "SD"):
-        x, f = minimize(fg, np.zeros(3), method=method, max_iter=500)
+        kw = {"ytol": 1e-14, "gtol": 1e-8} if method == "CG" else {}
+        x, f = minimize(fg, np.zeros(3), method=method, max_iter=500,
+                        **kw)
         tol = 1e-2 if method == "SD" else 1e-5
         assert np.abs(np.asarray(x) - x_star).max() < tol, method
