@@ -206,3 +206,62 @@ def test_dwave_pairing_symmetry_hfb():
     assert abs(abs(kx) - abs(ky)) < 1e-8     # C4-related magnitudes
     # filling pinned by the mu fit
     assert abs(np.trace(rA) + np.trace(rB) - nao) < 1e-5
+
+
+def test_sc_dmet_2d_attractive():
+    """Self-consistent SC-DMET on the 2D attractive Hubbard (2x2
+    impurity): the s-wave order parameter develops on the C4-symmetric
+    cell and the vcor iteration makes progress (bounded iteration count;
+    full convergence is exercised by the 1D loop)."""
+    from libdmet_preview_tpu.dmet import hubbard_bcs as dmet
+    from libdmet_preview_tpu.ops import spinless
+    from libdmet_preview_tpu.solvers import FCI
+
+    Lat = dmet.SquareLattice(4, 4, 2, 2)
+    Ham = dmet.Ham(Lat, -4.0)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    gham = dmet.GSOHam(Lat)
+    nao = Lat.nscsites
+    filling = 0.5
+
+    vcor = dmet.VcorSC(nao)
+    p0 = np.zeros(vcor.length())
+    nV = vcor.length() - nao * (nao + 1) // 2
+    # onsite s-wave seed on every site
+    k = 0
+    import itertools as it
+    for idx, (i, j) in enumerate(it.combinations_with_replacement(
+            range(nao), 2)):
+        if i == j:
+            p0[nV + idx] = 0.2
+    vcor.update(p0)
+
+    solver = FCI(restricted=True, ghf=True, tol=1e-9)
+    mu = -2.0
+    kap_max = 0.0
+    E_first = E_last = None
+    for it_n in range(3):
+        vmat = spinless.combine_vcor(np.asarray(vcor.get()))
+        GRho, mu, res = dmet.GHartreeFock(gham, filling, mu0=mu,
+                                          vcor_mat=vmat)
+        ImpHam, _, basis = dmet.ConstructImpHam(gham, GRho, mu,
+                                                vcor_mat=vmat)
+        rdm, E_emb, ImpHam_d, dmu = dmet.SolveImpHam_with_fitting(
+            gham, filling, ImpHam, basis, solver, thrnelec=1e-5,
+            max_iter=8)
+        GRhoImp, Efrag, n = dmet.transformResults(rdm, E_emb, basis,
+                                                  ImpHam_d, gham, mu,
+                                                  last_dmu=dmu)
+        vcor_new, err = dmet.FitVcor(rdm, Lat, basis, vcor, gham, mu,
+                                     MaxIter=100)
+        vcor.update(np.asarray(vcor_new.param))
+        rA, rB, kap = spinless.extract_rdm(GRhoImp)
+        kap_max = max(kap_max, float(np.max(np.abs(np.diag(kap)))))
+        if E_first is None:
+            E_first = Efrag
+        E_last = Efrag
+    assert abs(n - 2 * filling) < 1e-3
+    assert kap_max > 0.05
+    # C4 symmetry of the onsite anomalous density across the 2x2 cell
+    dkap = np.abs(np.diag(kap) - np.diag(kap).mean()).max()
+    assert dkap < 0.05
