@@ -205,12 +205,16 @@ class _AmpDIIS(object):
 
 
 def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
-                      freeze_t1=False, lambda_sweeps=None):
+                      freeze_t1=False, lambda_sweeps=None, ite_dtau=None):
     # lambda_sweeps is consumed by the ADJOINT solve (approximate-lambda
     # variants); it does not affect the amplitude fixed point
     """Preconditioned fixed point t <- t + R/D with DIIS.
 
-    freeze_t1=True solves CCD (singles pinned at zero)."""
+    freeze_t1=True solves CCD (singles pinned at zero).
+    ite_dtau: imaginary-time-evolution update t <- t + dtau * R instead of
+    the quasi-Newton R/D step (reference uccsd_ite/gccsd_ite role) --
+    unpreconditioned but robust for near-degenerate denominators;
+    converges for dtau < 2/|D|_max (DIIS accelerates either update)."""
     D1, D2 = _denominators(h_so, W, nocc)
     nvir = h_so.shape[0] - nocc
     t1 = jnp.zeros((nocc, nvir), h_so.dtype)
@@ -223,9 +227,15 @@ def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
         if freeze_t1:
             R1 = jnp.zeros_like(R1)
         rnorm = float(jnp.max(jnp.abs(R1)) + jnp.max(jnp.abs(R2)))
-        t1n = t1 + R1 / D1
-        t2n = t2 + R2 / D2
-        t1_, t2_ = diis.update([t1n, t2n], [R1 / D1, R2 / D2])
+        if ite_dtau is not None:
+            # D < 0 for a gapped reference, so the descent direction of
+            # the quasi-Newton step R/D is -R
+            s1, s2 = -ite_dtau * R1, -ite_dtau * R2
+        else:
+            s1, s2 = R1 / D1, R2 / D2
+        t1n = t1 + s1
+        t2n = t2 + s2
+        t1_, t2_ = diis.update([t1n, t2n], [s1, s2])
         t1, t2 = jnp.asarray(t1_), jnp.asarray(t2_)
         if rnorm < tol:
             conv = True
@@ -236,7 +246,10 @@ def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
 
 
 def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
-                   diis_space=8, freeze_t1=False, lambda_sweeps=None):
+                   diis_space=8, freeze_t1=False, lambda_sweeps=None,
+                   ite_dtau=None):
+    # ite_dtau only affects the amplitude iteration; the adjoint solve is
+    # a linear system independent of how the fixed point was reached
     """Solve (dR/dt)^T lam = -(w1, w2): the lambda equations as an adjoint
     linear system.  Krylov (LGMRES) on the Jacobi-preconditioned operator,
     with vjp products of the residual as the matvec -- robust even when the
@@ -528,6 +541,8 @@ class CCSD(object):
             opts = opts + (("freeze_t1", True),)
         if self.lambda_sweeps is not None:
             opts = opts + (("lambda_sweeps", int(self.lambda_sweeps)),)
+        if getattr(self, "ite_dtau", None) is not None:
+            opts = opts + (("ite_dtau", float(self.ite_dtau)),)
         return opts
 
     # -- integral unpacking ------------------------------------------
@@ -657,6 +672,18 @@ class LCCSD(CCSD):
 class LCCD(LCCSD):
     """Approximate-lambda CCD (reference lgccd.py role)."""
     freeze_t1 = True
+
+
+class CCSD_ITE(CCSD):
+    """CCSD with imaginary-time-evolution amplitude updates (reference
+    uccsd_ite.py / gccsd_ite.py role): same fixed point, damped
+    unpreconditioned steps."""
+
+    ite_dtau = 0.5
+
+    def __init__(self, *args, ite_dtau=0.5, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.ite_dtau = ite_dtau
 UCCD = GCCD = CCD
 
 

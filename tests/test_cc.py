@@ -212,3 +212,16 @@ def test_lambda_approx_ccsd():
         errs.append(np.abs(np.asarray(rdm_k) - np.asarray(rdm_exact)).max())
     assert errs[0] < 1e-3
     assert errs[1] < errs[0] * 0.2
+
+
+def test_ccsd_ite_updates():
+    """Imaginary-time-evolution amplitude updates (reference
+    uccsd_ite/gccsd_ite): same CCSD fixed point through damped
+    unpreconditioned steps."""
+    from libdmet_preview_tpu.solvers import CCSD
+    from libdmet_preview_tpu.solvers.cc import CCSD_ITE
+    Ham = random_integral(4, restricted=True, seed=5)
+    _, E0 = CCSD(restricted=True, tol=1e-10).run(Ham, nelec=4)
+    _, E1 = CCSD_ITE(restricted=True, tol=1e-10, ite_dtau=0.4,
+                     max_cycle=500).run(Ham, nelec=4)
+    assert abs(E0 - E1) < 1e-8
