@@ -236,19 +236,19 @@ def test_sc_dmet_2d_attractive():
             p0[nV + idx] = 0.2
     vcor.update(p0)
 
-    solver = FCI(restricted=True, ghf=True, tol=1e-9)
+    solver = FCI(restricted=True, ghf=True, tol=1e-8)
     mu = -2.0
     kap_max = 0.0
     E_first = E_last = None
-    for it_n in range(3):
+    for it_n in range(2):
         vmat = spinless.combine_vcor(np.asarray(vcor.get()))
         GRho, mu, res = dmet.GHartreeFock(gham, filling, mu0=mu,
                                           vcor_mat=vmat)
         ImpHam, _, basis = dmet.ConstructImpHam(gham, GRho, mu,
                                                 vcor_mat=vmat)
         rdm, E_emb, ImpHam_d, dmu = dmet.SolveImpHam_with_fitting(
-            gham, filling, ImpHam, basis, solver, thrnelec=1e-5,
-            max_iter=8)
+            gham, filling, ImpHam, basis, solver, thrnelec=1e-4,
+            max_iter=5)
         GRhoImp, Efrag, n = dmet.transformResults(rdm, E_emb, basis,
                                                   ImpHam_d, gham, mu,
                                                   last_dmu=dmu)

@@ -144,12 +144,12 @@ def test_casscf():
     Ham = random_integral(4, restricted=True, seed=11)
     _, E_fci = FCI(restricted=True, tol=1e-12).run(Ham, nelec=4)
     # full window: exact regardless of rotations
-    mc_full = CASSCF(ncas=4, nelecas=4)
+    mc_full = CASSCF(ncas=4, nelecas=4, max_cycle=60)
     _, E_full = mc_full.run(Ham, nelec=4)
     assert abs(E_full - E_fci) < 1e-8
     # (2,2): at least as good as CASCI(2,2), never below FCI
     _, E_casci = CASCI(ncas=2, nelecas=2).run(Ham, nelec=4)
-    mc = CASSCF(ncas=2, nelecas=2)
+    mc = CASSCF(ncas=2, nelecas=2, max_cycle=25, tol=1e-6)
     rdm1, E_mc = mc.run(Ham, nelec=4)
     assert E_mc <= E_casci + 1e-10
     assert E_mc >= E_fci - 1e-9
