@@ -20,3 +20,34 @@ def scdm(C, return_piv=False):
     if return_piv:
         return C_loc, sel
     return C_loc
+
+
+def scdm_smear(C, mo_energy, mu, sigma, kind="erfc", return_piv=False):
+    """SCDM with smearing weights for entangled/metallic bands (reference
+    scdm.py:116-283 weight functions): columns are weighted by an
+    occupation-like window before the pivoted QR, so the selected
+    columns favor the physically occupied manifold.
+
+    kind: 'erfc' -> 0.5*erfc((e - mu)/sigma); 'gauss' ->
+    exp(-((e - mu)/sigma)^2); 'fermi' -> Fermi function."""
+    from scipy.special import erfc
+    e = np.asarray(mo_energy)
+    x = (e - mu) / sigma
+    if kind == "erfc":
+        w = 0.5 * erfc(x)
+    elif kind == "gauss":
+        w = np.exp(-x ** 2)
+    elif kind == "fermi":
+        w = 1.0 / (np.exp(np.clip(x, -100, 100)) + 1.0)
+    else:
+        raise ValueError("unknown smearing kind %s" % kind)
+    Cw = np.asarray(C) * w[None, :]
+    Q, R, piv = sla.qr(Cw.T, pivoting=True)
+    sel = piv[:C.shape[1]]
+    X = Cw[sel, :]
+    u, _, vt = np.linalg.svd(X.T, full_matrices=False)
+    W = u @ vt
+    C_loc = np.asarray(C) @ W
+    if return_piv:
+        return C_loc, sel
+    return C_loc

@@ -365,3 +365,19 @@ def test_minimize_dispatcher():
                         **kw)
         tol = 1e-2 if method == "SD" else 1e-5
         assert np.abs(np.asarray(x) - x_star).max() < tol, method
+
+
+def test_scdm_smear():
+    """Smeared SCDM (reference weight-function SCDM for entangled
+    bands): the rotation is orthogonal (span preserved) and the pivots
+    avoid columns weighted out by the occupation window."""
+    from libdmet_preview_tpu.lo.scdm import scdm_smear
+    rng = np.random.RandomState(0)
+    C = np.linalg.qr(rng.randn(10, 6))[0]
+    e = np.array([-2.0, -1.5, -1.0, 5.0, 6.0, 7.0])
+    C_loc, piv = scdm_smear(C, e, mu=0.0, sigma=0.2, return_piv=True)
+    assert np.allclose(C_loc.T @ C_loc, np.eye(6), atol=1e-10)
+    assert np.allclose(C_loc @ C_loc.T, C @ C.T, atol=1e-10)
+    for kind in ("gauss", "fermi"):
+        C2 = scdm_smear(C, e, mu=0.0, sigma=0.2, kind=kind)
+        assert np.allclose(C2 @ C2.T, C @ C.T, atol=1e-10)
