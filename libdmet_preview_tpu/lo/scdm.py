@@ -51,3 +51,29 @@ def scdm_smear(C, mo_energy, mu, sigma, kind="erfc", return_piv=False):
     if return_piv:
         return C_loc, sel
     return C_loc
+
+
+def scdm_k(C_k, return_piv=False):
+    """k-point SCDM (reference scdm.py k-point path): one COMMON pivot
+    set chosen from the k-summed orbital weight (so the localized gauge
+    is translationally consistent), then a per-k orthogonal Procrustes
+    onto the selected rows.
+
+    C_k: complex (nk, nao, nmo) or a (re, im) pair.  Returns complex
+    (nk, nao, nmo) localized coefficients."""
+    if isinstance(C_k, (tuple, list)):
+        C_k = np.asarray(C_k[0]) + 1j * np.asarray(C_k[1])
+    C_k = np.asarray(C_k)
+    nk, nao, nmo = C_k.shape
+    dens = np.sum(np.abs(C_k) ** 2, axis=0)               # (nao, nmo)
+    Q, R, piv = sla.qr(dens.T, pivoting=True)
+    sel = piv[:nmo]
+    out = np.empty_like(C_k)
+    for k in range(nk):
+        X = C_k[k][sel, :]
+        u, _, vt = np.linalg.svd(X.conj().T, full_matrices=False)
+        W = u @ vt
+        out[k] = C_k[k] @ W
+    if return_piv:
+        return out, sel
+    return out

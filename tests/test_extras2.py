@@ -381,3 +381,22 @@ def test_scdm_smear():
     for kind in ("gauss", "fermi"):
         C2 = scdm_smear(C, e, mu=0.0, sigma=0.2, kind=kind)
         assert np.allclose(C2 @ C2.T, C @ C.T, atol=1e-10)
+
+
+def test_scdm_k():
+    """k-point SCDM: per-k unitary (span preserved) with one shared
+    pivot set; at the localized gauge the selected rows are
+    near-diagonal-dominant."""
+    from libdmet_preview_tpu.lo.scdm import scdm_k
+    rng = np.random.RandomState(1)
+    nk, nao, nmo = 4, 8, 3
+    C = np.linalg.qr(rng.randn(nk, nao, nao) +
+                     1j * rng.randn(nk, nao, nao))[0][:, :, :nmo]
+    C_loc, piv = scdm_k(C, return_piv=True)
+    assert len(set(piv.tolist())) == nmo
+    for k in range(nk):
+        P0 = C[k] @ C[k].conj().T
+        P1 = C_loc[k] @ C_loc[k].conj().T
+        assert np.abs(P0 - P1).max() < 1e-10
+        assert np.abs(C_loc[k].conj().T @ C_loc[k] - np.eye(nmo)).max() \
+            < 1e-10
