@@ -15,8 +15,14 @@ import jax.numpy as jnp
 from libdmet_preview_tpu.utils import logger as log
 
 
-def _maximize_rotation(C0, metric_fn, tol=1e-9, maxiter=2000, seed=7):
-    """Maximize metric_fn(C0 @ exp(K)) over antisymmetric K."""
+def _maximize_rotation(C0, metric_fn, tol=1e-9, maxiter=2000, seed=7,
+                       n_start=1):
+    """Maximize metric_fn(C0 @ exp(K)) over antisymmetric K.
+
+    n_start > 1 runs a pool of random starting rotations and keeps the
+    best maximum (the reference's ER model variant with a random-start
+    pool, edmiston.py:31-300) -- localization landscapes have spurious
+    stationary points."""
     from scipy.optimize import minimize as sp_minimize
     from jax.scipy.linalg import expm
     nmo = C0.shape[1]
@@ -38,12 +44,18 @@ def _maximize_rotation(C0, metric_fn, tol=1e-9, maxiter=2000, seed=7):
         v, g = vg(jnp.asarray(p))
         return float(v), np.asarray(g)
 
-    x0 = np.random.RandomState(seed).randn(nrot) * 1e-3
-    res = sp_minimize(fun, x0, jac=True, method="BFGS",
-                      options={"gtol": tol, "maxiter": maxiter})
     import scipy.linalg as sla
-    K = np.asarray(unpack(jnp.asarray(res.x)))
-    return C0 @ sla.expm(K), -float(res.fun)
+    rng = np.random.RandomState(seed)
+    best = None
+    for trial in range(max(1, int(n_start))):
+        scale = 1e-3 if trial == 0 else 0.5
+        x0 = rng.randn(nrot) * scale
+        res = sp_minimize(fun, x0, jac=True, method="BFGS",
+                          options={"gtol": tol, "maxiter": maxiter})
+        if best is None or res.fun < best.fun:
+            best = res
+    K = np.asarray(unpack(jnp.asarray(best.x)))
+    return C0 @ sla.expm(K), -float(best.fun)
 
 
 def pm_metric(C, ao_slices, S=None, power=2):

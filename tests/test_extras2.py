@@ -400,3 +400,19 @@ def test_scdm_k():
         assert np.abs(P0 - P1).max() < 1e-10
         assert np.abs(C_loc[k].conj().T @ C_loc[k] - np.eye(nmo)).max() \
             < 1e-10
+
+
+def test_er_random_start_pool():
+    """ER localization with a random-start pool (reference edmiston.py
+    model variant): the pooled maximum is never worse than the single
+    start."""
+    from libdmet_preview_tpu.lo.localize import localize_er
+    rng = np.random.RandomState(3)
+    A = rng.randn(6, 4, 4)
+    A = A + A.transpose(0, 2, 1)
+    eri = np.einsum("xpq, xrs -> pqrs", A, A)
+    C0 = np.linalg.qr(rng.randn(4, 3))[0]
+    C1, m1 = localize_er(C0, eri)
+    C3, m3 = localize_er(C0, eri, n_start=3)
+    assert m3 >= m1 - 1e-9
+    assert np.allclose(C3.T @ C3, np.eye(3), atol=1e-8)
