@@ -244,3 +244,45 @@ def get_emb_eri_mol(eri_full, basis):
         return t4(Cs[0], Cs[0])[None]
     return np.asarray([t4(Cs[0], Cs[0]), t4(Cs[1], Cs[1]),
                        t4(Cs[0], Cs[1])])
+
+
+def get_emb_eri_gso_gdf(factors, basis_k, ncells, nao, tr_symm=False):
+    """GSO (particle-hole transformed) embedding ERI from k-resolved GDF
+    factors (reference eri_transform.py:1104-1311 get_emb_eri_gso, the
+    GDF driver for ab initio superconducting DMET).
+
+    The ph-transformed two-body [aa: +g, bb: +g, ab: -g] of the spatial
+    g factorizes PER AUXILIARY VECTOR: with La/Lb the factors rotated by
+    the a/b species blocks of the GSO basis, g_gso = sum_x (La - Lb)
+    (x) (La - Lb)^*, so the kernel is the spinless one on the species
+    difference -- same momentum-conservation loop as get_emb_eri_gdf.
+
+    factors: {q: (F_re, F_im)} from make_gdf_factors over nao spatial
+    LOs; basis_k: (re, im) pair (1, nk, 2*nao, neo) GSO basis, rows
+    [:nao] = a species, [nao:] = b species per cell.
+    Returns the real (neo, neo, neo, neo) chemist GSO embedding ERI."""
+    Ca_re = jnp.asarray(basis_k[0][0][:, :nao, :])
+    Ca_im = jnp.asarray(basis_k[1][0][:, :nao, :])
+    Cb_re = jnp.asarray(basis_k[0][0][:, nao:, :])
+    Cb_im = jnp.asarray(basis_k[1][0][:, nao:, :])
+    neo = Ca_re.shape[-1]
+    eri = jnp.zeros((neo,) * 4)
+    if tr_symm:
+        items = [(q, f, 2.0 if (ncells - q) % ncells != q else 1.0)
+                 for q, f in factors.items()
+                 if q <= (ncells - q) % ncells]
+    else:
+        items = [(q, f, 1.0) for q, f in factors.items()]
+    for q, (F_re, F_im), w in items:
+        Fq = (jnp.asarray(F_re), jnp.asarray(F_im))
+        Gs, Hs = [], []
+        for C_re, C_im in ((Ca_re, Ca_im), (Cb_re, Cb_im)):
+            Cq = (jnp.roll(C_re, -q, axis=0), jnp.roll(C_im, -q, axis=0))
+            Cc = (C_re, -C_im)
+            Gs.append(_cplx_einsum("kpax, kpi, kaj -> xij", Fq, Cc, Cq))
+            Hs.append(_cplx_einsum("ksrx, krm, ksl -> xml", Fq, Cq, Cc))
+        G = (Gs[0][0] - Gs[1][0], Gs[0][1] - Gs[1][1])
+        H = (Hs[0][0] - Hs[1][0], Hs[0][1] - Hs[1][1])
+        eri = eri + w * (jnp.einsum("xij, xkl -> ijkl", G[0], H[0])
+                         + jnp.einsum("xij, xkl -> ijkl", G[1], H[1]))
+    return np.asarray(eri) / ncells ** 2

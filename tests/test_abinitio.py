@@ -455,3 +455,40 @@ def test_native_eri_core_matches_numpy():
         del os.environ["LIBDMET_TPU_NO_NATIVE"]
         native._TRIED = False
     assert np.abs(out - ref).max() < 1e-13
+
+
+def test_gso_gdf_kresolved_transform(hring6):
+    """GSO embedding ERI from k-resolved GDF factors (the reference's
+    get_emb_eri_gso GDF driver for ab initio superconducting DMET):
+    equals the brute-force species-blocked ph transform."""
+    from libdmet_preview_tpu.ops.eri_transform import (make_gdf_factors,
+                                                       get_emb_eri_gso_gdf)
+    from libdmet_preview_tpu.ops.spinless import transform_eri_local_gso
+    import jax.numpy as jnp
+    Lat, meta = hring6
+    nc, nao = Lat.ncells, Lat.nscsites
+    rng = np.random.RandomState(9)
+    neo = 4
+    nso = 2 * nao
+    basis = rng.randn(1, nc, nso, neo)
+    basis_k = Lat.R2k_basis(basis)
+    factors = make_gdf_factors(meta["eri_lo"], nc, nao)
+    g1 = get_emb_eri_gso_gdf(factors, basis_k, nc, nao)
+    # brute force: full-lattice dense GSO transform of the exact ERI
+    g = meta["eri_lo"]          # (nsite,)*4 full lattice
+    Ca = basis[0, :, :nao, :].reshape(nc * nao, neo)
+    Cb = basis[0, :, nao:, :].reshape(nc * nao, neo)
+    # dense route: g_gso = (aa-rot - bb-rot) applied to both index pairs
+    Taa = np.asarray(jnp.einsum("pqrs, pi, qj -> ijrs", jnp.asarray(g),
+                                jnp.asarray(Ca), jnp.asarray(Ca)))
+    Tbb = np.asarray(jnp.einsum("pqrs, pi, qj -> ijrs", jnp.asarray(g),
+                                jnp.asarray(Cb), jnp.asarray(Cb)))
+    D = Taa - Tbb
+    g2 = np.asarray(jnp.einsum("ijrs, rk, sl -> ijkl", jnp.asarray(D),
+                               jnp.asarray(Ca), jnp.asarray(Ca))) \
+        - np.asarray(jnp.einsum("ijrs, rk, sl -> ijkl", jnp.asarray(D),
+                                jnp.asarray(Cb), jnp.asarray(Cb)))
+    assert np.max(np.abs(g1 - g2)) < 1e-10
+    # tr_symm weights exact too
+    g3 = get_emb_eri_gso_gdf(factors, basis_k, nc, nao, tr_symm=True)
+    assert np.max(np.abs(g3 - g2)) < 1e-10
