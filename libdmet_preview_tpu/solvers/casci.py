@@ -201,10 +201,9 @@ class CASSCF(object):
         cas0 = CASCI(self.ncas, self.nelecas, fcisolver=self.fcisolver)
         _, E0 = cas0.run(Ham, nelec=nelec)
         C_core, C_cas, _ = cas0._cas
-        # complete to a full orthonormal set
+        # complete to a full orthonormal set: top eigenvectors of the
+        # orthogonal-complement projector
         C0 = np.hstack([C_core, C_cas])
-        q, _ = np.linalg.qr(np.eye(n) - C0 @ C0.T)
-        # pick nvirt orthonormal completion vectors
         resid = np.eye(n) - C0 @ C0.T
         w, v = np.linalg.eigh(resid)
         C_virt = v[:, -nvirt:] if nvirt > 0 else np.zeros((n, 0))
