@@ -147,3 +147,23 @@ def test_hub1d_finite_T():
     assert conv
     # beta = 50 at U/t = 4: close to the T = 0 result
     assert abs(EnergyImp - (-0.552733945102)) < 2e-2
+
+
+def test_run_dmet_driver():
+    """One-call driver (dmet.loop.run_dmet): reproduces the hand-written
+    NIB loop's reference energy on the 1D Hubbard chain."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.dmet.loop import run_dmet
+    from libdmet_preview_tpu.utils.config import DmetConfig
+
+    Lat = dmet.ChainLattice(18, 2)
+    Ham = dmet.Ham(Lat, 4.0)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    vcor = dmet.PMInitGuess([2], 4.0, 0.5)
+    cfg = DmetConfig(filling=0.5, restricted=False, int_bath=False,
+                     solver="FCI", max_iter=20)
+    res = run_dmet(Lat, vcor, cfg)
+    assert res.converged
+    assert abs(res.e_per_site - (-0.552733945102)) < 1e-4
+    assert abs(res.nelec_imp - 1.0) < 1e-4
+    assert len(res.history) >= 4
