@@ -238,7 +238,7 @@ def main():
     def run_np():
         return numpy_iteration(*[np.asarray(x) for x in inputs])
 
-    t_np = timeit(run_np, n=2)   # per iteration already (no fetch cost)
+    t_np = timeit(run_np, n=3)   # per iteration already (no fetch cost)
 
     print(json.dumps({
         "metric": "dmet_iteration_walltime_nk27",
