@@ -118,3 +118,61 @@ def run_dmet(lattice, vcor, config=None, solver=None, mu0=None):
     return DmetResult(conv, float(EnergyImp), float(nelecImp),
                       float(mu if mu is not None else 0.0), last_dmu,
                       vcor, np.asarray(rhoImp), history)
+
+
+def run_dmet_sc(lattice, vcor, filling, solver=None, max_iter=20,
+                mu0=0.0, diis_start=3, diis_dim=4, conv_tol_E=1e-6,
+                conv_tol_vcor=1e-5, thrnelec=1e-7, fit_max_iter=200):
+    """One-call SUPERCONDUCTING (GSO-frame) DMET driver (packaging of the
+    reference HubbardBCS/HubbardGSO example loops): HFB mean field with a
+    physical-mu fit, spinless bath + embedding, FCI(ghf) with a dmu
+    secant fit, Bogoliubov vcor fit, DIIS.
+
+    vcor: a Bogoliubov vcor (e.g. hubbard_bcs.VcorSC) with [va, vb, D]
+    components.  Returns a DmetResult (rho_imp = GRho_imp, incl. the
+    anomalous block)."""
+    from libdmet_preview_tpu.dmet import hubbard_bcs as bcs
+    from libdmet_preview_tpu.ops import spinless
+    from libdmet_preview_tpu.solvers import FCI
+
+    if solver is None:
+        solver = FCI(restricted=True, ghf=True, tol=1e-10)
+    gham = bcs.GSOHam(lattice)
+    adiis = DIIS(space=diis_dim)
+    mu = mu0
+    E_old = 0.0
+    history = []
+    conv = False
+    GRhoImp = Efrag = n = None
+    for it in range(max_iter):
+        vmat = spinless.combine_vcor(np.asarray(vcor.get()))
+        GRho, mu, res = bcs.GHartreeFock(gham, filling, mu0=mu,
+                                         vcor_mat=vmat)
+        ImpHam, _, basis = bcs.ConstructImpHam(gham, GRho, mu,
+                                               vcor_mat=vmat)
+        rdm, E_emb, ImpHam_d, dmu = bcs.SolveImpHam_with_fitting(
+            gham, filling, ImpHam, basis, solver, thrnelec=thrnelec)
+        GRhoImp, Efrag, n = bcs.transformResults(rdm, E_emb, basis,
+                                                 ImpHam_d, gham, mu,
+                                                 last_dmu=dmu)
+        vcor_new, err = bcs.FitVcor(rdm, lattice, basis, vcor, gham, mu,
+                                    MaxIter=fit_max_iter)
+        if it >= diis_start:
+            pvcor = adiis.update(np.asarray(vcor_new.param))
+        else:
+            pvcor = np.asarray(vcor_new.param)
+        dVcor = float(np.linalg.norm(pvcor - vcor.param)
+                      / max(len(vcor.param), 1))
+        vcor.update(pvcor)
+        dE = float(Efrag - E_old)
+        E_old = float(Efrag)
+        history.append({"iter": it, "E": float(Efrag),
+                        "nelec": float(n), "dE": dE, "dVcor": dVcor,
+                        "fit_err": float(err)})
+        log.result("SC-DMET iter %2d  E = %14.8f  dE = %8.2e  "
+                   "dVcor = %8.2e", it, Efrag, dE, dVcor)
+        if dVcor < conv_tol_vcor and abs(dE) < conv_tol_E and it > 3:
+            conv = True
+            break
+    return DmetResult(conv, float(Efrag), float(n), float(mu), 0.0,
+                      vcor, np.asarray(GRhoImp), history)

@@ -265,3 +265,27 @@ def test_sc_dmet_2d_attractive():
     # C4 symmetry of the onsite anomalous density across the 2x2 cell
     dkap = np.abs(np.diag(kap) - np.diag(kap).mean()).max()
     assert dkap < 0.05
+
+
+def test_run_dmet_sc_driver():
+    """One-call superconducting DMET driver (dmet.loop.run_dmet_sc):
+    converges on the attractive chain with an s-wave order parameter."""
+    from libdmet_preview_tpu.dmet import hubbard_bcs as dmet
+    from libdmet_preview_tpu.dmet.loop import run_dmet_sc
+    from libdmet_preview_tpu.ops import spinless
+
+    Lat = dmet.ChainLattice(12, 2)
+    Lat.set_Ham(dmet.Ham(Lat, -4.0), use_hcore_as_emb_ham=True)
+    vcor = dmet.VcorSC(2)
+    p0 = np.zeros(vcor.length())
+    nV = vcor.length() - 3
+    for k, (i, j) in enumerate([(0, 0), (0, 1), (1, 1)]):
+        if i == j:
+            p0[nV + k] = 0.2
+    vcor.update(p0)
+    res = run_dmet_sc(Lat, vcor, 0.5, mu0=-2.0, max_iter=20)
+    assert res.converged
+    assert abs(res.nelec_imp - 1.0) < 1e-5
+    rA, rB, kap = spinless.extract_rdm(res.rho_imp)
+    assert np.abs(kap).max() > 0.05
+    assert res.e_per_site < 0.0
