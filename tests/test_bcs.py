@@ -240,7 +240,7 @@ def test_sc_dmet_2d_attractive():
     mu = -2.0
     kap_max = 0.0
     E_first = E_last = None
-    for it_n in range(1):
+    for it_n in range(2):
         vmat = spinless.combine_vcor(np.asarray(vcor.get()))
         GRho, mu, res = dmet.GHartreeFock(gham, filling, mu0=mu,
                                           vcor_mat=vmat)
