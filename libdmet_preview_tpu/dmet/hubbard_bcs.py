@@ -25,7 +25,7 @@ from libdmet_preview_tpu.models.lattice import (
     ChainLattice, SquareLattice, CubicLattice)
 from libdmet_preview_tpu.models.hamiltonian import HubbardHamiltonian as Ham
 
-extractRdm = staticmethod if False else spinless.extract_rdm
+extractRdm = spinless.extract_rdm
 
 
 def HartreeFockBogoliubov(gham, vcor, filling, mu0=0.0, beta=np.inf,

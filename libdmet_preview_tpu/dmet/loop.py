@@ -62,6 +62,11 @@ def run_dmet(lattice, vcor, config=None, solver=None, mu0=None):
         solver = _make_solver(config)
     mu_solver = facade.MuSolver(adaptive=True)
     adiis = DIIS(space=config.diis_dim)
+    if config.use_hcore_as_emb_ham is not None:
+        lattice.use_hcore_as_emb_ham = config.use_hcore_as_emb_ham
+    charge_sc = config.charge_sc
+    if charge_sc is None:   # reference workflow default
+        charge_sc = config.int_bath and lattice.H2_format == "local"
 
     mu = mu0
     last_dmu = 0.0
@@ -72,7 +77,7 @@ def run_dmet(lattice, vcor, config=None, solver=None, mu0=None):
     for it in range(config.max_iter):
         rho, mu, res = facade.HartreeFock(lattice, vcor, config.filling,
                                           mu, beta=config.beta, ires=True)
-        if config.int_bath and lattice.H2_format == "local":
+        if charge_sc:
             lattice.update_Ham(np.asarray(rho)
                                * (2.0 if config.restricted else 1.0))
         ImpHam, H1e, basis = facade.ConstructImpHam(
@@ -82,7 +87,7 @@ def run_dmet(lattice, vcor, config=None, solver=None, mu0=None):
         solver_args = {"nelec": (lattice.ncore + lattice.nval) * 2}
         rhoEmb, EnergyEmb, ImpHam, dmu = mu_solver(
             lattice, config.filling, ImpHam, basis, solver, solver_args,
-            thrnelec=config.mu_thrnelec)
+            thrnelec=config.mu_thrnelec, step=config.mu_step)
         last_dmu += dmu
         rhoImp, EnergyImp, nelecImp = facade.transformResults(
             rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=lattice,
@@ -92,7 +97,9 @@ def run_dmet(lattice, vcor, config=None, solver=None, mu0=None):
         vcor_new, err = facade.FitVcor(rhoEmb, lattice, basis, vcor,
                                        config.beta, config.filling,
                                        MaxIter1=config.fit_max_iter,
-                                       MaxIter2=0)
+                                       MaxIter2=0,
+                                       method=config.fit_method,
+                                       imp_fit=config.fit_imp_only)
         if it >= config.trace_start and not vcor.restricted:
             ddiagV = np.average(np.diagonal(
                 (vcor_new.get() - vcor.get())[:2], 0, 1, 2))
@@ -111,6 +118,12 @@ def run_dmet(lattice, vcor, config=None, solver=None, mu0=None):
                         "dVcor": dVcor, "fit_err": float(err)})
         log.result("DMET iter %2d  E = %14.8f  dE = %8.2e  dVcor = %8.2e",
                    it, EnergyImp, dE, dVcor)
+        if config.chkfile:
+            from libdmet_preview_tpu.utils.chkfile import save_dmet_iter
+            save_dmet_iter(config.chkfile, mu if mu is not None else 0.0,
+                           last_dmu, vcor.param, rho_emb=rhoEmb,
+                           basis=basis, rho_imp=rhoImp,
+                           extra={"iter": it, "E": float(EnergyImp)})
         if dVcor < config.conv_tol_vcor and abs(dE) < config.conv_tol_E \
                 and it > 3:
             conv = True
@@ -140,6 +153,7 @@ def run_dmet_sc(lattice, vcor, filling, solver=None, max_iter=20,
     gham = bcs.GSOHam(lattice)
     adiis = DIIS(space=diis_dim)
     mu = mu0
+    last_dmu = 0.0
     E_old = 0.0
     history = []
     conv = False
@@ -150,8 +164,11 @@ def run_dmet_sc(lattice, vcor, filling, solver=None, max_iter=20,
                                          vcor_mat=vmat)
         ImpHam, _, basis = bcs.ConstructImpHam(gham, GRho, mu,
                                                vcor_mat=vmat)
+        # warm-start the secant dmu fit from the previous iteration's value
         rdm, E_emb, ImpHam_d, dmu = bcs.SolveImpHam_with_fitting(
-            gham, filling, ImpHam, basis, solver, thrnelec=thrnelec)
+            gham, filling, ImpHam, basis, solver, dmu0=last_dmu,
+            thrnelec=thrnelec)
+        last_dmu = dmu
         GRhoImp, Efrag, n = bcs.transformResults(rdm, E_emb, basis,
                                                  ImpHam_d, gham, mu,
                                                  last_dmu=dmu)
@@ -174,5 +191,5 @@ def run_dmet_sc(lattice, vcor, filling, solver=None, max_iter=20,
         if dVcor < conv_tol_vcor and abs(dE) < conv_tol_E and it > 3:
             conv = True
             break
-    return DmetResult(conv, float(Efrag), float(n), float(mu), 0.0,
+    return DmetResult(conv, float(Efrag), float(n), float(mu), last_dmu,
                       vcor, np.asarray(GRhoImp), history)

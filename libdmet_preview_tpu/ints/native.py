@@ -19,19 +19,37 @@ from libdmet_preview_tpu.utils import logger as log
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_gto_core.cpp")
-_SO = os.path.join(_HERE, "_gto_core.so")
+if os.access(_HERE, os.W_OK):
+    _SO = os.path.join(_HERE, "_gto_core.so")
+else:  # read-only install: build under the user cache dir instead
+    _CACHE = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "libdmet_preview_tpu")
+    os.makedirs(_CACHE, exist_ok=True)
+    _SO = os.path.join(_CACHE, "_gto_core.so")
 _LIB = None
 _TRIED = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    """Compile to a private temp file and os.rename into place: rename is
+    atomic on POSIX, so concurrent processes never observe a partially
+    written .so (they either load the old complete file or the new one)."""
+    tmp = "%s.tmp.%d" % (_SO, os.getpid())
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.rename(tmp, _SO)
         return True
     except Exception as e:  # compiler missing / sandboxed build dir
         log.warn("native integral core build failed (%s); "
                  "using the NumPy path", e)
+        try:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -326,9 +326,16 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
     if kwargs.get("test_grad", False):
         _test_grad(vcor.param, fun_grad)
 
-    x, err_end, gnorm = minimize_cg(fun_grad, vcor.param, max_iter=MaxIter,
-                                    ytol=kwargs.get("ytol", 1e-7),
-                                    gtol=kwargs.get("gtol", 1e-3))
+    method = kwargs.get("method", "CG").upper()
+    if method == "CG":
+        x, err_end, gnorm = minimize_cg(fun_grad, vcor.param,
+                                        max_iter=MaxIter,
+                                        ytol=kwargs.get("ytol", 1e-7),
+                                        gtol=kwargs.get("gtol", 1e-3))
+    else:
+        x, err_end = minimize(fun_grad, vcor.param, method=method,
+                              max_iter=MaxIter)
+        gnorm = float(np.max(np.abs(fun_grad(x)[1])))
 
     if CG_check or BFGS or gnorm > 1e-3:
         from scipy import optimize as opt

@@ -217,9 +217,6 @@ def _zrho_fermi_w_bwd(nelec, beta, res, cot):
     return gh_re, gh_im, jnp.zeros_like(weights)
 
 
-zrho_fermi_w = zrho_fermi_w  # placeholder for defvjp below
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def zrho_fermi(h_re, h_im, nelec, beta):
     """Grand-canonical density matrix rho = f_beta(H - mu) at fixed total

@@ -17,7 +17,11 @@ class DmetConfig:
     beta: float = np.inf                 # inverse temperature (occupations)
     restricted: bool = False
     int_bath: bool = True
-    use_hcore_as_emb_ham: bool = False
+    use_hcore_as_emb_ham: Optional[bool] = None   # None = keep lattice value
+    # charge self-consistency (Knizia update_Ham of the lattice Fock from
+    # the correlated density).  None = automatic (on for interacting bath
+    # with local H2, the reference workflow); True/False force it.
+    charge_sc: Optional[bool] = None
 
     # self-consistency loop
     max_iter: int = 20
@@ -50,7 +54,9 @@ class DmetConfig:
     def validate(self):
         assert 0.0 < self.filling < 1.0
         assert self.beta > 0
+        assert self.max_iter >= 1, "max_iter must be >= 1"
         assert self.solver in ("FCI", "CCSD", "MP2", "HF", "CASCI")
+        assert self.fit_method in ("CG", "BFGS", "trust-ncg", "SD")
         return self
 
 

@@ -145,3 +145,17 @@ def test_gdf_sharded_matches_serial():
         g_shard = get_emb_eri_gdf_sharded(mesh, factors, basis_k, nc, nlo,
                                           tr_symm=tr)
         assert np.max(np.abs(g_shard - g_serial)) < 1e-11
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dryrun_library_step():
+    """The driver-facing multichip dryrun: one full DMET iteration with the
+    library's sharded kernels on the 2-axis (k x aux) virtual mesh
+    (libdmet_preview_tpu/parallel/dryrun.py).  The module itself asserts
+    each sharded kernel against the serial path at 1e-8."""
+    from libdmet_preview_tpu.parallel.dryrun import run_dmet_iteration_sharded
+    res = run_dmet_iteration_sharded(8)
+    assert res["mesh"] == (4, 2)
+    assert np.isfinite(res["E_imp"])
+    assert abs(res["nelec_imp"] - 1.0) < 1e-5
+    assert max(res["err_mf"], res["err_h1"], res["err_eri"]) < 1e-8
