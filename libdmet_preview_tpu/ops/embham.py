@@ -188,6 +188,43 @@ def get_emb_basis(lattice, rdm1=None, local=True, kind="svd", **kwargs):
 embBasis = get_emb_basis
 
 
+def _bath_vectors(A):
+    """Left singular vectors + singular values of the tall (spin, nenv,
+    ncol) environment-impurity RDM block.
+
+    Fast path: the ncol x ncol Gram matrix eigendecomposition (sigma^2 =
+    eig(A^T A), u = A V / sigma, + Newton-Schulz orthonormalization) -- an
+    MXU-friendly GEMM + tiny eigh instead of the tall SVD (the slow f64 op
+    on TPU; the bench-validated bath construction now the library default).
+    Falls back to the exact SVD per spin channel whenever a singular value
+    is small enough (< 1e-6 * sigma_max) that the Gram square would lose
+    the truncation decision (tol_bath semantics, reference slater.py:181-196).
+    """
+    A = np.asarray(A)
+    spin, nenv, ncol = A.shape
+    if ncol == 0 or nenv == 0:
+        return np.zeros((spin, nenv, ncol)), np.zeros((spin, ncol))
+    G = np.einsum("spi, spj -> sij", A, A, optimize=True)
+    w, V = np.linalg.eigh(G)
+    w = w[:, ::-1]
+    V = V[:, :, ::-1]
+    smax = np.maximum(np.sqrt(np.maximum(w[:, 0], 0.0)), 1e-300)
+    sigma = np.sqrt(np.maximum(w, 0.0))
+    u = np.empty((spin, nenv, ncol))
+    eye = np.eye(ncol)
+    for s in range(spin):
+        if sigma[s, -1] < 1e-6 * smax[s]:
+            # ill-conditioned: exact thin SVD keeps sigma to full precision
+            u_s, sig_s, _ = np.linalg.svd(A[s], full_matrices=False)
+            u[s], sigma[s] = u_s, sig_s
+            continue
+        u[s] = A[s] @ V[s] / sigma[s][None, :]
+        for _ in range(2):   # Newton-Schulz cleanup of roundoff
+            g2 = u[s].T @ u[s]
+            u[s] = u[s] @ (1.5 * eye - 0.5 * g2)
+    return u, sigma
+
+
 def _get_emb_basis_svd(lattice, rdm1, **kwargs):
     imp_idx = list(kwargs.get("imp_idx", lattice.imp_idx))
     val_idx = list(kwargs.get("val_idx", lattice.val_idx))
@@ -222,11 +259,7 @@ def _get_emb_basis_svd(lattice, rdm1, **kwargs):
         rdm1_env_imp = rdm1.reshape(spin, ncells * nlo, nlo)[:, env_idx][:, :, imp_idx_bath]
 
     nbath_cols = len(imp_idx_bath)
-    # batched thin SVD on device
-    u, sigma, _ = np.linalg.svd(rdm1_env_imp, full_matrices=False) \
-        if rdm1_env_imp.shape[1] * rdm1_env_imp.shape[2] < 64 else \
-        [np.asarray(x) for x in jax.vmap(
-            partial(jnp.linalg.svd, full_matrices=False))(jnp.asarray(rdm1_env_imp))]
+    u, sigma = _bath_vectors(rdm1_env_imp)
 
     basis = np.zeros((spin, ncells * nlo, nimp + nbath_cols))
     nbath_final = nbath_cols

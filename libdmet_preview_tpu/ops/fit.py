@@ -173,6 +173,100 @@ def _fit_err_grad(param, embH1, dV, ovlp_chol_inv, fit_mask, rho_target,
 
 
 # ----------------------------------------------------------------------
+# device optimizer: the same Polak-Ribiere CG as minimize_cg below, but as
+# ONE traced lax.while_loop program -- the entire vcor fit runs in a single
+# device dispatch (no host round trip per objective evaluation; on the
+# tunneled TPU each hop costs more than the eigh itself)
+# ----------------------------------------------------------------------
+
+def _cg_engine(fg, x0, max_iter, ytol, gtol, dx_tol=1e-7):
+    """lax.while_loop Polak-Ribiere CG with backtracking-Armijo search.
+    fg: traceable x -> (f, grad).  Returns (x, f, max|g|)."""
+    from jax import lax
+    f0, g0 = fg(x0)
+    ytol = jnp.asarray(ytol, x0.dtype)
+    gtol = jnp.asarray(gtol, x0.dtype)
+    done0 = jnp.max(jnp.abs(g0)) < gtol * 0.1
+
+    def cond(st):
+        return (~st[7]) & (st[6] < max_iter)
+
+    def body(st):
+        x, f, g, d, step0, n_small, it, _ = st
+        dg0 = jnp.dot(g, d)
+        d = jnp.where(dg0 >= 0, -g, d)
+        dg = jnp.where(dg0 >= 0, -jnp.dot(g, g), dg0)
+
+        def ls_cond(ls):
+            return (~ls[3]) & (ls[4] < 30)
+
+        def ls_body(ls):
+            alpha, fN, gN, found, j = ls
+            f_try, g_try = fg(x + alpha * d)
+            ok = f_try <= f + 1e-4 * alpha * dg
+            fN = jnp.where(ok, f_try, fN)
+            gN = jnp.where(ok, g_try, gN)
+            return (jnp.where(ok, alpha, alpha * 0.4), fN, gN,
+                    found | ok, j + 1)
+
+        alpha, f_new, g_new, found, _ = lax.while_loop(
+            ls_cond, ls_body,
+            (step0, f, g, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+
+        step0_new = jnp.clip(alpha * 2.5, 1e-4, 1.0)
+        dx = jnp.max(jnp.abs(alpha * d)) if d.size else jnp.asarray(
+            0.0, x.dtype)
+        beta_pr = jnp.maximum(0.0, jnp.dot(g_new, g_new - g)
+                              / jnp.maximum(jnp.dot(g, g), 1e-30))
+        d_new = -g_new + beta_pr * d
+        df = f - f_new
+        n_small_new = jnp.where(df < ytol, n_small + 1, 0)
+        done = (~found) | (n_small_new >= 2) | (dx < dx_tol) \
+            | (jnp.max(jnp.abs(g_new)) < gtol * 0.1)
+        x_out = jnp.where(found, x + alpha * d, x)
+        f_out = jnp.where(found, f_new, f)
+        g_out = jnp.where(found, g_new, g)
+        d_out = jnp.where(found, d_new, d)
+        return (x_out, f_out, g_out, d_out, step0_new, n_small_new,
+                it + 1, done)
+
+    st = lax.while_loop(cond, body, (
+        x0, f0, g0, -g0, jnp.asarray(1.0, x0.dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), done0))
+    return st[0], st[1], jnp.max(jnp.abs(st[2]))
+
+
+@partial(jax.jit, static_argnames=("nelec", "thr_deg", "max_iter"))
+def _fit_cg_zero_t(p0, embH1, dV, Li, mask, target, ytol, gtol, nelec,
+                   thr_deg, max_iter):
+    def fg(p):
+        return _fit_err_grad(p, embH1, dV, Li, mask, target, nelec=nelec,
+                             thr_deg=thr_deg)
+    return _cg_engine(fg, p0, max_iter, ytol, gtol)
+
+
+@partial(jax.jit, static_argnames=("nelec2", "beta", "max_iter", "spin"))
+def _fit_cg_finite_t(p0, embH1, dV, Li, mask, target, ytol, gtol, nelec2,
+                     beta, max_iter, spin):
+    from libdmet_preview_tpu.ops.zlinalg import zrho_fermi
+
+    def err(p):
+        Heff = embH1 + jnp.einsum("P, Psij -> sij", p, dV)
+        Horth = jnp.einsum("spq, sqr, skr -> spk", Li, Heff, Li)
+        errs = 0.0
+        for s in range(spin):
+            r_re, _, _ = zrho_fermi(Horth[s], jnp.zeros_like(Horth[s]),
+                                    nelec2[s], beta)
+            rho1 = jnp.einsum("qp, qr, rk -> pk", Li[s], r_re,
+                              Li[s]) * mask[s]
+            errs = errs + jnp.sum((rho1 - target[s]) ** 2)
+        return jnp.sqrt(errs / spin)
+
+    fg = jax.value_and_grad(err)
+    return _cg_engine(fg, p0, max_iter, ytol, gtol)
+
+
+# ----------------------------------------------------------------------
 # host optimizer: CG with ytol/gtol stopping (reference fit.py semantics)
 # ----------------------------------------------------------------------
 
@@ -327,11 +421,22 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
         _test_grad(vcor.param, fun_grad)
 
     method = kwargs.get("method", "CG").upper()
+    ytol = kwargs.get("ytol", 1e-7)
+    gtol = kwargs.get("gtol", 1e-3)
     if method == "CG":
-        x, err_end, gnorm = minimize_cg(fun_grad, vcor.param,
-                                        max_iter=MaxIter,
-                                        ytol=kwargs.get("ytol", 1e-7),
-                                        gtol=kwargs.get("gtol", 1e-3))
+        # whole fit in ONE device dispatch (lax.while_loop CG); identical
+        # math to minimize_cg below
+        p0 = jnp.asarray(vcor.param)
+        if beta < np.inf:
+            x, err_end, gnorm = _fit_cg_finite_t(
+                p0, embH1_j, dV_j, Li_j, mask_j, target_j, ytol, gtol,
+                nelec2, float(beta), int(MaxIter), spin)
+        else:
+            x, err_end, gnorm = _fit_cg_zero_t(
+                p0, jnp.asarray(embH1), jnp.asarray(dV), jnp.asarray(Li),
+                jnp.asarray(mask), jnp.asarray(rho_target), ytol, gtol,
+                nelec, thr_deg, int(MaxIter))
+        x, err_end, gnorm = np.asarray(x), float(err_end), float(gnorm)
     else:
         x, err_end = minimize(fun_grad, vcor.param, method=method,
                               max_iter=MaxIter)

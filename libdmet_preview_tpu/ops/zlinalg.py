@@ -110,14 +110,33 @@ def zeigh_refined(h_re, h_im, iters=2, tau=1e-8):
     return lam, V
 
 
-# 0 = direct f64 eigh inside the Fermi-density ops; k > 0 = f32 seed +
-# k refinement iterations (opt-in fast path; see zeigh_refined)
-EIGH_REFINE = 0
+# Eigensolver used inside the Fermi-density ops:
+#   None = auto (f32 seed + 2 masked f64 refinement passes on TPU, where
+#          the direct f64 eigh is the slow op; direct eigh elsewhere),
+#   0    = direct f64 eigh,
+#   k>0  = f32 seed + k refinement iterations.
+# The refined path is validated to machine precision against the direct
+# eigh in tests/test_units.py.
+EIGH_REFINE = None
+_EIGH_REFINE_AUTO = None
+
+
+def _eigh_refine_level():
+    if EIGH_REFINE is not None:
+        return int(EIGH_REFINE)
+    global _EIGH_REFINE_AUTO
+    if _EIGH_REFINE_AUTO is None:
+        try:
+            _EIGH_REFINE_AUTO = 2 if jax.default_backend() == "tpu" else 0
+        except Exception:
+            _EIGH_REFINE_AUTO = 0
+    return _EIGH_REFINE_AUTO
 
 
 def _zeigh_mf(h_re, h_im):
-    if EIGH_REFINE:
-        return zeigh_refined(h_re, h_im, iters=int(EIGH_REFINE))
+    level = _eigh_refine_level()
+    if level:
+        return zeigh_refined(h_re, h_im, iters=level)
     return zeigh(h_re, h_im)
 
 
