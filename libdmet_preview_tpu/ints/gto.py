@@ -41,6 +41,13 @@ BASIS = {
         [(6.36242139, 0.15432897), (1.15892300, 0.53532814),
          (0.31364979, 0.44463454)],
     ],
+    # PySCF's MINAO reference basis for H (the cc-pVTZ occupied s
+    # contraction) -- the minimal reference the reference code's IAO
+    # construction uses by default (reference lo/iao.py:47 MINAO)
+    ("H", "minao"): [
+        [(33.87, 0.0060680), (5.095, 0.0453080), (1.159, 0.2028220),
+         (0.3258, 0.5039030), (0.1027, 0.3834210)],
+    ],
 }
 
 CHARGES = {"H": 1.0, "He": 2.0}

@@ -63,14 +63,17 @@ class PbcCell(object):
         self.coords = self.mole.coords
         self.nelectron = self.mole.nelectron
         self.precision = float(precision)
-        # pair-exponent floor sets both the real-space image cutoff and
-        # the reciprocal cutoff
+        # exponent floors set the real-space image cutoff (Gaussian
+        # product decay exp(-mu |A-B|^2), mu >= a_min/2) and the
+        # reciprocal cutoff (pair FT decay exp(-G^2/(4p)), p >= 2 a_min)
         exps = np.concatenate([[p[0] for p in sh[1]] for sh in self.shells])
         self.min_exp = float(exps.min())
-        p_min = 2.0 * self.min_exp * self.min_exp / (2.0 * self.min_exp)
         logt = -np.log(self.precision)
-        self.rcut = np.sqrt(logt / p_min) * 2.0
-        self.gmax = gmax if gmax is not None else np.sqrt(4.0 * p_min * logt)
+        mu_min = 0.5 * self.min_exp
+        self.rcut = np.sqrt(logt / mu_min) * 1.5
+        p_pair_min = 2.0 * self.min_exp
+        self.gmax = gmax if gmax is not None else \
+            1.2 * np.sqrt(4.0 * p_pair_min * logt)
         self.mesh = self._mesh_from_gmax(self.gmax)
 
     def _mesh_from_gmax(self, gmax):
@@ -160,7 +163,17 @@ class PbcCell(object):
 
     def ft_aopair(self, Gv):
         """f_IJ(G) = sum_T FT[chi_I chi_J(. - T)](G), (nG, nao, nao)
-        complex (the periodized pair density's Fourier coefficients)."""
+        complex (the periodized pair density's Fourier coefficients).
+        Cached for the cell's own mesh (reused by intor_nuc/intor_eri)."""
+        cached = getattr(self, "_ft_cache", None)
+        if cached is not None and cached[0].shape == Gv.shape \
+                and np.array_equal(cached[0][:8], Gv[:8]):
+            return cached[1]
+        f = self._ft_aopair_impl(Gv)
+        self._ft_cache = (Gv, f)
+        return f
+
+    def _ft_aopair_impl(self, Gv):
         Ts = self._pair_images()
         nao = self.nao
         nG = Gv.shape[0]
@@ -202,15 +215,89 @@ class PbcCell(object):
     # AFT 1- and 2-body matrices
     # ------------------------------------------------------------------
 
-    def intor_nuc(self, f=None, Gv=None, w=None):
-        """Electron-nucleus attraction with the G=0 term dropped
-        (background-compensated; PySCF AFT get_nuc convention)."""
-        if f is None:
-            Gv, w = self.coulG()
-            f = self.ft_aopair(Gv)
+    def intor_nuc(self, eta=None):
+        """Electron-nucleus attraction with the G=0 term of the FULL
+        kernel dropped (background-compensated; PySCF exxdiv=None /
+        AFT get_nuc convention), evaluated by Ewald splitting:
+
+          V = V_LR(G != 0, damped kernel 4 pi e^{-G^2/4 eta}/G^2)
+            + V_SR(real-space erfc attraction over images)
+            + (pi / (eta Omega)) Z_tot S_IJ        [G=0 of the SR split]
+
+        The bare AFT form converges only like exp(-G^2/(4 p_max)) with
+        the TIGHTEST pair exponent (the point-charge structure factor
+        never decays); the split restores fast convergence on the
+        standard mesh."""
+        logt = -np.log(self.precision)
+        if eta is None:
+            # LR branch must be converged on the existing mesh
+            eta = (self.gmax ** 2) / (4.0 * logt)
+        Gv, w = self.coulG()
+        G2 = np.einsum("gi, gi -> g", Gv, Gv)
+        wlr = w * np.exp(-G2 / (4.0 * eta))
+        f = self.ft_aopair(Gv)
         SF = np.einsum("a, ga -> g", self.charges,
                        np.exp(-1j * (Gv @ self.coords.T)))
-        V = -np.einsum("g, g, gij -> ij", w, SF, f.conj()).real / self.vol
+        V = -np.einsum("g, g, gij -> ij", wlr, SF, f.conj()).real / self.vol
+
+        # SR: real-space erfc attraction, images of both the pair and
+        # the nuclei.  For an s product Gaussian (exponent p, center P):
+        # int e^{-p(r-P)^2} erfc(sqrt(eta)|r-C|)/|r-C|
+        #   = (2 pi / p) [F0(p|PC|^2) - sqrt(eta/(p+eta))
+        #                 F0(p eta/(p+eta) |PC|^2)]
+        from libdmet_preview_tpu.ints.gto import boys0
+        rcut_eta = np.sqrt(logt / eta) + 2.0
+        ainv = np.linalg.inv(self.a)
+        nmax = [int(np.ceil((rcut_eta + self.rcut)
+                            * np.linalg.norm(ainv[:, i]))) + 1
+                for i in range(3)]
+        Tn = np.array(list(it.product(*[range(-n, n + 1) for n in nmax])))
+        Tall = Tn @ self.a
+        Ts_pair = self._pair_images()
+        nao = self.nao
+        Vsr = np.zeros((nao, nao))
+        nuc_imgs = (self.coords[:, None, :] + Tall[None, :, :]).reshape(-1, 3)
+        Zs = np.repeat(self.charges, Tall.shape[0])
+        for i, (ci, prim_i) in enumerate(self.shells):
+            ai = np.asarray([p[0] for p in prim_i])
+            di = np.asarray([p[1] for p in prim_i])
+            for j in range(i + 1):
+                cj, prim_j = self.shells[j]
+                aj = np.asarray([p[0] for p in prim_j])
+                dj = np.asarray([p[1] for p in prim_j])
+                a = ai[:, None]
+                b = aj[None, :]
+                p = (a + b).ravel()
+                mu = (a * b).ravel() / p
+                dd = (di[:, None] * dj[None, :]).ravel()
+                acc = 0.0
+                for Tvec in Ts_pair:
+                    Bj = cj + Tvec
+                    AB2 = np.sum((ci - Bj) ** 2)
+                    if AB2 * mu.min() > logt * 1.5:
+                        continue
+                    E = np.exp(-mu * AB2)
+                    P = (ai[:, None, None] * ci
+                         + aj[None, :, None] * Bj).reshape(-1, 3) \
+                        / p[:, None]
+                    PC2 = np.sum((P[:, None, :]
+                                  - nuc_imgs[None, :, :]) ** 2, axis=-1)
+                    # keep only nuclear images within the erfc range
+                    keep = PC2.min(axis=0) < (rcut_eta + 2.0) ** 2
+                    PC2 = PC2[:, keep]
+                    th = p * eta / (p + eta)
+                    val = boys0(p[:, None] * PC2) \
+                        - np.sqrt(eta / (p + eta))[:, None] \
+                        * boys0(th[:, None] * PC2)
+                    acc = acc + np.einsum(
+                        "x, x, a, xa ->", dd * E, 2.0 * np.pi / p,
+                        Zs[keep], val, optimize=True) * -1.0
+                Vsr[i, j] = Vsr[j, i] = acc
+        V = V + Vsr
+        # G=0 term of the SR reciprocal branch (pyscf's charged-background
+        # correction): +(pi/(eta Omega)) Z_tot S_IJ
+        S = self.intor_ovlp()
+        V = V + (np.pi / (eta * self.vol)) * self.charges.sum() * S
         return 0.5 * (V + V.T)
 
     def intor_hcore(self):
@@ -280,6 +367,36 @@ class PbcCell(object):
         ewg = (2.0 * np.pi / vol) * np.sum(
             np.exp(-G2[nz] / (4.0 * eta)) / G2[nz] * np.abs(SF) ** 2)
         return float(ewovrl + ewself + ewg)
+
+
+def cross_ovlp_pbc(cell1, cell2):
+    """Periodized cross overlap between the AOs of two PbcCell objects on
+    the same torus: S12[i, j] = <chi~_i^{(1)} | chi~_j^{(2)}> (s shells,
+    image-summed)."""
+    assert np.allclose(cell1.a, cell2.a)
+    Ts = cell1.lattice_images(max(cell1.rcut, cell2.rcut))
+    prec = min(cell1.precision, cell2.precision)
+    logt = -np.log(prec) * 1.5
+    S = np.zeros((cell1.nao, cell2.nao))
+    for i, (ci, prim_i) in enumerate(cell1.shells):
+        ai = np.asarray([p[0] for p in prim_i])
+        di = np.asarray([p[1] for p in prim_i])
+        for j, (cj, prim_j) in enumerate(cell2.shells):
+            aj = np.asarray([p[0] for p in prim_j])
+            dj = np.asarray([p[1] for p in prim_j])
+            a = ai[:, None]
+            b = aj[None, :]
+            p = a + b
+            mu = a * b / p
+            dd = di[:, None] * dj[None, :]
+            acc = 0.0
+            for Tvec in Ts:
+                AB2 = np.sum((ci - cj - Tvec) ** 2)
+                if AB2 * mu.min() > logt:
+                    continue
+                acc += np.sum(dd * (np.pi / p) ** 1.5 * np.exp(-mu * AB2))
+            S[i, j] = acc
+    return S
 
 
 def make_hchain_supercell(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",

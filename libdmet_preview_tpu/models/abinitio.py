@@ -213,6 +213,286 @@ def make_h_ring_lattice(ncells, atoms_per_cell=1, r_bond=1.8,
     return Lat, meta
 
 
+def _stripe_symm(M, ncells, nlo):
+    """Translation-symmetrized stripes <R|M|0> of a supercell matrix:
+    stripe[R] = (1/N) sum_c M[(R+c) block, c block]."""
+    M = np.asarray(M)
+    out = np.zeros((ncells, nlo, nlo))
+    for R in range(ncells):
+        for c in range(ncells):
+            r = (R + c) % ncells
+            out[R] += M[r * nlo:(r + 1) * nlo, c * nlo:(c + 1) * nlo]
+    return out / ncells
+
+
+def make_hchain_pbc_lattice(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
+                            localization="iao", minao_ref="minao",
+                            chol_tol=1e-9, gmax=None):
+    """Ab initio DMET lattice for the reference's periodic H-chain
+    workload (/root/reference/libdmet/test/test_self_consistency.py:40-55,
+    test_non_int_bath_uhf.py:30-60): HChain cell (nH hydrogens spaced R
+    along z, vacuum vac on x/y, all Angstrom), BvK torus of nk cells
+    (the [1, 1, nk] k-mesh), native Ewald-periodized integrals
+    (ints/pbc.py), RHF, IAO(+PAO) localization against the periodized
+    MINAO reference.
+
+    Energies are ELECTRONIC-only (H0 = 0), matching the reference's
+    E(DMET) convention (its KCCSD cross-check subtracts cell.energy_nuc,
+    test_self_consistency.py:255-258).
+
+    Returns (Lat, meta); meta carries the PbcCell, supercell integrals
+    and LO operators (meta['eri_lo'] drives charge self-consistency via
+    update_ham_dense)."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ints.pbc import (make_hchain_supercell,
+                                              cross_ovlp_pbc, PbcCell)
+    from libdmet_preview_tpu.solvers.scf import SCF, _veff_uhf
+
+    cell = make_hchain_supercell(nk=nk, nH=nH, R=R, vac=vac, basis=basis,
+                                 gmax=gmax)
+    natom = nk * nH
+    nao_atom = cell.nao // natom
+    nlo = nao_atom * nH                   # LOs per unit cell
+    nsite = cell.nao
+
+    S = cell.intor_ovlp()
+    hcore = cell.intor_hcore()
+    eri = cell.intor_eri()
+    e_nuc = cell.energy_nuc()
+
+    Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
+                       {"ccdd": eri[None]}, ovlp=S)
+    myscf = SCF()
+    myscf.set_system(cell.nelectron, 0, False, True)
+    myscf.set_integral(Ham_mol)
+    E_hf, dm = myscf.HF(tol=1e-12, MaxIter=300)
+
+    if localization == "iao":
+        from libdmet_preview_tpu.lo.iao import get_iao, get_iao_virt
+        cell_min = PbcCell(cell.atoms, cell.a, basis=minao_ref, unit="B")
+        nmin_atom = cell_min.nao // natom
+        S12 = cross_ovlp_pbc(cell, cell_min)
+        S2 = cell_min.intor_ovlp()
+        nocc = cell.nelectron // 2
+        C_occ = myscf.mo_coeff[0][:, :nocc]
+        C_iao = get_iao(S, S12, S2, C_occ)
+        virt_idx = [a * nao_atom + s for a in range(natom)
+                    for s in range(nmin_atom, nao_atom)]
+        C_pao = get_iao_virt(S, C_iao, virt_ao_idx=virt_idx)
+        niao_cell = nmin_atom * nH
+        npao_cell = nlo - niao_cell
+        cols = []
+        for c in range(nk):
+            for a in range(nH):
+                for s in range(nmin_atom):
+                    cols.append(C_iao[:, (c * nH + a) * nmin_atom + s])
+            for a in range(nH):
+                for s in range(nao_atom - nmin_atom):
+                    cols.append(C_pao[:, (c * nH + a)
+                                      * (nao_atom - nmin_atom) + s])
+        C = np.asarray(cols).T
+        nval_cell, nvirt_cell = niao_cell, npao_cell
+    elif localization == "lowdin":
+        C = lowdin(S)
+        nval_cell, nvirt_cell = nlo, 0
+    else:
+        raise ValueError("unknown localization %s" % localization)
+
+    h_lo = C.T @ hcore @ C
+    eri_lo = np.asarray(jax.jit(lambda g, c: jnp.einsum(
+        "pqrs, pi, qj, rk, sl -> ijkl", g, c, c, c, c,
+        optimize=True))(jnp.asarray(eri), jnp.asarray(C)))
+    SC = S @ C
+    rdm1_lo = SC.T @ (dm[0] + dm[1]) @ SC
+    va = np.asarray(_veff_uhf(
+        jnp.asarray(SC.T @ dm[0] @ SC), jnp.asarray(SC.T @ dm[1] @ SC),
+        jnp.asarray(eri_lo), jnp.asarray(eri_lo), jnp.asarray(eri_lo))[0])
+    fock_lo = h_lo + va
+
+    h_R = _stripe_symm(h_lo, nk, nlo)
+    fock_R = _stripe_symm(fock_lo, nk, nlo)
+    rdm1_R = _stripe_symm(rdm1_lo, nk, nlo)
+
+    chol_L = cholesky_eri(eri_lo, tol=chol_tol)
+    eri_imp = eri_lo[:nlo, :nlo, :nlo, :nlo].copy()
+
+    Lat = ChainLattice(nk * nlo, nlo)
+    # ELECTRONIC energy convention: H0 = 0 (reference E(DMET))
+    Ham = AbInitioHam(h_R, fock_R, chol_L, eri_imp, 0.0)
+    Lat.set_Ham_abinitio(Ham, rdm1=rdm1_R[None])
+    if nvirt_cell > 0:
+        Lat.set_val_virt_core(nval_cell, nvirt_cell, 0)
+    meta = {"cell": cell, "E_hf": E_hf, "E_hf_elec": E_hf - e_nuc,
+            "e_nuc": e_nuc, "C_ao_lo": C, "eri_lo": eri_lo, "h_lo": h_lo,
+            "fock_lo": fock_lo, "rdm1_lo": rdm1_lo, "nlo": nlo,
+            "nval": nval_cell, "nvirt": nvirt_cell, "S": S}
+    return Lat, meta
+
+
+def make_hchain_pbc_lattice_uhf(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
+                                minao_ref="minao", gmax=None):
+    """Spin-polarized (UHF) variant of make_hchain_pbc_lattice — the
+    reference's test_non_int_bath_uhf.py workload: AFM-seeded supercell
+    UHF, PER-SPIN IAO(+PAO) localization (the reference
+    make_basis.get_C_ao_lo_iao loops spin, make_basis.py:212-300), all
+    lattice operators and the unit-cell ERI blocks (aa, bb, ab) in the
+    spin-dependent LO bases.  Supports the NIB workflow (spin-blocked
+    eri_imp; no Cholesky interacting-bath factors)."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ints.pbc import (make_hchain_supercell,
+                                              cross_ovlp_pbc, PbcCell)
+    from libdmet_preview_tpu.solvers.scf import SCF, _veff_uhf
+    from libdmet_preview_tpu.lo.iao import get_iao, get_iao_virt
+
+    cell = make_hchain_supercell(nk=nk, nH=nH, R=R, vac=vac, basis=basis,
+                                 gmax=gmax)
+    natom = nk * nH
+    nao_atom = cell.nao // natom
+    nlo = nao_atom * nH
+    nsite = cell.nao
+
+    S = cell.intor_ovlp()
+    hcore = cell.intor_hcore()
+    eri = cell.intor_eri()
+    e_nuc = cell.energy_nuc()
+
+    # AFM initial guess: alternate atoms alpha/beta (reference
+    # test_non_int_bath_uhf.py:150-158 dm0)
+    dm0 = np.zeros((2, nsite, nsite))
+    for a in range(natom):
+        s = a % 2
+        for ao in range(nao_atom):
+            i = a * nao_atom + ao
+            dm0[s, i, i] = 1.0 / nao_atom
+    Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
+                       {"ccdd": eri[None]}, ovlp=S)
+    myscf = SCF()
+    myscf.set_system(cell.nelectron, 0, False, False)
+    myscf.set_integral(Ham_mol)
+    E_hf, dm = myscf.HF(tol=1e-12, MaxIter=500, InitGuess=dm0)
+
+    # per-spin IAO + PAO localization
+    cell_min = PbcCell(cell.atoms, cell.a, basis=minao_ref, unit="B")
+    nmin_atom = cell_min.nao // natom
+    S12 = cross_ovlp_pbc(cell, cell_min)
+    S2 = cell_min.intor_ovlp()
+    na = nb = cell.nelectron // 2
+    noccs = (na, nb)
+    virt_idx = [a * nao_atom + s for a in range(natom)
+                for s in range(nmin_atom, nao_atom)]
+    niao_cell = nmin_atom * nH
+    C = np.zeros((2, nsite, nsite))
+    for s in range(2):
+        C_occ = myscf.mo_coeff[s][:, :noccs[s]]
+        C_iao = get_iao(S, S12, S2, C_occ)
+        C_pao = get_iao_virt(S, C_iao, virt_ao_idx=virt_idx)
+        cols = []
+        for c in range(nk):
+            for a in range(nH):
+                for sh in range(nmin_atom):
+                    cols.append(C_iao[:, (c * nH + a) * nmin_atom + sh])
+            for a in range(nH):
+                for sh in range(nao_atom - nmin_atom):
+                    cols.append(C_pao[:, (c * nH + a)
+                                      * (nao_atom - nmin_atom) + sh])
+        C[s] = np.asarray(cols).T
+
+    # LO operators, per spin (basis is spin-dependent)
+    h_lo = np.asarray([C[s].T @ hcore @ C[s] for s in range(2)])
+    SC = np.asarray([S @ C[s] for s in range(2)])
+    rdm1_lo = np.asarray([SC[s].T @ dm[s] @ SC[s] for s in range(2)])
+
+    @jax.jit
+    def _rot4(g, ci, cj, ck, cl):
+        return jnp.einsum("pqrs, pi, qj, rk, sl -> ijkl", g, ci, cj, ck,
+                          cl, optimize=True)
+
+    eri_aa = np.asarray(_rot4(jnp.asarray(eri), *([jnp.asarray(C[0])] * 4)))
+    eri_bb = np.asarray(_rot4(jnp.asarray(eri), *([jnp.asarray(C[1])] * 4)))
+    eri_ab = np.asarray(_rot4(jnp.asarray(eri), jnp.asarray(C[0]),
+                              jnp.asarray(C[0]), jnp.asarray(C[1]),
+                              jnp.asarray(C[1])))
+    va, vb = [np.asarray(v) for v in _veff_uhf(
+        jnp.asarray(rdm1_lo[0]), jnp.asarray(rdm1_lo[1]),
+        jnp.asarray(eri_aa), jnp.asarray(eri_bb), jnp.asarray(eri_ab))]
+    fock_lo = np.asarray([h_lo[0] + va, h_lo[1] + vb])
+
+    h_R = np.asarray([_stripe_symm(h_lo[s], nk, nlo) for s in range(2)])
+    fock_R = np.asarray([_stripe_symm(fock_lo[s], nk, nlo)
+                         for s in range(2)])
+    rdm1_R = np.asarray([_stripe_symm(rdm1_lo[s], nk, nlo)
+                         for s in range(2)])
+
+    n4 = (slice(None, nlo),) * 4
+    eri_imp = np.asarray([eri_aa[n4], eri_bb[n4], eri_ab[n4]])
+
+    Lat = ChainLattice(nk * nlo, nlo)
+    Ham = AbInitioHam(h_R, fock_R, None, eri_imp, 0.0)
+    Lat.set_Ham_abinitio(Ham, rdm1=rdm1_R)
+    Lat.set_val_virt_core(niao_cell, nlo - niao_cell, 0)
+    meta = {"cell": cell, "E_hf": E_hf, "E_hf_elec": E_hf - e_nuc,
+            "e_nuc": e_nuc, "C_ao_lo": C, "h_lo": h_lo, "fock_lo": fock_lo,
+            "rdm1_lo": rdm1_lo, "nlo": nlo, "S": S,
+            "eri_lo": (eri_aa, eri_bb, eri_ab)}
+    return Lat, meta
+
+
+def update_ham_dense_uhf(Lat, meta, rdm1_lo_R):
+    """Spin-dependent-LO charge self-consistency: per-spin Fock rebuild
+    from the (2, R, n, n) per-spin LO density stripes with the
+    (aa, bb, ab) dense ERI blocks."""
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.solvers.scf import _veff_uhf
+    rdm1_lo_R = np.asarray(rdm1_lo_R)
+    ncells, nlo = rdm1_lo_R.shape[1], rdm1_lo_R.shape[-1]
+    dma, dmb = Lat.expand(rdm1_lo_R)
+    eri_aa, eri_bb, eri_ab = meta["eri_lo"]
+    va, vb = [np.asarray(v) for v in _veff_uhf(
+        jnp.asarray(dma), jnp.asarray(dmb), jnp.asarray(eri_aa),
+        jnp.asarray(eri_bb), jnp.asarray(eri_ab))]
+    h_lo = meta["h_lo"]
+    fock_R = np.asarray([_stripe_symm(h_lo[0] + va, ncells, nlo),
+                         _stripe_symm(h_lo[1] + vb, ncells, nlo)])
+    Lat.update_Ham(rdm1_lo_R, fock_lo_k=Lat._pairify(Lat.R2k(fock_R)))
+    Lat.fock_lo_R = fock_R
+
+
+def update_ham_dense(Lat, meta, rdm1_lo_R):
+    """Charge self-consistency for dense-ERI ab initio lattices
+    (the reference's Lat.update_Ham(rho*2) / update_Ham(rho),
+    lattice.py:565-589, for the H2_format='cholesky' case): rebuild the
+    lattice Fock from the LO density stripes using the full supercell ERI.
+
+    rdm1_lo_R: (R, n, n) spin-TRACED density (restricted workflow) or
+    (2, R, n, n) per-spin densities (unrestricted)."""
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.solvers.scf import _veff_uhf
+    rdm1_lo_R = np.asarray(rdm1_lo_R)
+    restricted = rdm1_lo_R.ndim == 3
+    if restricted:
+        ncells, nlo = rdm1_lo_R.shape[0], rdm1_lo_R.shape[-1]
+        dma = dmb = Lat.expand(rdm1_lo_R[None])[0] * 0.5
+    else:
+        ncells, nlo = rdm1_lo_R.shape[1], rdm1_lo_R.shape[-1]
+        dma, dmb = Lat.expand(rdm1_lo_R)
+    eri_lo = meta["eri_lo"]
+    va, vb = [np.asarray(v) for v in _veff_uhf(
+        jnp.asarray(dma), jnp.asarray(dmb), jnp.asarray(eri_lo),
+        jnp.asarray(eri_lo), jnp.asarray(eri_lo))]
+    if restricted:
+        fock_R = _stripe_symm(meta["h_lo"] + va, ncells, nlo)
+        Lat.update_Ham(rdm1_lo_R[None],
+                       fock_lo_k=Lat._pairify(Lat.R2k(fock_R)))
+    else:
+        fock_R = np.asarray([_stripe_symm(meta["h_lo"] + va, ncells, nlo),
+                             _stripe_symm(meta["h_lo"] + vb, ncells, nlo)])
+        Lat.update_Ham(rdm1_lo_R,
+                       fock_lo_k=Lat._pairify(Lat.R2k(fock_R)))
+    Lat.fock_lo_R = fock_R
+
+
 def attach_ks(Lat, meta, xc="lsda", hyb=0.0, n_rad=60, n_theta=12,
               n_phi=24):
     """Turn an H-ring HF lattice into a KS-DFT lattice for DFT-in-DMET

@@ -458,7 +458,10 @@ def _emb_H2(lattice, basis, vcor, int_bath=True, **kwargs):
         from libdmet_preview_tpu.ops.eri_transform import get_emb_eri_chol
         if int_bath:
             return get_emb_eri_chol(lattice.Ham.getH2(), basis)
-        return unit2emb(np.asarray((lattice.Ham.eri_imp,) * npair), neo)
+        eri_imp = np.asarray(lattice.Ham.eri_imp)
+        if eri_imp.ndim == 5:     # spin-blocked (aa, bb, ab) unit-cell ERI
+            return unit2emb(eri_imp, neo)
+        return unit2emb(np.asarray((eri_imp,) * npair), neo)
     LatH2 = np.asarray(lattice.getH2(kspace=False))
     if lattice.H2_format == "local":
         if int_bath:
