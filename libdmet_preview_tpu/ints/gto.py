@@ -50,7 +50,8 @@ BASIS = {
     ],
 }
 
-CHARGES = {"H": 1.0, "He": 2.0}
+CHARGES = {"H": 1.0, "He": 2.0, "Li": 3.0, "Be": 4.0, "B": 5.0, "C": 6.0,
+           "N": 7.0, "O": 8.0, "F": 9.0, "Ne": 10.0}
 
 
 def _norm_s(alpha):
