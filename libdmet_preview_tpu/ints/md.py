@@ -80,10 +80,13 @@ def boys(n, x):
 def E_table(l1, l2, Q, a, b):
     """Hermite expansion coefficients E_t^{ij} for one Cartesian direction.
 
-    Returns E[i, j, t], i <= l1, j <= l2, t <= i + j.  Q = A - B."""
+    Q = A - B may be a scalar or an ARRAY (e.g. one entry per lattice
+    image); returns E[i, j, t] with Q's shape appended, i <= l1,
+    j <= l2, t <= i + j."""
     p = a + b
     mu = a * b / p
-    E = np.zeros((l1 + 1, l2 + 1, l1 + l2 + 2))
+    Q = np.asarray(Q, dtype=float)
+    E = np.zeros((l1 + 1, l2 + 1, l1 + l2 + 2) + Q.shape)
     E[0, 0, 0] = np.exp(-mu * Q * Q)
     for i in range(l1 + 1):
         for j in range(l2 + 1):
@@ -105,22 +108,28 @@ def E_table(l1, l2, Q, a, b):
     return E
 
 
-def R_table(tmax, umax, vmax, alpha, PC, damp=None):
-    """Hermite Coulomb integrals R_{tuv} = (d/dPx)^t (d/dPy)^u (d/dPz)^v
+def R_table(tmax, umax, vmax, alpha, PC, kernel="coulomb"):
+    """Hermite kernel integrals R_{tuv} = (d/dPx)^t (d/dPy)^u (d/dPz)^v
     R_000 with R^n_000 = (-2 alpha)^n F_n(alpha |PC|^2).
 
-    PC: (..., 3).  Returns R[t, u, v] with trailing batch shape.
-    damp: optional scale s in (0, 1]; with damp = eta/(alpha+eta) the
-    kernel becomes erf(sqrt(alpha*s)... ) -- used for screened Coulomb:
-    pass alpha_eff = alpha * s and multiply the result by sqrt(s) OUTSIDE.
-    (kept for signature clarity; callers pre-scale)."""
-    PC = np.asarray(PC, dtype=float)
+    kernel='coulomb': F_n = Boys functions (1/r kernel).
+    kernel='gauss':   F_n(x) = e^{-x} (a Gaussian kernel e^{-alpha r^2};
+                      satisfies the same dF_n/dx = -F_{n+1} chain).
+                      Supports complex alpha (for complex-step
+                      derivatives w.r.t. the kernel exponent).
+    PC: (..., 3).  Returns R[t, u, v] with trailing batch shape."""
+    cplx = kernel == "gauss" and np.iscomplexobj(np.asarray(alpha))
+    PC = np.asarray(PC, dtype=complex if cplx else float)
     batch = PC.shape[:-1]
     nmax = tmax + umax + vmax
     T = alpha * np.sum(PC * PC, axis=-1)
-    F = boys(nmax, T)                      # (nmax+1,) + batch
+    if kernel == "coulomb":
+        F = boys(nmax, T)                  # (nmax+1,) + batch
+    else:
+        F = np.broadcast_to(np.exp(-T), (nmax + 1,) + batch).copy()
     # R^n accumulators
-    Rn = np.zeros((nmax + 1, tmax + 1, umax + 1, vmax + 1) + batch)
+    Rn = np.zeros((nmax + 1, tmax + 1, umax + 1, vmax + 1) + batch,
+                  dtype=F.dtype)
     for n in range(nmax + 1):
         Rn[n, 0, 0, 0] = (-2.0 * alpha) ** n * F[n]
     x, y, z = PC[..., 0], PC[..., 1], PC[..., 2]
@@ -195,6 +204,155 @@ def _pair_E3(sh1, sh2, shift=None):
             Ey = E_table(sh1.l, sh2.l, A[1] - B[1], a, b)
             Ez = E_table(sh1.l, sh2.l, A[2] - B[2], a, b)
             out.append((p, ca * cb, P, (Ex, Ey, Ez)))
+    return out
+
+
+def _pair_E3_imgs(sh1, sh2, shifts, logt=None):
+    """Per primitive pair with shell 2 at ALL image positions B + T:
+    yields (p, c12, P (nimg, 3), (Ex, Ey, Ez)) with E tables batched over
+    the image axis (trailing).
+
+    logt: optional PER-PRIMITIVE image screening -- images with Gaussian
+    pair decay exp(-mu |A-B-T|^2) below e^{-logt} are dropped (tight
+    primitives keep far fewer images than the shell-level cutoff)."""
+    A = sh1.center
+    shifts = np.atleast_2d(np.asarray(shifts, dtype=float))
+    Ball = sh2.center[None, :] + shifts                 # (nimg, 3)
+    d2all = np.einsum("ti, ti -> t", A[None, :] - Ball,
+                      A[None, :] - Ball)
+    out = []
+    for a, ca in zip(sh1.exps, sh1.coefs):
+        for b, cb in zip(sh2.exps, sh2.coefs):
+            p = a + b
+            mu = a * b / p
+            if logt is not None:
+                B = Ball[mu * d2all < logt]
+                if B.shape[0] == 0:
+                    continue
+            else:
+                B = Ball
+            P = (a * A[None, :] + b * B) / p
+            Es = [E_table(sh1.l, sh2.l, A[d] - B[:, d], a, b)
+                  for d in range(3)]
+            out.append((p, ca * cb, P, Es))
+    return out
+
+
+def ovlp_block_imgs(sh1, sh2, shifts, logt=None):
+    """Image-summed overlap block sum_T <a | b(. - T)>."""
+    out = np.zeros((sh1.nc, sh2.nc))
+    for p, c12, P, (Ex, Ey, Ez) in _pair_E3_imgs(sh1, sh2, shifts, logt):
+        pref = c12 * (np.pi / p) ** 1.5
+        for i, (l1, m1, n1) in enumerate(CART[sh1.l]):
+            for j, (l2, m2, n2) in enumerate(CART[sh2.l]):
+                out[i, j] += pref * np.sum(
+                    Ex[l1, l2, 0] * Ey[m1, m2, 0] * Ez[n1, n2, 0])
+    return out
+
+
+def kin_block_imgs(sh1, sh2, shifts, logt=None):
+    """Image-summed kinetic block."""
+    A = sh1.center
+    shifts = np.atleast_2d(np.asarray(shifts, dtype=float))
+    Ball = sh2.center[None, :] + shifts
+    d2all = np.einsum("ti, ti -> t", A[None, :] - Ball, A[None, :] - Ball)
+    out = np.zeros((sh1.nc, sh2.nc))
+    for a, ca in zip(sh1.exps, sh1.coefs):
+        for b, cb in zip(sh2.exps, sh2.coefs):
+            p = a + b
+            mu = a * b / p
+            if logt is not None:
+                B = Ball[mu * d2all < logt]
+                if B.shape[0] == 0:
+                    continue
+            else:
+                B = Ball
+            pref = ca * cb * (np.pi / p) ** 1.5
+            E3 = [E_table(sh1.l, sh2.l + 2, A[d] - B[:, d], a, b)
+                  for d in range(3)]
+
+            def S1(d, i, j):
+                if i < 0 or j < 0:
+                    return 0.0
+                return E3[d][i, j, 0]
+
+            def T1(d, i, j):
+                return (-2.0 * b * b * S1(d, i, j + 2)
+                        + b * (2 * j + 1) * S1(d, i, j)
+                        - 0.5 * j * (j - 1) * S1(d, i, j - 2))
+
+            for i, lmn1 in enumerate(CART[sh1.l]):
+                for j, lmn2 in enumerate(CART[sh2.l]):
+                    sx = S1(0, lmn1[0], lmn2[0])
+                    sy = S1(1, lmn1[1], lmn2[1])
+                    sz = S1(2, lmn1[2], lmn2[2])
+                    tx = T1(0, lmn1[0], lmn2[0])
+                    ty = T1(1, lmn1[1], lmn2[1])
+                    tz = T1(2, lmn1[2], lmn2[2])
+                    out[i, j] += pref * np.sum(
+                        tx * sy * sz + sx * ty * sz + sx * sy * tz)
+    return out
+
+
+def nuc_block_imgs(sh1, sh2, charges, coords, shifts, eta=None,
+                   screen="none", logt=None):
+    """Image-summed nuclear attraction: sum_T (a| V |b(. - T)) with the
+    charges at fixed positions `coords` (which may themselves enumerate
+    nuclear images).  Kernel options as nuc_block."""
+    coords = np.asarray(coords, dtype=float)
+    charges = np.asarray(charges, dtype=float)
+    out = np.zeros((sh1.nc, sh2.nc))
+    lsum = sh1.l + sh2.l
+    for p, c12, P, (Ex, Ey, Ez) in _pair_E3_imgs(sh1, sh2, shifts, logt):
+        PC = P[:, None, :] - coords[None, :, :]         # (nimg, natm, 3)
+        if screen == "none":
+            terms = [(p, 1.0)]
+        else:
+            s = eta / (p + eta)
+            if screen == "erf":
+                terms = [(p * s, np.sqrt(s))]
+            else:
+                terms = [(p, 1.0), (p * s, -np.sqrt(s))]
+        for alpha_eff, wfac in terms:
+            R = R_table(lsum, lsum, lsum, alpha_eff, PC)  # [t,u,v,img,atm]
+            RZ = np.einsum("tuvga, a -> tuvg", R, charges)
+            fac = c12 * (2.0 * np.pi / p) * wfac
+            for i, (l1, m1, n1) in enumerate(CART[sh1.l]):
+                for j, (l2, m2, n2) in enumerate(CART[sh2.l]):
+                    val = 0.0
+                    for t in range(l1 + l2 + 1):
+                        for u in range(m1 + m2 + 1):
+                            for v in range(n1 + n2 + 1):
+                                E3v = Ex[l1, l2, t] * Ey[m1, m2, u] \
+                                    * Ez[n1, n2, v]
+                                val = val + np.sum(E3v * RZ[t, u, v])
+                    out[i, j] -= fac * val
+    return out
+
+
+def gauss_block_imgs(sh1, sh2, beta, C, shifts, logt=None):
+    """Image-summed sum_T sum_A (a| e^{-beta |r-C_A|^2} |b(. - T));
+    beta may be complex (complex-step)."""
+    C = np.atleast_2d(np.asarray(C, dtype=float))
+    cplx = np.iscomplexobj(np.asarray(beta))
+    out = np.zeros((sh1.nc, sh2.nc), dtype=complex if cplx else float)
+    lsum = sh1.l + sh2.l
+    for p, c12, P, (Ex, Ey, Ez) in _pair_E3_imgs(sh1, sh2, shifts, logt):
+        gam = p * beta / (p + beta)
+        pref = c12 * (np.pi / (p + beta)) ** 1.5
+        PC = P[:, None, :] - C[None, :, :]
+        R = R_table(lsum, lsum, lsum, gam, PC, kernel="gauss")
+        Rs = R.sum(axis=-1)                              # over centers
+        for i, (l1, m1, n1) in enumerate(CART[sh1.l]):
+            for j, (l2, m2, n2) in enumerate(CART[sh2.l]):
+                val = 0.0
+                for t in range(l1 + l2 + 1):
+                    for u in range(m1 + m2 + 1):
+                        for v in range(n1 + n2 + 1):
+                            E3v = Ex[l1, l2, t] * Ey[m1, m2, u] \
+                                * Ez[n1, n2, v]
+                            val = val + np.sum(E3v * Rs[t, u, v])
+                out[i, j] += pref * val
     return out
 
 
@@ -377,6 +535,15 @@ GBASIS = {
         (0, list(zip([130.7093200, 23.8088610, 6.4436083], _C1S))),
         (0, list(zip([5.0331513, 1.1695961, 0.3803890], _C2S))),
         (1, list(zip([5.0331513, 1.1695961, 0.3803890], _C2P)))],
+    # CP2K GTH_BASIS_SETS single-zeta valence (for GTH pseudopotentials)
+    ("H", "gth-szv"): [
+        (0, [(8.3744350009, -0.0283380461), (1.8058681460, -0.1333810052),
+             (0.4852528328, -0.3995676063)])],
+    ("C", "gth-szv"): [
+        (0, [(4.3362376436, 0.1490797872), (1.2881838513, -0.0292640031),
+             (0.4037767149, -0.6882040510), (0.1187877657, -0.3964426906)]),
+        (1, [(4.3362376436, -0.0878123619), (1.2881838513, -0.2775560300),
+             (0.4037767149, -0.4712295093), (0.1187877657, -0.4058039291)])],
 }
 
 

@@ -43,30 +43,44 @@ BOHR_PER_ANGSTROM = 1.0 / 0.52917720859  # PySCF's BOHR constant
 
 
 class PbcCell(object):
-    """BvK supercell torus with s-shell Gaussian AOs.
+    """BvK supercell torus with Gaussian AOs of arbitrary Cartesian l
+    (general-l blocks from ints/md.py; the original s-only fast paths are
+    reproduced exactly by the general code, tests/test_hchain_pbc.py).
 
     atoms: [(symbol, xyz)], a: (3, 3) lattice vectors (rows), both in
-    bohr unless unit='A'."""
+    bohr unless unit='A'.  pseudo='gth-pade' replaces the bare nuclei by
+    GTH pseudopotentials (ints/gth.py): point charges Z_ion in the Ewald
+    machinery + short-ranged local remainder + s-channel projectors."""
 
     def __init__(self, atoms, a, basis="3-21g", unit="B", gmax=None,
-                 precision=1e-12):
+                 precision=1e-12, pseudo=None, basis_data=None):
+        from libdmet_preview_tpu.ints.md import MoleGeneral
         scale = BOHR_PER_ANGSTROM if unit.upper().startswith("A") else 1.0
         atoms = [(sym, np.asarray(xyz, float) * scale) for sym, xyz in atoms]
-        self.mole = Mole(atoms, basis=basis)
+        self.mole = MoleGeneral(atoms, basis=basis, basis_data=basis_data)
         self.atoms = atoms
         self.a = np.asarray(a, float) * scale
         self.b = 2.0 * np.pi * np.linalg.inv(self.a).T   # reciprocal rows
         self.vol = abs(np.linalg.det(self.a))
         self.shells = self.mole.shells
+        self.shell_slices = self.mole.shell_slices
         self.nao = self.mole.nao
-        self.charges = self.mole.charges
         self.coords = self.mole.coords
-        self.nelectron = self.mole.nelectron
+        self.pseudo = pseudo
+        if pseudo is None:
+            self.pps = None
+            self.charges = self.mole.charges
+        else:
+            from libdmet_preview_tpu.ints.gth import GTH_PADE
+            assert pseudo == "gth-pade"
+            self.pps = [GTH_PADE[sym] for sym, _ in atoms]
+            self.charges = np.asarray([pp["zion"] for pp in self.pps])
+        self.nelectron = int(round(self.charges.sum()))
         self.precision = float(precision)
         # exponent floors set the real-space image cutoff (Gaussian
         # product decay exp(-mu |A-B|^2), mu >= a_min/2) and the
         # reciprocal cutoff (pair FT decay exp(-G^2/(4p)), p >= 2 a_min)
-        exps = np.concatenate([[p[0] for p in sh[1]] for sh in self.shells])
+        exps = np.concatenate([sh.exps for sh in self.shells])
         self.min_exp = float(exps.min())
         logt = -np.log(self.precision)
         mu_min = 0.5 * self.min_exp
@@ -121,41 +135,45 @@ class PbcCell(object):
         Ts = self.lattice_images()
         return Ts
 
+    def _pair_image_list(self, shi, shj):
+        """Images T with non-negligible Gaussian pair overlap."""
+        logt = -np.log(self.precision) * 1.5
+        mu_min = (shi.exps.min() * shj.exps.min()
+                  / (shi.exps.min() + shj.exps.min()))
+        Ts = self._pair_images()
+        d = shi.center - shj.center - Ts
+        keep = np.einsum("ti, ti -> t", d, d) * mu_min < logt
+        return Ts[keep]
+
+    def _fill_lattice(self, block_imgs_fn):
+        """Generic lattice-summed 1-body assembly over shell pairs;
+        block_imgs_fn(shi, shj, shifts) returns the IMAGE-SUMMED block."""
+        nao = self.nao
+        out = np.zeros((nao, nao))
+        for i, shi in enumerate(self.shells):
+            i0, i1 = self.shell_slices[i]
+            for j in range(i + 1):
+                shj = self.shells[j]
+                j0, j1 = self.shell_slices[j]
+                imgs = self._pair_image_list(shi, shj)
+                acc = block_imgs_fn(shi, shj, imgs)
+                out[i0:i1, j0:j1] = acc
+                if i != j:
+                    out[j0:j1, i0:i1] = acc.T
+        # i == j off-diagonal-image asymmetry: symmetrize
+        return 0.5 * (out + out.T)
+
     def intor_ovlp(self):
-        return self._ovlp_kin()[0]
+        from libdmet_preview_tpu.ints.md import ovlp_block_imgs
+        logt = -np.log(self.precision) * 1.5
+        return self._fill_lattice(
+            lambda a, b, T: ovlp_block_imgs(a, b, T, logt=logt))
 
     def intor_kin(self):
-        return self._ovlp_kin()[1]
-
-    def _ovlp_kin(self):
-        Ts = self._pair_images()
-        nao = self.nao
-        S = np.zeros((nao, nao))
-        T = np.zeros((nao, nao))
-        for i, (ci, prim_i) in enumerate(self.shells):
-            ai = np.asarray([p[0] for p in prim_i])
-            di = np.asarray([p[1] for p in prim_i])
-            for j in range(i + 1):
-                cj, prim_j = self.shells[j]
-                aj = np.asarray([p[0] for p in prim_j])
-                dj = np.asarray([p[1] for p in prim_j])
-                a = ai[:, None]
-                b = aj[None, :]
-                p = a + b
-                mu = a * b / p
-                dd = di[:, None] * dj[None, :]
-                sv = tv = 0.0
-                for Tvec in Ts:
-                    AB2 = np.sum((ci - cj - Tvec) ** 2)
-                    if AB2 * mu.min() > -np.log(self.precision) * 1.5:
-                        continue
-                    E = np.exp(-mu * AB2)
-                    s = (np.pi / p) ** 1.5 * E
-                    sv = sv + np.sum(dd * s)
-                    tv = tv + np.sum(dd * mu * (3.0 - 2.0 * mu * AB2) * s)
-                S[i, j] = S[j, i] = sv
-                T[i, j] = T[j, i] = tv
-        return S, T
+        from libdmet_preview_tpu.ints.md import kin_block_imgs
+        logt = -np.log(self.precision) * 1.5
+        return self._fill_lattice(
+            lambda a, b, T: kin_block_imgs(a, b, T, logt=logt))
 
     # ------------------------------------------------------------------
     # torus pair Fourier transforms
@@ -174,41 +192,69 @@ class PbcCell(object):
         return f
 
     def _ft_aopair_impl(self, Gv):
-        Ts = self._pair_images()
+        """General-l pair FT: the Hermite-expanded Fourier transform
+        FT[Lambda_tuv](G) = (-iGx)^t (-iGy)^u (-iGz)^v (pi/p)^{3/2}
+                            e^{-G^2/4p} e^{-iG.P},
+        so  f_IJ(G) = sum_{imgs, prims} c12 sum_tuv E^x_t E^y_u E^z_v
+                      (-iG)^{tuv} (pi/p)^{3/2} e^{-G^2/4p} e^{-iG.P}."""
+        from libdmet_preview_tpu.ints.md import CART, E_table
         nao = self.nao
         nG = Gv.shape[0]
         G2 = np.einsum("gi, gi -> g", Gv, Gv)
         f = np.zeros((nG, nao, nao), dtype=np.complex128)
-        logt = -np.log(self.precision) * 1.5
-        for i, (ci, prim_i) in enumerate(self.shells):
-            ai = np.asarray([p[0] for p in prim_i])
-            di = np.asarray([p[1] for p in prim_i])
+        lmax2 = 2 * max(sh.l for sh in self.shells)
+        # powers of (-i G_d)^k, (3, lmax2+1, nG)
+        miG = np.empty((3, lmax2 + 1, nG), dtype=np.complex128)
+        for d in range(3):
+            miG[d, 0] = 1.0
+            for k in range(1, lmax2 + 1):
+                miG[d, k] = miG[d, k - 1] * (-1j * Gv[:, d])
+        from libdmet_preview_tpu.ints.md import _pair_E3_imgs
+        for i, shi in enumerate(self.shells):
+            i0, i1 = self.shell_slices[i]
             for j in range(i + 1):
-                cj, prim_j = self.shells[j]
-                aj = np.asarray([p[0] for p in prim_j])
-                dj = np.asarray([p[1] for p in prim_j])
-                a = ai[:, None]
-                b = aj[None, :]
-                p = a + b
-                mu = a * b / p
-                dd = di[:, None] * dj[None, :]
-                decay = np.exp(-G2[:, None] / (4.0 * p.ravel()[None, :]))
-                pref = (dd * (np.pi / p) ** 1.5).ravel()
-                acc = np.zeros(nG, dtype=np.complex128)
-                for Tvec in Ts:
-                    Bj = cj + Tvec
-                    AB2 = np.sum((ci - Bj) ** 2)
-                    if AB2 * mu.min() > logt:
-                        continue
-                    E = np.exp(-mu * AB2).ravel()
-                    P = ((a[..., None] * ci + b[..., None] * Bj)
-                         / p[..., None]).reshape(-1, 3)
-                    phase = np.exp(-1j * (Gv @ P.T))       # (nG, nprim2)
-                    acc = acc + (phase * decay) @ (pref * E)
-                f[:, i, j] = acc
+                shj = self.shells[j]
+                j0, j1 = self.shell_slices[j]
+                imgs = self._pair_image_list(shi, shj)
+                acc = np.zeros((shi.nc, shj.nc, nG), dtype=np.complex128)
+                logt_ft = -np.log(self.precision) * 1.5
+                lsum = shi.l + shj.l
+                # flat (t, u, v) term list with per-term (-iG)^tuv rows
+                tuv_list = [(t, u, v) for t in range(lsum + 1)
+                            for u in range(lsum + 1)
+                            for v in range(lsum + 1)]
+                mi_rows = np.stack([miG[0, t] * miG[1, u] * miG[2, v]
+                                    for (t, u, v) in tuv_list])  # (nt, nG)
+                for p, c12, P, (Ex, Ey, Ez) in _pair_E3_imgs(
+                        shi, shj, imgs, logt_ft):
+                    # (nimg, nG): image phases x radial decay
+                    base = (c12 * (np.pi / p) ** 1.5) \
+                        * np.exp(-1j * (P @ Gv.T)) \
+                        * np.exp(-G2 / (4.0 * p))[None, :]
+                    # E3all[(c1, c2), term, img]
+                    nimg = base.shape[0]
+                    E3all = np.empty((shi.nc, shj.nc, len(tuv_list), nimg))
+                    for ii, (l1, m1, n1) in enumerate(CART[shi.l]):
+                        for jj, (l2, m2, n2) in enumerate(CART[shj.l]):
+                            for it_, (t, u, v) in enumerate(tuv_list):
+                                if t > l1 + l2 or u > m1 + m2 \
+                                        or v > n1 + n2:
+                                    E3all[ii, jj, it_] = 0.0
+                                else:
+                                    E3all[ii, jj, it_] = (
+                                        Ex[l1, l2, t] * Ey[m1, m2, u]
+                                        * Ez[n1, n2, v])
+                    # Z[c1c2, term, G] = sum_img E3all . base  (BLAS)
+                    Z = E3all.reshape(-1, nimg) @ base
+                    Z = Z.reshape(shi.nc, shj.nc, len(tuv_list), nG)
+                    acc += np.einsum("cdtg, tg -> cdg", Z, mi_rows)
+                blk = np.moveaxis(acc, -1, 0)
+                f[:, i0:i1, j0:j1] = blk
                 if i != j:
-                    # swap roles: P symmetric in (i, j); f_JI = f_IJ
-                    f[:, j, i] = acc
+                    # the periodized pair function chi~_I chi~_J is a
+                    # pointwise product (order-free) and the image sum
+                    # covers both signs -> f_JI = f_IJ^T exactly
+                    f[:, j0:j1, i0:i1] = blk.transpose(0, 2, 1)
         return f
 
     # ------------------------------------------------------------------
@@ -240,12 +286,9 @@ class PbcCell(object):
                        np.exp(-1j * (Gv @ self.coords.T)))
         V = -np.einsum("g, g, gij -> ij", wlr, SF, f.conj()).real / self.vol
 
-        # SR: real-space erfc attraction, images of both the pair and
-        # the nuclei.  For an s product Gaussian (exponent p, center P):
-        # int e^{-p(r-P)^2} erfc(sqrt(eta)|r-C|)/|r-C|
-        #   = (2 pi / p) [F0(p|PC|^2) - sqrt(eta/(p+eta))
-        #                 F0(p eta/(p+eta) |PC|^2)]
-        from libdmet_preview_tpu.ints.gto import boys0
+        # SR: real-space erfc attraction (general l, image-batched),
+        # images of both the pair and the nuclei
+        from libdmet_preview_tpu.ints.md import nuc_block_imgs
         rcut_eta = np.sqrt(logt / eta) + 2.0
         ainv = np.linalg.inv(self.a)
         nmax = [int(np.ceil((rcut_eta + self.rcut)
@@ -253,52 +296,125 @@ class PbcCell(object):
                 for i in range(3)]
         Tn = np.array(list(it.product(*[range(-n, n + 1) for n in nmax])))
         Tall = Tn @ self.a
-        Ts_pair = self._pair_images()
-        nao = self.nao
-        Vsr = np.zeros((nao, nao))
-        nuc_imgs = (self.coords[:, None, :] + Tall[None, :, :]).reshape(-1, 3)
+        nuc_imgs = (self.coords[:, None, :]
+                    + Tall[None, :, :]).reshape(-1, 3)
         Zs = np.repeat(self.charges, Tall.shape[0])
-        for i, (ci, prim_i) in enumerate(self.shells):
-            ai = np.asarray([p[0] for p in prim_i])
-            di = np.asarray([p[1] for p in prim_i])
-            for j in range(i + 1):
-                cj, prim_j = self.shells[j]
-                aj = np.asarray([p[0] for p in prim_j])
-                dj = np.asarray([p[1] for p in prim_j])
-                a = ai[:, None]
-                b = aj[None, :]
-                p = (a + b).ravel()
-                mu = (a * b).ravel() / p
-                dd = (di[:, None] * dj[None, :]).ravel()
-                acc = 0.0
-                for Tvec in Ts_pair:
-                    Bj = cj + Tvec
-                    AB2 = np.sum((ci - Bj) ** 2)
-                    if AB2 * mu.min() > logt * 1.5:
-                        continue
-                    E = np.exp(-mu * AB2)
-                    P = (ai[:, None, None] * ci
-                         + aj[None, :, None] * Bj).reshape(-1, 3) \
-                        / p[:, None]
-                    PC2 = np.sum((P[:, None, :]
-                                  - nuc_imgs[None, :, :]) ** 2, axis=-1)
-                    # keep only nuclear images within the erfc range
-                    keep = PC2.min(axis=0) < (rcut_eta + 2.0) ** 2
-                    PC2 = PC2[:, keep]
-                    th = p * eta / (p + eta)
-                    val = boys0(p[:, None] * PC2) \
-                        - np.sqrt(eta / (p + eta))[:, None] \
-                        * boys0(th[:, None] * PC2)
-                    acc = acc + np.einsum(
-                        "x, x, a, xa ->", dd * E, 2.0 * np.pi / p,
-                        Zs[keep], val, optimize=True) * -1.0
-                Vsr[i, j] = Vsr[j, i] = acc
-        V = V + Vsr
+
+        def sr_block(shi, shj, imgs, chunk=24):
+            out = np.zeros((shi.nc, shj.nc))
+            for c0 in range(0, len(imgs), chunk):
+                ims = imgs[c0:c0 + chunk]
+                # screen nuclear images by distance to this chunk's pair
+                # center cloud
+                mids = 0.5 * (shi.center + shj.center + ims)
+                span = 0.5 * np.max(np.linalg.norm(
+                    shi.center - shj.center - ims, axis=1)) \
+                    + rcut_eta + 2.0
+                d2 = np.min(np.sum(
+                    (nuc_imgs[None, :, :] - mids[:, None, :]) ** 2,
+                    axis=-1), axis=0)
+                keep = d2 < span * span
+                if not np.any(keep):
+                    continue
+                out += nuc_block_imgs(shi, shj, Zs[keep], nuc_imgs[keep],
+                                      ims, eta=eta, screen="erfc",
+                                      logt=logt * 1.5)
+            return out
+
+        V = V + self._fill_lattice(sr_block)
         # G=0 term of the SR reciprocal branch (pyscf's charged-background
         # correction): +(pi/(eta Omega)) Z_tot S_IJ
         S = self.intor_ovlp()
         V = V + (np.pi / (eta * self.vol)) * self.charges.sum() * S
+
+        # GTH pseudopotential short-ranged pieces: local remainder
+        # (+Z erfc/r + Gaussian polynomial) and s-channel projectors,
+        # lattice-summed (the -Z_ion/r long-range tail is already in the
+        # Ewald point-charge machinery above via self.charges = Z_ion)
+        if self.pps is not None:
+            V = V + self._pp_sr_matrix()
         return 0.5 * (V + V.T)
+
+    def _pp_sr_matrix(self):
+        """Short-ranged GTH terms, lattice-summed (image-batched).  The
+        nonlocal part is sum_{A,T} <a|p_{A+T}> h <p_{A+T}|b> with the
+        FULL projector-AO overlap lattice sums (periodized projectors)."""
+        from libdmet_preview_tpu.ints.gth import gth_projectors
+        from libdmet_preview_tpu.ints.md import (nuc_block_imgs,
+                                                 gauss_block_imgs,
+                                                 ovlp_block_imgs)
+        nao = self.nao
+        logt = -np.log(self.precision) * 1.5
+        Ts = self._pair_images()
+
+        # group atoms by pseudopotential species (batch their images)
+        groups = {}
+        for A, pp in enumerate(self.pps):
+            groups.setdefault(id(pp), (pp, []))[1].append(A)
+
+        def loc_block(shi, shj, imgs, chunk=24):
+            out = np.zeros((shi.nc, shj.nc))
+            p_min = shi.exps.min() + shj.exps.min()
+            for _, (pp, idxA) in groups.items():
+                eta_A = 1.0 / (2.0 * pp["rloc"] ** 2)
+                zion = pp["zion"]
+                ctrs = (np.asarray([self.coords[A] for A in idxA])
+                        [:, None, :] + Ts[None, :, :]).reshape(-1, 3)
+                rng = np.sqrt(logt / min(eta_A, p_min)) + 2.0
+                for c0 in range(0, len(imgs), chunk):
+                    ims = imgs[c0:c0 + chunk]
+                    mids = 0.5 * (shi.center + shj.center + ims)
+                    span = 0.5 * np.max(np.linalg.norm(
+                        shi.center - shj.center - ims, axis=1)) + rng
+                    d2 = np.min(np.sum(
+                        (ctrs[None, :, :] - mids[:, None, :]) ** 2,
+                        axis=-1), axis=0)
+                    keep = d2 < span * span
+                    if not np.any(keep):
+                        continue
+                    Ck = ctrs[keep]
+                    # erfc remainder: nuc with charge -Z_ion gives
+                    # +Z_ion * erfc kernel
+                    out += nuc_block_imgs(shi, shj, [-zion] * len(Ck),
+                                          Ck, ims, eta=eta_A,
+                                          screen="erfc", logt=logt)
+                    cloc = pp["cloc"]
+                    if cloc:
+                        h = 1e-200
+                        g = gauss_block_imgs(shi, shj, eta_A + 1j * h,
+                                             Ck, ims, logt=logt)
+                        out += cloc[0] * g.real
+                        if len(cloc) > 1:
+                            out += cloc[1] * (-(g.imag / h)) \
+                                / (pp["rloc"] ** 2)
+                        if len(cloc) > 2:
+                            raise NotImplementedError("GTH C3/C4 terms")
+            return out
+
+        V = self._fill_lattice(loc_block)
+
+        # nonlocal: <chi~_I | p_{A,T}> as image-batched overlap sums
+        projs = []
+        for A, pp in enumerate(self.pps):
+            sh_p, hs = gth_projectors(pp, self.coords[A])
+            for shp, h11 in zip(sh_p, hs):
+                projs.append((shp, h11))
+        if projs:
+            ov = np.zeros((len(projs), nao))
+            for ipr, (shp, h11) in enumerate(projs):
+                for i, shi in enumerate(self.shells):
+                    i0, i1 = self.shell_slices[i]
+                    mu_min = (shp.exps.min() * shi.exps.min()
+                              / (shp.exps.min() + shi.exps.min()))
+                    d = shi.center + Ts - shp.center
+                    keep = np.einsum("ti, ti -> t", d, d) * mu_min < logt
+                    if not np.any(keep):
+                        continue
+                    ov[ipr, i0:i1] = ovlp_block_imgs(shp, shi,
+                                                     Ts[keep])[0]
+            h_diag = np.asarray([h for _, h in projs])
+            V = V + np.einsum("p, pi, pj -> ij", h_diag, ov, ov)
+        return V
 
     def intor_hcore(self):
         return self.intor_kin() + self.intor_nuc()
@@ -371,31 +487,26 @@ class PbcCell(object):
 
 def cross_ovlp_pbc(cell1, cell2):
     """Periodized cross overlap between the AOs of two PbcCell objects on
-    the same torus: S12[i, j] = <chi~_i^{(1)} | chi~_j^{(2)}> (s shells,
-    image-summed)."""
+    the same torus: S12[i, j] = <chi~_i^{(1)} | chi~_j^{(2)}>
+    (general l, image-summed)."""
+    from libdmet_preview_tpu.ints.md import ovlp_block
     assert np.allclose(cell1.a, cell2.a)
     Ts = cell1.lattice_images(max(cell1.rcut, cell2.rcut))
     prec = min(cell1.precision, cell2.precision)
     logt = -np.log(prec) * 1.5
     S = np.zeros((cell1.nao, cell2.nao))
-    for i, (ci, prim_i) in enumerate(cell1.shells):
-        ai = np.asarray([p[0] for p in prim_i])
-        di = np.asarray([p[1] for p in prim_i])
-        for j, (cj, prim_j) in enumerate(cell2.shells):
-            aj = np.asarray([p[0] for p in prim_j])
-            dj = np.asarray([p[1] for p in prim_j])
-            a = ai[:, None]
-            b = aj[None, :]
-            p = a + b
-            mu = a * b / p
-            dd = di[:, None] * dj[None, :]
-            acc = 0.0
-            for Tvec in Ts:
-                AB2 = np.sum((ci - cj - Tvec) ** 2)
-                if AB2 * mu.min() > logt:
-                    continue
-                acc += np.sum(dd * (np.pi / p) ** 1.5 * np.exp(-mu * AB2))
-            S[i, j] = acc
+    for i, shi in enumerate(cell1.shells):
+        i0, i1 = cell1.shell_slices[i]
+        for j, shj in enumerate(cell2.shells):
+            j0, j1 = cell2.shell_slices[j]
+            mu_min = (shi.exps.min() * shj.exps.min()
+                      / (shi.exps.min() + shj.exps.min()))
+            d = shi.center - shj.center - Ts
+            keep = np.einsum("ti, ti -> t", d, d) * mu_min < logt
+            acc = np.zeros((shi.nc, shj.nc))
+            for Tvec in Ts[keep]:
+                acc += ovlp_block(shi, shj, shift=Tvec)
+            S[i0:i1, j0:j1] = acc
     return S
 
 

@@ -493,6 +493,75 @@ def update_ham_dense(Lat, meta, rdm1_lo_R):
     Lat.fock_lo_R = fock_R
 
 
+def make_diamond_lattice(nk=2, a_ang=3.567, basis="gth-szv",
+                         pseudo="gth-pade", gmax=None, chol_tol=1e-8):
+    """Ab initio DMET lattice for DIAMOND (the north-star solid,
+    BASELINE.json): fcc primitive cell (2 C), GTH-SZV valence basis +
+    GTH-PADE pseudopotentials, BvK torus of nk cells along the third
+    primitive vector, all through the native general-l integral engine
+    (ints/md.py + ints/gth.py + ints/pbc.py).
+
+    Returns (Lat, meta): Lowdin LOs (SZV is minimal -> all valence),
+    Cholesky-factorized supercell ERI, H0 = Ewald ion energy per cell."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ints.pbc import PbcCell, BOHR_PER_ANGSTROM
+    from libdmet_preview_tpu.solvers.scf import SCF, _veff_uhf
+
+    a0 = a_ang * BOHR_PER_ANGSTROM
+    P = 0.5 * a0 * np.asarray([[0.0, 1.0, 1.0],
+                               [1.0, 0.0, 1.0],
+                               [1.0, 1.0, 0.0]])
+    basis_cell = [np.zeros(3), 0.25 * a0 * np.ones(3)]
+    atoms = []
+    for c in range(nk):
+        for pos in basis_cell:
+            atoms.append(("C", pos + c * P[2]))
+    a_sc = np.asarray([P[0], P[1], nk * P[2]])
+    cell = PbcCell(atoms, a_sc, basis=basis, unit="B", pseudo=pseudo,
+                   gmax=gmax)
+    nlo = cell.nao // nk
+    nsite = cell.nao
+
+    S = cell.intor_ovlp()
+    hcore = cell.intor_hcore()
+    eri = cell.intor_eri()
+    e_nuc = cell.energy_nuc()
+
+    Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
+                       {"ccdd": eri[None]}, ovlp=S)
+    myscf = SCF()
+    myscf.set_system(cell.nelectron, 0, False, True)
+    myscf.set_integral(Ham_mol)
+    E_hf, dm = myscf.HF(tol=1e-11, MaxIter=300)
+
+    C = lowdin(S)
+    h_lo = C.T @ hcore @ C
+    eri_lo = np.asarray(jax.jit(lambda g, c: jnp.einsum(
+        "pqrs, pi, qj, rk, sl -> ijkl", g, c, c, c, c,
+        optimize=True))(jnp.asarray(eri), jnp.asarray(C)))
+    SC = S @ C
+    rdm1_lo = SC.T @ (dm[0] + dm[1]) @ SC
+    va = np.asarray(_veff_uhf(
+        jnp.asarray(SC.T @ dm[0] @ SC), jnp.asarray(SC.T @ dm[1] @ SC),
+        jnp.asarray(eri_lo), jnp.asarray(eri_lo), jnp.asarray(eri_lo))[0])
+    fock_lo = h_lo + va
+
+    h_R = _stripe_symm(h_lo, nk, nlo)
+    fock_R = _stripe_symm(fock_lo, nk, nlo)
+    rdm1_R = _stripe_symm(rdm1_lo, nk, nlo)
+    chol_L = cholesky_eri(eri_lo, tol=chol_tol)
+    eri_imp = eri_lo[:nlo, :nlo, :nlo, :nlo].copy()
+
+    Lat = ChainLattice(nk * nlo, nlo)
+    Ham = AbInitioHam(h_R, fock_R, chol_L, eri_imp, e_nuc / nk)
+    Lat.set_Ham_abinitio(Ham, rdm1=rdm1_R[None])
+    meta = {"cell": cell, "E_hf": E_hf, "E_hf_elec": E_hf - e_nuc,
+            "e_nuc": e_nuc, "C_ao_lo": C, "eri_lo": eri_lo, "h_lo": h_lo,
+            "fock_lo": fock_lo, "rdm1_lo": rdm1_lo, "nlo": nlo, "S": S}
+    return Lat, meta
+
+
 def attach_ks(Lat, meta, xc="lsda", hyb=0.0, n_rad=60, n_theta=12,
               n_phi=24):
     """Turn an H-ring HF lattice into a KS-DFT lattice for DFT-in-DMET

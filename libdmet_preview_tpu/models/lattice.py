@@ -339,9 +339,36 @@ class LatticeModel(object):
             rdm1_lo_R = rdm1_lo_R[None]
         self.rdm1_lo_R = rdm1_lo_R
         self.rdm1_lo_k = self._pairify(self.R2k(rdm1_lo_R))
+        if fock_lo_k is None and self.H2_format == "nearest":
+            # extended interactions: J is local (uniform density), K is a
+            # stripe; K_stripe[R] = block(R, 0) = vk[(-R) % N]^T
+            eri_R = np.asarray(self.getH2(kspace=False))
+            vj, vk = pbc_helper.get_jk_nearest(eri_R, rdm1_lo_R)
+            spin = rdm1_lo_R.shape[0]
+            neg = [(-R) % self.ncells for R in range(self.ncells)]
+            hcore = self.hcore_lo_R
+            if spin == 1:       # spin-traced storage
+                K = np.asarray([vk[0][r].T for r in neg])
+                fock_R = np.array(hcore if hcore.ndim == 3 else hcore[0],
+                                  copy=True)
+                fock_R[0] += vj[0]
+                fock_R -= 0.5 * K
+                self.fock_lo_R = fock_R
+            else:
+                if hcore.ndim == 3:
+                    hcore = np.asarray([hcore, hcore])
+                fock_R = np.array(hcore, copy=True)
+                vj_tot = vj[0] + vj[1]
+                for s in range(2):
+                    Ks = np.asarray([vk[s][r].T for r in neg])
+                    fock_R[s, 0] += vj_tot
+                    fock_R[s] -= Ks
+                self.fock_lo_R = fock_R
+            self.fock_lo_k = self._pairify(self.R2k(self.fock_lo_R))
+            return
         if fock_lo_k is None:
             log.eassert(self.H2_format == "local",
-                        "update_Ham implemented for local H2 only")
+                        "update_Ham implemented for local and nearest H2")
             eri = np.asarray(self.getH2(kspace=False))
             dm0 = rdm1_lo_R[:, 0]  # cell-averaged density = rho(R=0)
             vj, vk = pbc_helper.get_jk_local(eri, dm0)

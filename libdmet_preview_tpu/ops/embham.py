@@ -77,6 +77,87 @@ def transform_imp(basis_R, H):
     return basis_R[0].T @ H @ basis_R[0]
 
 
+def _spin_pairs(spin):
+    """ccdd channel order (aa,) or (aa, bb, ab)."""
+    return [(0, 0)] if spin == 1 else [(0, 0), (1, 1), (0, 1)]
+
+
+def transform_eri_nearest(basis, eri_R):
+    """Interacting-bath embedding transform of the 'nearest' H2 format
+    (blocks (0p 0q | Rr Rs) = eri_R[R], translation invariant) -- beyond
+    the reference, which raises NotImplementedError here
+    (/root/reference/libdmet/routine/slater.py:405-408):
+
+      H2_emb[ijkl] = sum_{C, R} B[C,p,i] B[C,q,j]
+                     B[C+R,r,k] B[C+R,s,l] eri_R[R,p,q,r,s].
+    """
+    basis = np.asarray(basis)
+    spin, ncells, nlo, neo = basis.shape
+    eri_R = np.asarray(eri_R)
+    B = jnp.asarray(basis)
+    # P1[s][C, p, q, i, j] = B[s,C,p,i] B[s,C,q,j]
+    P1 = jnp.einsum("sCpi, sCqj -> sCpqij", B, B)
+    out = []
+    for s1, s2 in _spin_pairs(spin):
+        acc = 0.0
+        for R in range(ncells):
+            P2 = jnp.roll(P1[s2], -R, axis=0)     # cell C+R
+            acc = acc + jnp.einsum("Cpqij, pqrs, Crskl -> ijkl",
+                                   P1[s1], jnp.asarray(eri_R[R]), P2,
+                                   optimize=True)
+        out.append(np.asarray(acc))
+    return np.asarray(out)
+
+
+def transform_eri_full(basis, eri_F):
+    """Interacting-bath embedding transform of the 'full' H2 format
+    (eri_F[R1, R2, R3] = (0p R1q | R2r R3s), translation invariant):
+
+      H2_emb[ijkl] = sum_{C, R1, R2, R3} B[C,p,i] B[C+R1,q,j]
+                     B[C+R2,r,k] B[C+R3,s,l] eri_F[R1,R2,R3,p,q,r,s].
+    """
+    basis = np.asarray(basis)
+    spin, ncells, nlo, neo = basis.shape
+    eri_F = np.asarray(eri_F)
+    B = jnp.asarray(basis)
+    out = []
+    for s1, s2 in _spin_pairs(spin):
+        acc = 0.0
+        for R1 in range(ncells):
+            B1 = jnp.roll(B[s1], -R1, axis=0)
+            for R2 in range(ncells):
+                B2 = jnp.roll(B[s2], -R2, axis=0)
+                for R3 in range(ncells):
+                    B3 = jnp.roll(B[s2], -R3, axis=0)
+                    acc = acc + jnp.einsum(
+                        "Cpi, Cqj, Crk, Csl, pqrs -> ijkl",
+                        B[s1], B1, B2, B3,
+                        jnp.asarray(eri_F[R1, R2, R3]), optimize=True)
+        out.append(np.asarray(acc))
+    return np.asarray(out)
+
+
+def transform_eri_spin_local(basis, eri_S):
+    """Interacting-bath embedding transform of the 'spin local' H2 format
+    (per-channel local ERIs (aa, bb, ab), same cell only):
+
+      H2_emb[m][ijkl] = sum_C B[s1,C,p,i] B[s1,C,q,j]
+                        B[s2,C,r,k] B[s2,C,s,l] eri_S[m,p,q,r,s].
+    """
+    basis = np.asarray(basis)
+    spin, ncells, nlo, neo = basis.shape
+    eri_S = np.asarray(eri_S)
+    B = jnp.asarray(basis)
+    out = []
+    for m, (s1, s2) in enumerate(_spin_pairs(spin)):
+        g = eri_S[min(m, eri_S.shape[0] - 1)]
+        acc = jnp.einsum("Cpi, Cqj, Crk, Csl, pqrs -> ijkl",
+                         B[s1], B[s1], B[s2], B[s2], jnp.asarray(g),
+                         optimize=True)
+        out.append(np.asarray(acc))
+    return np.asarray(out)
+
+
 @jax.jit
 def transform_eri_local(basis_R, H2):
     """Local lattice ERI to embedding space, interacting-bath formalism
@@ -471,20 +552,23 @@ def _emb_H2(lattice, basis, vcor, int_bath=True, **kwargs):
             H2 = unit2emb(np.asarray((LatH2,) * npair), neo)
     elif lattice.H2_format == "nearest":
         if int_bath:
-            raise NotImplementedError
-        H2 = np.zeros((npair,) + (neo,) * 4)
-        H2[:, :nsc, :nsc, :nsc, :nsc] = LatH2[0]
+            H2 = transform_eri_nearest(basis, LatH2)
+        else:
+            H2 = np.zeros((npair,) + (neo,) * 4)
+            H2[:, :nsc, :nsc, :nsc, :nsc] = LatH2[0]
     elif lattice.H2_format == "full":
         if int_bath:
-            raise NotImplementedError
-        H2 = np.zeros((npair,) + (neo,) * 4)
-        H2[:, :nsc, :nsc, :nsc, :nsc] = LatH2[0, 0, 0]
+            H2 = transform_eri_full(basis, LatH2)
+        else:
+            H2 = np.zeros((npair,) + (neo,) * 4)
+            H2[:, :nsc, :nsc, :nsc, :nsc] = LatH2[0, 0, 0]
     elif lattice.H2_format == "spin local":
         if int_bath:
-            raise NotImplementedError
-        H2 = np.zeros((npair,) + (neo,) * 4)
-        for i in range(npair):
-            H2[i, :nsc, :nsc, :nsc, :nsc] = LatH2[i]
+            H2 = transform_eri_spin_local(basis, LatH2)
+        else:
+            H2 = np.zeros((npair,) + (neo,) * 4)
+            for i in range(npair):
+                H2[i, :nsc, :nsc, :nsc, :nsc] = LatH2[i]
     else:
         raise ValueError("unknown H2 format %s" % lattice.H2_format)
     return H2
