@@ -62,18 +62,45 @@ def norm_cart(a, lmn):
 
 
 def boys(n, x):
-    """Boys functions F_0..F_n(x), stable; returns (n+1,) + x.shape."""
+    """Boys functions F_0..F_n(x), vectorized and fast.
+
+    x < 35: series for F_n + stable DOWNWARD recursion
+            F_m = (2x F_{m+1} + e^{-x}) / (2m + 1);
+    x >= 35: asymptotic F_0 = (1/2) sqrt(pi/x) (erf -> 1 to < 1e-16)
+            + stable UPWARD recursion F_{m+1} = ((2m+1) F_m - e^{-x})/(2x).
+    Replaces the scipy.gammainc route (the per-element gamma calls
+    dominated the periodic short-range assembly)."""
     x = np.asarray(x, dtype=float)
+    scalar = x.ndim == 0
+    x = np.atleast_1d(x)
     out = np.empty((n + 1,) + x.shape)
-    small = x < 1e-13
-    xs = np.where(small, 1.0, x)
-    # F_n via the incomplete gamma: F_n(x) = gammainc*gamma/(2 x^{n+1/2})
-    for m in range(n + 1):
-        g = gamma(m + 0.5)
-        out[m] = np.where(
-            small,
-            1.0 / (2 * m + 1) - x / (2 * m + 3),
-            gammainc(m + 0.5, xs) * g / (2.0 * xs ** (m + 0.5)))
+    small = x < 35.0
+    xs = np.where(small, x, 0.0)
+    ex = np.exp(-xs)
+    # series: F_n(x) = e^{-x} sum_k (2x)^k / [(2n+1)(2n+3)...(2n+2k+1)]
+    term = np.full(x.shape, 1.0 / (2 * n + 1))
+    acc = term.copy()
+    tx = 2.0 * xs
+    for k in range(1, 140):
+        term = term * tx / (2 * n + 2 * k + 1)
+        acc += term
+        if k > 40 and term.max() < 1e-18:
+            break
+    Fn_small = ex * acc
+    out[n] = Fn_small
+    for m in range(n - 1, -1, -1):
+        out[m] = (tx * out[m + 1] + ex) / (2 * m + 1)
+    if not np.all(small):
+        xl = np.where(small, 1.0, x)
+        exl = np.exp(-xl)
+        Fm = 0.5 * np.sqrt(np.pi / xl)
+        big = ~small
+        out[0][big] = Fm[big]
+        for m in range(n):
+            Fm = ((2 * m + 1) * Fm - exl) / (2.0 * xl)
+            out[m + 1][big] = Fm[big]
+    if scalar:
+        out = out[..., 0]
     return out
 
 
@@ -226,22 +253,25 @@ def _pair_E3_imgs(sh1, sh2, shifts, logt=None):
             p = a + b
             mu = a * b / p
             if logt is not None:
-                B = Ball[mu * d2all < logt]
-                if B.shape[0] == 0:
+                sel = np.nonzero(mu * d2all < logt)[0]
+                if sel.size == 0:
                     continue
+                B = Ball[sel]
             else:
+                sel = np.arange(Ball.shape[0])
                 B = Ball
             P = (a * A[None, :] + b * B) / p
             Es = [E_table(sh1.l, sh2.l, A[d] - B[:, d], a, b)
                   for d in range(3)]
-            out.append((p, ca * cb, P, Es))
+            out.append((p, ca * cb, P, Es, sel))
     return out
 
 
 def ovlp_block_imgs(sh1, sh2, shifts, logt=None):
     """Image-summed overlap block sum_T <a | b(. - T)>."""
     out = np.zeros((sh1.nc, sh2.nc))
-    for p, c12, P, (Ex, Ey, Ez) in _pair_E3_imgs(sh1, sh2, shifts, logt):
+    for p, c12, P, (Ex, Ey, Ez), _sel in _pair_E3_imgs(sh1, sh2, shifts,
+                                                       logt):
         pref = c12 * (np.pi / p) ** 1.5
         for i, (l1, m1, n1) in enumerate(CART[sh1.l]):
             for j, (l2, m2, n2) in enumerate(CART[sh2.l]):
@@ -303,7 +333,8 @@ def nuc_block_imgs(sh1, sh2, charges, coords, shifts, eta=None,
     charges = np.asarray(charges, dtype=float)
     out = np.zeros((sh1.nc, sh2.nc))
     lsum = sh1.l + sh2.l
-    for p, c12, P, (Ex, Ey, Ez) in _pair_E3_imgs(sh1, sh2, shifts, logt):
+    for p, c12, P, (Ex, Ey, Ez), _sel in _pair_E3_imgs(sh1, sh2, shifts,
+                                                       logt):
         PC = P[:, None, :] - coords[None, :, :]         # (nimg, natm, 3)
         if screen == "none":
             terms = [(p, 1.0)]
@@ -337,7 +368,8 @@ def gauss_block_imgs(sh1, sh2, beta, C, shifts, logt=None):
     cplx = np.iscomplexobj(np.asarray(beta))
     out = np.zeros((sh1.nc, sh2.nc), dtype=complex if cplx else float)
     lsum = sh1.l + sh2.l
-    for p, c12, P, (Ex, Ey, Ez) in _pair_E3_imgs(sh1, sh2, shifts, logt):
+    for p, c12, P, (Ex, Ey, Ez), _sel in _pair_E3_imgs(sh1, sh2, shifts,
+                                                       logt):
         gam = p * beta / (p + beta)
         pref = c12 * (np.pi / (p + beta)) ** 1.5
         PC = P[:, None, :] - C[None, :, :]

@@ -225,7 +225,7 @@ class PbcCell(object):
                             for v in range(lsum + 1)]
                 mi_rows = np.stack([miG[0, t] * miG[1, u] * miG[2, v]
                                     for (t, u, v) in tuv_list])  # (nt, nG)
-                for p, c12, P, (Ex, Ey, Ez) in _pair_E3_imgs(
+                for p, c12, P, (Ex, Ey, Ez), _sel in _pair_E3_imgs(
                         shi, shj, imgs, logt_ft):
                     # (nimg, nG): image phases x radial decay
                     base = (c12 * (np.pi / p) ** 1.5) \
@@ -300,26 +300,13 @@ class PbcCell(object):
                     + Tall[None, :, :]).reshape(-1, 3)
         Zs = np.repeat(self.charges, Tall.shape[0])
 
-        def sr_block(shi, shj, imgs, chunk=24):
-            out = np.zeros((shi.nc, shj.nc))
-            for c0 in range(0, len(imgs), chunk):
-                ims = imgs[c0:c0 + chunk]
-                # screen nuclear images by distance to this chunk's pair
-                # center cloud
-                mids = 0.5 * (shi.center + shj.center + ims)
-                span = 0.5 * np.max(np.linalg.norm(
-                    shi.center - shj.center - ims, axis=1)) \
-                    + rcut_eta + 2.0
-                d2 = np.min(np.sum(
-                    (nuc_imgs[None, :, :] - mids[:, None, :]) ** 2,
-                    axis=-1), axis=0)
-                keep = d2 < span * span
-                if not np.any(keep):
-                    continue
-                out += nuc_block_imgs(shi, shj, Zs[keep], nuc_imgs[keep],
-                                      ims, eta=eta, screen="erfc",
-                                      logt=logt * 1.5)
-            return out
+        p_min = 2.0 * self.min_exp
+        rng_sr = np.sqrt(logt * 1.5 / min(eta, p_min)) + 2.0
+
+        def sr_block(shi, shj, imgs):
+            return self._sr_flat_block(shi, shj, imgs, Zs, nuc_imgs,
+                                       [("erfc", eta, 1.0)],
+                                       rng_sr, logt * 1.5)
 
         V = V + self._fill_lattice(sr_block)
         # G=0 term of the SR reciprocal branch (pyscf's charged-background
@@ -334,6 +321,104 @@ class PbcCell(object):
         if self.pps is not None:
             V = V + self._pp_sr_matrix()
         return 0.5 * (V + V.T)
+
+    def _sr_flat_block(self, shi, shj, imgs, Zs, ctrs, kernels, rng,
+                       logt):
+        """Short-ranged kernel block with FLAT (pair-image, center)
+        active-pair batching: per primitive pair, only the (T, C)
+        combinations with |P(T) - C| < rng survive -- the active set is
+        O(nimg * local density) instead of nimg x ncenters.
+
+        kernels: list of ('erfc', eta, wz) -> wz * sum_C Z_C erfc-attr,
+                 or ('gauss', beta, (c1, c2, rloc)) -> Gaussian + r^2
+                 polynomial terms (complex-step for r^2); Zs ignored for
+                 'gauss' (unit weights)."""
+        from libdmet_preview_tpu.ints.md import (CART, R_table,
+                                                 _pair_E3_imgs)
+        out = np.zeros((shi.nc, shj.nc))
+        rng2 = rng * rng
+        # shell-level candidate (image, center) pairs: P always lies on
+        # the A..B+T segment, so |mid - C| < rng + halfspan is a valid
+        # superset screen evaluated ONCE (not per primitive)
+        imgs = np.atleast_2d(np.asarray(imgs, float))
+        Bimg = shj.center[None, :] + imgs
+        mids = 0.5 * (shi.center[None, :] + Bimg)
+        half = 0.5 * np.linalg.norm(shi.center[None, :] - Bimg, axis=1)
+        lim2 = (rng + half) ** 2
+        ci_list, cc_list = [], []
+        for c0 in range(0, ctrs.shape[0], 8192):   # bounded buffers
+            d2m = np.sum((mids[:, None, :]
+                          - ctrs[None, c0:c0 + 8192, :]) ** 2, axis=-1)
+            ki, kc = np.nonzero(d2m < lim2[:, None])
+            ci_list.append(ki)
+            cc_list.append(kc + c0)
+        if not ci_list or sum(x.size for x in ci_list) == 0:
+            return out
+        cand_img = np.concatenate(ci_list)
+        cand_c = np.concatenate(cc_list)
+        for p, c12, P, (Ex, Ey, Ez), sel in _pair_E3_imgs(shi, shj, imgs,
+                                                          logt):
+            # map shell-level candidates onto this primitive's image set
+            inv = np.full(imgs.shape[0], -1, dtype=int)
+            inv[sel] = np.arange(sel.size)
+            loc = inv[cand_img]
+            ok = loc >= 0
+            if not np.any(ok):
+                continue
+            loc = loc[ok]
+            cc = cand_c[ok]
+            PCc = P[loc] - ctrs[cc]
+            exact = np.einsum("ki, ki -> k", PCc, PCc) < rng2
+            if not np.any(exact):
+                continue
+            k_img = loc[exact]
+            PC = PCc[exact]                              # (nact, 3)
+            Zk = Zs[cc[exact]]
+            lsum = shi.l + shj.l
+            for kind, par, extra in kernels:
+                if kind == "erfc":
+                    s = par / (p + par)
+                    R = R_table(lsum, lsum, lsum, p, PC) \
+                        - np.sqrt(s) * R_table(lsum, lsum, lsum, p * s,
+                                               PC)
+                    fac = -extra * c12 * (2.0 * np.pi / p)
+                    Rw = R * Zk                          # weight by Z
+                elif kind == "gauss":
+                    c1, c2, rloc = extra
+                    h = 1e-200
+                    beta = par + 1j * h
+                    gam = p * beta / (p + beta)
+                    pref = (np.pi / (p + beta)) ** 1.5
+                    Rg = pref * R_table(lsum, lsum, lsum, gam, PC,
+                                        kernel="gauss")
+                    R = c1 * Rg.real
+                    if c2 != 0.0:
+                        R = R + c2 * (-(Rg.imag / h)) / (rloc * rloc)
+                    fac = c12
+                    Rw = R
+                else:
+                    raise ValueError(kind)
+                # reduce actives to PER-IMAGE sums (segment sum), so the
+                # component contraction runs over images, not actives
+                nimg_p = P.shape[0]
+                S = np.zeros(Rw.shape[:3] + (nimg_p,))
+                for t in range(lsum + 1):
+                    for u in range(lsum + 1):
+                        for v in range(lsum + 1):
+                            S[t, u, v] = np.bincount(
+                                k_img, weights=Rw[t, u, v],
+                                minlength=nimg_p)
+                for i, (l1, m1, n1) in enumerate(CART[shi.l]):
+                    for j, (l2, m2, n2) in enumerate(CART[shj.l]):
+                        val = 0.0
+                        for t in range(l1 + l2 + 1):
+                            for u in range(m1 + m2 + 1):
+                                for v in range(n1 + n2 + 1):
+                                    E3v = (Ex[l1, l2, t] * Ey[m1, m2, u]
+                                           * Ez[n1, n2, v])
+                                    val = val + np.dot(E3v, S[t, u, v])
+                        out[i, j] += fac * val
+        return out
 
     def _pp_sr_matrix(self):
         """Short-ranged GTH terms, lattice-summed (image-batched).  The
@@ -351,44 +436,27 @@ class PbcCell(object):
         groups = {}
         for A, pp in enumerate(self.pps):
             groups.setdefault(id(pp), (pp, []))[1].append(A)
+        p_min = 2.0 * self.min_exp
 
-        def loc_block(shi, shj, imgs, chunk=24):
+        def loc_block(shi, shj, imgs):
             out = np.zeros((shi.nc, shj.nc))
-            p_min = shi.exps.min() + shj.exps.min()
             for _, (pp, idxA) in groups.items():
                 eta_A = 1.0 / (2.0 * pp["rloc"] ** 2)
                 zion = pp["zion"]
+                cloc = list(pp["cloc"]) + [0.0, 0.0]
+                if len(pp["cloc"]) > 2:
+                    raise NotImplementedError("GTH C3/C4 terms")
                 ctrs = (np.asarray([self.coords[A] for A in idxA])
                         [:, None, :] + Ts[None, :, :]).reshape(-1, 3)
                 rng = np.sqrt(logt / min(eta_A, p_min)) + 2.0
-                for c0 in range(0, len(imgs), chunk):
-                    ims = imgs[c0:c0 + chunk]
-                    mids = 0.5 * (shi.center + shj.center + ims)
-                    span = 0.5 * np.max(np.linalg.norm(
-                        shi.center - shj.center - ims, axis=1)) + rng
-                    d2 = np.min(np.sum(
-                        (ctrs[None, :, :] - mids[:, None, :]) ** 2,
-                        axis=-1), axis=0)
-                    keep = d2 < span * span
-                    if not np.any(keep):
-                        continue
-                    Ck = ctrs[keep]
-                    # erfc remainder: nuc with charge -Z_ion gives
-                    # +Z_ion * erfc kernel
-                    out += nuc_block_imgs(shi, shj, [-zion] * len(Ck),
-                                          Ck, ims, eta=eta_A,
-                                          screen="erfc", logt=logt)
-                    cloc = pp["cloc"]
-                    if cloc:
-                        h = 1e-200
-                        g = gauss_block_imgs(shi, shj, eta_A + 1j * h,
-                                             Ck, ims, logt=logt)
-                        out += cloc[0] * g.real
-                        if len(cloc) > 1:
-                            out += cloc[1] * (-(g.imag / h)) \
-                                / (pp["rloc"] ** 2)
-                        if len(cloc) > 2:
-                            raise NotImplementedError("GTH C3/C4 terms")
+                Zk = np.full(len(ctrs), zion)
+                # erfc remainder (+Z_ion erfc/r: extra = -1 flips the
+                # attraction sign) + Gaussian polynomial terms
+                kernels = [("erfc", eta_A, -1.0),
+                           ("gauss", eta_A,
+                            (cloc[0], cloc[1], pp["rloc"]))]
+                out += self._sr_flat_block(shi, shj, imgs, Zk, ctrs,
+                                           kernels, rng, logt)
             return out
 
         V = self._fill_lattice(loc_block)

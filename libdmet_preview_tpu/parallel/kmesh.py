@@ -224,6 +224,58 @@ def transform_h1_sharded(mesh, H1_k, basis_k, axis=K_AXIS):
 
 
 # ----------------------------------------------------------------------
+# sharded global-veff rebuild (charge self-consistency at scale: the
+# reference's get_veff_from_rdm1_emb_mpi, slater.py:1905 -- here the
+# Cholesky/auxiliary axis is a mesh axis and the J/K contractions psum)
+# ----------------------------------------------------------------------
+
+def _veff_chol_shard(L, dm, axis):
+    """Local aux shard of the J/K build from Cholesky factors.
+
+    L: (naux_local, ns, ns); dm: (spin, ns, ns) densities (per spin).
+    Returns (vj_tot (ns, ns), vk (spin, ns, ns)), psum'ed over `axis`."""
+    w = jnp.sum(jnp.einsum("xpq, sqp -> sx", L, dm), axis=0)
+    vj = lax.psum(jnp.einsum("x, xpq -> pq", w, L), axis)
+    vk = lax.psum(jnp.einsum("xpr, srt, xtq -> spq", L, dm, L), axis)
+    return vj, vk
+
+
+def get_veff_from_rdm1_emb_sharded(mesh, lattice, rdm1_emb, basis,
+                                   axis="aux"):
+    """Sharded ops.embham.get_veff_from_rdm1_emb: the Cholesky factors
+    are distributed over the mesh axis (zero-padded to a multiple of the
+    axis size -- the contractions are additive over aux) and the global
+    J/K reductions ride psum.  Returns (veff_stripe, rho_glob_stripe),
+    identical to the serial path (tests/test_parallel.py)."""
+    from libdmet_preview_tpu.ops.embham import get_rho_glob_R
+    from libdmet_preview_tpu.utils import logger as log
+    log.eassert(lattice.H2_format == "cholesky",
+                "veff rebuild implemented for the cholesky H2 format")
+    rho_glob = get_rho_glob_R(basis, lattice, rdm1_emb)
+    spin = rho_glob.shape[0]
+    rho_full = np.asarray(lattice.expand(rho_glob))
+    L = np.asarray(lattice.Ham.getH2())
+    nax = mesh.shape[axis]
+    npad = (-L.shape[0]) % nax
+    if npad:
+        L = np.concatenate([L, np.zeros((npad,) + L.shape[1:])], axis=0)
+    if spin == 1:
+        dms = rho_full * 2.0      # restricted: per-spin stored -> total
+    else:
+        dms = rho_full
+    fn = shard_map(partial(_veff_chol_shard, axis=axis), mesh=mesh,
+                   in_specs=(P(axis, None, None), P(None, None, None)),
+                   out_specs=(P(), P()))
+    vj, vk = jax.jit(fn)(jnp.asarray(L), jnp.asarray(dms))
+    if spin == 1:
+        veff_full = np.asarray(vj - 0.5 * vk[0])[None]
+    else:
+        veff_full = np.asarray(vj[None] - vk)
+    veff_stripe = np.asarray(lattice.extract_stripe(veff_full))
+    return veff_stripe, rho_glob
+
+
+# ----------------------------------------------------------------------
 # sharded CCSD residual (the reference's MPI-GCCSD, solver/mpicc.py:33-356
 # + mpicc_main.py: hand-sharded einsums over MPI ranks.  TPU-native form:
 # the residual is pure einsums, so scale-out is GSPMD -- annotate the
