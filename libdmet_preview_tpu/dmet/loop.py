@@ -135,7 +135,8 @@ def run_dmet(lattice, vcor, config=None, solver=None, mu0=None):
 
 def run_dmet_sc(lattice, vcor, filling, solver=None, max_iter=20,
                 mu0=0.0, diis_start=3, diis_dim=4, conv_tol_E=1e-6,
-                conv_tol_vcor=1e-5, thrnelec=1e-7, fit_max_iter=200):
+                conv_tol_vcor=1e-5, thrnelec=1e-7, fit_max_iter=200,
+                mixing=1.0):
     """One-call SUPERCONDUCTING (GSO-frame) DMET driver (packaging of the
     reference HubbardBCS/HubbardGSO example loops): HFB mean field with a
     physical-mu fit, spinless bath + embedding, FCI(ghf) with a dmu
@@ -174,10 +175,14 @@ def run_dmet_sc(lattice, vcor, filling, solver=None, max_iter=20,
                                                  last_dmu=dmu)
         vcor_new, err = bcs.FitVcor(rdm, lattice, basis, vcor, gham, mu,
                                     MaxIter=fit_max_iter)
+        # damped update (mixing < 1 stabilizes oscillatory Bogoliubov
+        # fits, e.g. d-wave at repulsive U; DIIS on the damped sequence)
+        p_next = (1.0 - mixing) * np.asarray(vcor.param) \
+            + mixing * np.asarray(vcor_new.param)
         if it >= diis_start:
-            pvcor = adiis.update(np.asarray(vcor_new.param))
+            pvcor = adiis.update(p_next)
         else:
-            pvcor = np.asarray(vcor_new.param)
+            pvcor = p_next
         dVcor = float(np.linalg.norm(pvcor - vcor.param)
                       / max(len(vcor.param), 1))
         vcor.update(pvcor)

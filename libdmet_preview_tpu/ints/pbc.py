@@ -508,6 +508,52 @@ class PbcCell(object):
         eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
         return eri
 
+    def get_emb_eri_aft(self, C_emb, blksize=8192):
+        """Embedding-space ERI DIRECTLY from the AFT factors, G-block
+        streamed (the reference's AFT embedding-ERI driver capability,
+        eri_transform.py:566-779, without ever materializing the
+        supercell AO ERI):
+
+          eri_emb[ijkl] = (1/Omega) sum_G w(G) g*[G,ij] g[G,kl],
+          g[G] = C^T f(G) C  computed per G block.
+
+        C_emb: (nao, neo) AO -> embedding coefficients.  Memory is
+        O(blksize * max(nao^2, neo^2)) -- the scaling path for tori whose
+        dense supercell ERI does not fit (north-star 3x3x3 meshes)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+        C_emb = np.asarray(C_emb)
+        neo = C_emb.shape[1]
+        Gv, w = self.coulG()
+        eri = np.zeros((neo * neo, neo * neo))
+
+        @_jax.jit
+        def _acc(f_blk_re, f_blk_im, wb, C):
+            g_re = _jnp.einsum("gpq, pi, qj -> gij", f_blk_re, C, C,
+                               optimize=True).reshape(f_blk_re.shape[0],
+                                                      -1)
+            g_im = _jnp.einsum("gpq, pi, qj -> gij", f_blk_im, C, C,
+                               optimize=True).reshape(f_blk_im.shape[0],
+                                                      -1)
+            return (g_re * wb[:, None]).T @ g_re \
+                + (g_im * wb[:, None]).T @ g_im
+
+        Cj = _jnp.asarray(C_emb)
+        for g0 in range(0, Gv.shape[0], blksize):
+            Gb = Gv[g0:g0 + blksize]
+            wb = w[g0:g0 + blksize]
+            if not np.any(wb):
+                continue
+            f_blk = self._ft_aopair_impl(Gb)
+            eri += np.asarray(_acc(_jnp.asarray(f_blk.real),
+                                   _jnp.asarray(f_blk.imag),
+                                   _jnp.asarray(wb), Cj))
+        eri = eri.reshape(neo, neo, neo, neo) / self.vol
+        eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
+        eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
+        eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
+        return eri
+
     # ------------------------------------------------------------------
     # Ewald nuclear energy (with neutralizing background)
     # ------------------------------------------------------------------

@@ -5,6 +5,8 @@ Model Hamiltonians (TPU-native rewrite of reference system/hamiltonian.py:18-330
 the factories build Hubbard-family Hamiltonians from lattice geometry.
 """
 
+import itertools as it
+
 import numpy as np
 
 from libdmet_preview_tpu.utils import logger as log
@@ -153,39 +155,53 @@ def Hubbard3band(lattice, Ud, Up, ed, tpd, tpp, tpp1=0.0, Vpd=0.0,
         else:
             H2[s, s, s, s] = Up
 
-    def phase_pd(ri, rj):
-        # sign structure of d-p hopping: +- alternation (standard Emery model)
-        d = rj - ri
+    def _bonds(dis, search_range=2):
+        """Image-resolved bonds (i in cell 0, j global, dvec): unlike
+        lattice.neighbor, keeps the geometric displacement of EACH
+        periodic image -- the d-p/p-p phase is a bond property, and a
+        Hermitian matrix element must get the same sign from both scan
+        directions (fixes the antisymmetric H1 this builder produced
+        when the sign was taken from the scan direction)."""
+        shifts = np.asarray(list(it.product(
+            range(-search_range, search_range + 1), repeat=lattice.dim)))
+        shift_vecs = shifts @ lattice.size
+        out = []
+        for i in range(nsc):
+            ri = lattice.sites[i]
+            for j in range(lattice.nsites):
+                dv = lattice.sites[j] + shift_vecs - ri   # (nshift, dim)
+                dd = np.linalg.norm(dv, axis=-1)
+                for k in np.nonzero(np.abs(dd - dis) < 1e-5)[0]:
+                    out.append((i, j, dv[k]))
+        return out
+
+    def phase_pd(dvec, ni_name):
+        # +- alternation of the d-p hopping (standard Emery model),
+        # oriented from the copper to the oxygen
+        d = dvec if ni_name == "Cu" else -dvec
         ax = int(np.argmax(np.abs(d)))
         return 1.0 if d[ax] > 0 else -1.0
 
     # tpd between nearest Cu-O
     if abs(tpd) > tol:
-        pairs = lattice.neighbor(dis=d_pd, sitesA=range(nsc))
-        for i, j in pairs:
-            ni = names[i % nsc] if i < nsc else None
-            # i within first supercell guaranteed by sitesA
+        for i, j, dvec in _bonds(d_pd):
             nj_name = lattice.supercell.names[j % nsc]
             ni_name = names[i]
             if {ni_name, nj_name} == {"Cu", "O"}:
-                sgn = phase_pd(lattice.sites[i], lattice.sites[j])
-                H1[j // nsc, j % nsc, i] = tpd * sgn
+                H1[j // nsc, j % nsc, i] += tpd * phase_pd(dvec, ni_name)
 
     # tpp between nearest O-O
     if abs(tpp) > tol:
-        pairs = lattice.neighbor(dis=d_pp, sitesA=range(nsc))
-        for i, j in pairs:
+        for i, j, dvec in _bonds(d_pp):
             if names[i] == "O" and lattice.supercell.names[j % nsc] == "O":
-                d = lattice.sites[j] - lattice.sites[i]
-                sgn = 1.0 if d[0] * d[1] > 0 else -1.0
-                H1[j // nsc, j % nsc, i] = tpp * sgn
+                sgn = 1.0 if dvec[0] * dvec[1] > 0 else -1.0
+                H1[j // nsc, j % nsc, i] += tpp * sgn
 
     # tpp' between next-nearest O-O (same sublattice)
     if d_pp1 is not None and abs(tpp1) > tol:
-        pairs = lattice.neighbor(dis=d_pp1, sitesA=range(nsc))
-        for i, j in pairs:
+        for i, j, dvec in _bonds(d_pp1):
             if names[i] == "O" and lattice.supercell.names[j % nsc] == "O":
-                H1[j // nsc, j % nsc, i] = tpp1
+                H1[j // nsc, j % nsc, i] += tpp1
 
     return HamNonInt(lattice, H1, H2)
 

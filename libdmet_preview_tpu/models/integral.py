@@ -153,6 +153,47 @@ def dump_FCIDUMP(filename, integral_obj, thr=1e-12, nelec=None, spin_sz=0):
             f.write(" %19.12E %4d %4d %4d %4d\n" % (ints.H0, 0, 0, 0, 0))
 
 
+def dump_FCIDUMP_ghf(filename, integral_obj, thr=1e-12, nelec=None,
+                     spin_sz=0):
+    """GHF (generalized spin-orbital) FCIDUMP writer (reference
+    integral.py GHF variant, system/integral.py:128-668): one combined
+    spin-orbital block, IUHF absent, IGENERAL=1 header flag.  The H1/H2
+    of `integral_obj` are already spin-orbital (restricted=True storage
+    with norb = number of spin orbitals) -- the convention the GSO /
+    spinless embedding produces."""
+    ints = integral_obj
+    norb = ints.norb
+    if nelec is None:
+        nelec = norb // 2
+    with open(filename, "w") as f:
+        f.write(" &FCI NORB= %d,NELEC= %d,MS2= %d,\n"
+                % (norb, nelec, spin_sz))
+        f.write("  ORBSYM=" + "1," * norb + "\n")
+        f.write("  ISYM=1,\n")
+        f.write("  IGENERAL=1,\n")
+        f.write(" &END\n")
+
+        def wr(val, i, j, k, l):
+            if abs(val) > thr:
+                f.write(" %19.12E %4d %4d %4d %4d\n" % (val, i, j, k, l))
+
+        H2 = ints.H2["ccdd"]
+        eri = H2[0]
+        if eri.ndim == 2:
+            eri = restore_eri(eri, norb, 1)
+        for i in range(norb):
+            for j in range(i + 1):
+                for k in range(i + 1):
+                    lmax = j + 1 if k == i else k + 1
+                    for l in range(lmax):
+                        wr(eri[i, j, k, l], i + 1, j + 1, k + 1, l + 1)
+        h1 = ints.H1["cd"][0]
+        for i in range(norb):
+            for j in range(i + 1):
+                wr(h1[i, j], i + 1, j + 1, 0, 0)
+        f.write(" %19.12E %4d %4d %4d %4d\n" % (ints.H0, 0, 0, 0, 0))
+
+
 def read_FCIDUMP(filename, norb=None):
     """Read a restricted FCIDUMP into an Integral object."""
     with open(filename) as f:

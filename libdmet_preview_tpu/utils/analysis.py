@@ -75,6 +75,37 @@ def get_dos(mo_energy, ws=None, sigma=0.05, nw=400):
     return ws, dos
 
 
+def get_dos_k(mo_energy_k, mo_coeff_k=None, ws=None, sigma=0.05, nw=400,
+              idx=None):
+    """k-resolved / orbital-projected density of states (reference
+    utils/plot.py:825-1006 get_dos_k): per-k broadened DOS and, when
+    mo_coeff_k (k, nao, nmo) is given, the projected DOS on orbitals
+    `idx` weighted by |C[p, m]|^2.
+
+    mo_energy_k: (nk, nmo) [or (spin, nk, nmo)].  Returns (ws, dos) with
+    dos shaped (nk, nw) [or (spin, nk, nw)]."""
+    e = np.asarray(mo_energy_k)
+    if e.ndim == 3:
+        out = [get_dos_k(e[s], None if mo_coeff_k is None
+                         else np.asarray(mo_coeff_k)[s], ws=ws,
+                         sigma=sigma, nw=nw, idx=idx) for s in range(e.shape[0])]
+        return out[0][0], np.asarray([o[1] for o in out])
+    nk, nmo = e.shape
+    if ws is None:
+        ws = np.linspace(e.min() - 10 * sigma, e.max() + 10 * sigma, nw)
+    diff = ws[None, :, None] - e[:, None, :]          # (nk, nw, nmo)
+    g = np.exp(-0.5 * (diff / sigma) ** 2) / (sigma * np.sqrt(2 * np.pi))
+    if mo_coeff_k is not None:
+        C = np.asarray(mo_coeff_k)
+        if idx is None:
+            idx = np.arange(C.shape[1])
+        wmo = np.sum(np.abs(C[:, idx, :]) ** 2, axis=1)  # (nk, nmo)
+        dos = np.einsum("kwm, km -> kw", g, wmo)
+    else:
+        dos = g.sum(axis=-1)
+    return ws, dos
+
+
 def spin_corr_mean_field(rdm1, i, j):
     """<S^z_i S^z_j> at the single-determinant level from the per-spin
     rdm1 (Wick): (reference utils/plot.py:684-824 mean-field path)."""

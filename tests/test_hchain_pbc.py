@@ -191,3 +191,21 @@ def test_hchain_nib_uhf_anchor():
         rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat, last_dmu=dmu,
         int_bath=False, solver=solver, solver_args=solver_args)
     assert abs(EnergyImp * nsc - (-1.238248899089)) < 5e-5
+
+
+def test_get_emb_eri_aft_streaming():
+    """G-block-streamed AFT embedding-ERI driver == the embedding
+    transform of the dense supercell ERI (the reference's AFT driver
+    capability, eri_transform.py:566-779, never materializing the AO
+    ERI -- the scaling path for large tori)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from libdmet_preview_tpu.ints.pbc import make_hchain_supercell
+    cell = make_hchain_supercell(nk=2, basis="sto-6g")
+    rng = np.random.RandomState(0)
+    C = rng.randn(cell.nao, 3)
+    eri_dense = cell.intor_eri()
+    ref = np.einsum("pqrs, pi, qj, rk, sl -> ijkl", eri_dense, C, C, C,
+                    C, optimize=True)
+    out = cell.get_emb_eri_aft(C, blksize=5000)
+    assert np.abs(out - ref).max() < 1e-10

@@ -568,23 +568,19 @@ def test_bench_program_runs_on_cpu():
     """The driver-facing bench program (bench.dmet_iteration) compiles
     and runs on CPU with finite outputs and a decreasing fit error --
     guards the benchmark against silent breakage from library changes."""
-    import importlib
     import sys
     import os
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import bench
-    from libdmet_preview_tpu.ops import zlinalg
-    old = zlinalg.EIGH_REFINE
-    try:
-        zlinalg.EIGH_REFINE = 2
-        inputs = bench.make_inputs()
-        out = jax.jit(bench.dmet_iteration)(
-            *[jnp.asarray(x) for x in inputs])
-        vfit, err, embH1 = out
-        assert np.isfinite(float(err))
-        assert np.isfinite(np.asarray(embH1)).all()
-        assert np.isfinite(np.asarray(vfit)).all()
-    finally:
-        zlinalg.EIGH_REFINE = old
+    from libdmet_preview_tpu.ops.fastpath import (make_dmet_iteration,
+                                                  chain_iterations)
+    Lat, vmat, rho_t = bench.make_lattice()
+    vcor = bench._VcorFixed(vmat)
+    step, p0 = make_dmet_iteration(Lat, vcor, bench.FILLING,
+                                   beta=bench.BETA, fit_max_iter=3)
+    chained = chain_iterations(step, 2)
+    p_fin, err = chained(jnp.asarray(p0), jnp.asarray(rho_t))
+    assert np.isfinite(float(err))
+    assert np.isfinite(np.asarray(p_fin)).all()

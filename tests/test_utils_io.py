@@ -139,3 +139,49 @@ def test_emb_eri_chol_outcore(tmp_path):
     dset = get_emb_eri_chol(L, basis, outcore=path)
     assert np.abs(np.asarray(dset) - incore).max() < 1e-12
     dset.file.close()
+
+
+def test_dos_k_projected():
+    """k-resolved + orbital-projected DOS integrates to the right state
+    counts (reference utils/plot.py:825-1006 get_dos_k capability)."""
+    import numpy as np
+    from libdmet_preview_tpu.utils.analysis import get_dos_k
+    rng = np.random.RandomState(0)
+    nk, nao = 4, 3
+    e = rng.randn(nk, nao)
+    ws, dos = get_dos_k(e, sigma=0.05, nw=3000)
+    dw = ws[1] - ws[0]
+    # each k panel integrates to nao states
+    assert np.allclose(dos.sum(axis=1) * dw, nao, atol=1e-2)
+    # projection on ALL orbitals with an orthogonal C == plain DOS
+    C = np.linalg.qr(rng.randn(nao, nao))[0]
+    Ck = np.broadcast_to(C, (nk, nao, nao))
+    ws2, dos2 = get_dos_k(e, Ck, ws=ws, sigma=0.05)
+    assert np.abs(dos2 - dos).max() < 1e-8
+
+
+def test_ghf_fcidump_roundtrip(tmp_path):
+    """GHF (spin-orbital) FCIDUMP writer: the general block reads back as
+    a restricted dump with the same integrals (IGENERAL header)."""
+    import numpy as np
+    from libdmet_preview_tpu.models.integral import (Integral,
+                                                     dump_FCIDUMP_ghf,
+                                                     read_FCIDUMP)
+    rng = np.random.RandomState(1)
+    n = 4
+    h1 = rng.randn(n, n)
+    h1 = h1 + h1.T
+    A = rng.randn(n * n, n * n)
+    eri = (A @ A.T).reshape(n, n, n, n)
+    eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
+    eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
+    eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
+    Ham = Integral(n, True, False, 0.7, {"cd": h1[None]},
+                   {"ccdd": eri[None]})
+    p = str(tmp_path / "GDUMP")
+    dump_FCIDUMP_ghf(p, Ham, nelec=2)
+    assert "IGENERAL=1" in open(p).read()
+    back = read_FCIDUMP(p)
+    assert abs(back.H0 - 0.7) < 1e-10
+    assert np.abs(np.asarray(back.H1["cd"][0]) - h1).max() < 1e-10
+    assert np.abs(np.asarray(back.H2["ccdd"][0]) - eri).max() < 1e-9
