@@ -581,6 +581,78 @@ def minimize(fun_grad, x0, method="CG", max_iter=300, **kwargs):
                            method=name, options={"maxiter": max_iter},
                            **extra)
         return np.asarray(res.x), float(res.fun)
+    if method in ("AH", "NEWTON", "NEWTON-CG"):
+        # TPU-native second-order minimizer (the reference's CIAH
+        # augmented-Hessian role, fit_helper.py:678-969): trust-region
+        # Newton steps with Hessian-VECTOR products only.  When
+        # `hvp` is provided (e.g. jax.jvp through the gradient) it is
+        # used directly; otherwise forward differences on fun_grad.
+        hvp = kwargs.get("hvp", None)
+        x = np.array(x0, dtype=float)
+        tr = kwargs.get("trust_radius", 0.5)
+        ytol = kwargs.get("ytol", 1e-10)
+        f, g = fun_grad(x)
+        f = float(f)
+        for _ in range(max_iter):
+            gn = np.asarray(g)
+            if np.max(np.abs(gn)) < kwargs.get("gtol", 1e-6):
+                break
+
+            if hvp is None:
+                def hv(p, _x=x, _g=gn):
+                    eps = 1e-6 / max(np.linalg.norm(p), 1e-30)
+                    g1 = np.asarray(fun_grad(_x + eps * p)[1])
+                    return (g1 - _g) / eps
+            else:
+                def hv(p, _x=x):
+                    return np.asarray(hvp(_x, p))
+
+            # truncated CG (Steihaug): solve H d = -g within the radius
+            d = np.zeros_like(x)
+            r = gn.copy()
+            p = -r
+            rs = float(r @ r)
+            for _ in range(min(len(x), 50)):
+                Hp = hv(p)
+                pHp = float(p @ Hp)
+                if pHp <= 1e-14 * float(p @ p):
+                    # negative curvature: walk to the boundary
+                    a_bnd = (tr - np.linalg.norm(d)) \
+                        / max(np.linalg.norm(p), 1e-30)
+                    d = d + a_bnd * p
+                    break
+                alpha = rs / pHp
+                d_new = d + alpha * p
+                if np.linalg.norm(d_new) > tr:
+                    a_bnd = (tr - np.linalg.norm(d)) \
+                        / max(np.linalg.norm(p), 1e-30)
+                    d = d + a_bnd * p
+                    break
+                d = d_new
+                r = r + alpha * Hp
+                rs_new = float(r @ r)
+                if rs_new < 1e-18:
+                    break
+                p = -r + (rs_new / rs) * p
+                rs = rs_new
+
+            f_new, g_new = fun_grad(x + d)
+            f_new = float(f_new)
+            pred = -float(gn @ d) - 0.5 * float(d @ hv(d))
+            rho = (f - f_new) / max(pred, 1e-30)
+            if f_new < f:
+                x = x + d
+                df = f - f_new
+                f, g = f_new, g_new
+                if rho > 0.75 and np.linalg.norm(d) > 0.8 * tr:
+                    tr = min(tr * 2.0, 10.0)
+                if df < ytol:
+                    break
+            else:
+                tr *= 0.25
+                if tr < 1e-10:
+                    break
+        return x, float(f)
     if method == "SD":
         x = np.array(x0, dtype=float)
         step = kwargs.get("step", 0.1)
