@@ -7,10 +7,23 @@ import numpy as np
 
 
 def eval_ao(mol, coords):
-    """AO values on a set of points; mol: ints.gto.Mole (s shells only).
+    """AO values on a set of points.  mol: ints.gto.Mole (s shells) or
+    ints.md.MoleGeneral (arbitrary Cartesian l).
     coords: (npts, 3) bohr.  Returns (npts, nao)."""
     coords = np.asarray(coords)
     out = np.zeros((len(coords), mol.nao))
+    if hasattr(mol, "shell_slices"):        # general-l MoleGeneral
+        from libdmet_preview_tpu.ints.md import CART
+        for sh, (i0, i1) in zip(mol.shells, mol.shell_slices):
+            d = coords - sh.center
+            r2 = np.sum(d * d, axis=1)
+            rad = np.zeros(len(coords))
+            for alpha, c in zip(sh.exps, sh.coefs):
+                rad += c * np.exp(-alpha * r2)
+            for comp, (l, m, n) in enumerate(CART[sh.l]):
+                out[:, i0 + comp] = (d[:, 0] ** l) * (d[:, 1] ** m) \
+                    * (d[:, 2] ** n) * rad
+        return out
     for i, (center, prim) in enumerate(mol.shells):
         r2 = np.sum((coords - center) ** 2, axis=1)
         for alpha, c in prim:
