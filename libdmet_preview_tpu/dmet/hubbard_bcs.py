@@ -40,7 +40,8 @@ def HartreeFockBogoliubov(gham, vcor, filling, mu0=0.0, beta=np.inf,
 
 
 def VcorSC(nao, restricted=True):
-    """Local Bogoliubov vcor [v, v, D] (s-wave capable)."""
+    """Local Bogoliubov vcor [v, v, D]: full symmetric pairing block
+    (s-wave onsite AND bond-wise d-wave structures)."""
     return VcorLocal(restricted, True, nao)
 
 
