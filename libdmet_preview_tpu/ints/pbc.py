@@ -145,10 +145,62 @@ class PbcCell(object):
         keep = np.einsum("ti, ti -> t", d, d) * mu_min < logt
         return Ts[keep]
 
+    def set_translations(self, ncells, t_vecs):
+        """Declare the BvK cell structure: the supercell consists of
+        `ncells` identical cells (cell-major AO ordering) related by the
+        translations t_vecs (ncells, 3), t_vecs[0] = 0.  Enables the
+        STRIPE fast path: 1-body matrices are assembled for the first
+        block column only (ncells x fewer shell pairs) and expanded by
+        translation symmetry; ft_aopair reconstructs the remaining
+        columns with e^{-iG.T} phases."""
+        t_vecs = np.asarray(t_vecs, float)
+        assert self.nao % ncells == 0
+        assert np.allclose(t_vecs[0], 0.0)
+        nshell_cell = len(self.shells) // ncells
+        # verify the cell-major shell structure matches the translations
+        for c in range(ncells):
+            for s in range(nshell_cell):
+                sh0 = self.shells[s]
+                shc = self.shells[c * nshell_cell + s]
+                assert sh0.l == shc.l and np.allclose(
+                    shc.center - sh0.center, t_vecs[c], atol=1e-10), \
+                    "shells are not cell-major translates"
+        self.ncells_tr = ncells
+        self.t_vecs = t_vecs
+        self.nshell_cell = nshell_cell
+        self.nao_cell = self.nao // ncells
+        return self
+
+    def _expand_stripe_col(self, col):
+        """First block column (nao, nao_cell) -> full (nao, nao) via
+        <(C)s|V|(D)t> = <(C-D)s|V|(0)t> (cell-major ordering)."""
+        N = self.ncells_tr
+        m = self.nao_cell
+        colb = col.reshape(N, m, m)
+        out = np.empty((self.nao, self.nao))
+        for D in range(N):
+            # block rows C: source block (C - D) mod N
+            src = colb[(np.arange(N) - D) % N]
+            out[:, D * m:(D + 1) * m] = src.reshape(self.nao, m)
+        return out
+
     def _fill_lattice(self, block_imgs_fn):
         """Generic lattice-summed 1-body assembly over shell pairs;
-        block_imgs_fn(shi, shj, shifts) returns the IMAGE-SUMMED block."""
+        block_imgs_fn(shi, shj, shifts) returns the IMAGE-SUMMED block.
+        With set_translations, only the first block column is computed."""
         nao = self.nao
+        if getattr(self, "ncells_tr", None):
+            m = self.nao_cell
+            col = np.zeros((nao, m))
+            for i, shi in enumerate(self.shells):
+                i0, i1 = self.shell_slices[i]
+                for j in range(self.nshell_cell):
+                    shj = self.shells[j]
+                    j0, j1 = self.shell_slices[j]
+                    imgs = self._pair_image_list(shi, shj)
+                    col[i0:i1, j0:j1] = block_imgs_fn(shi, shj, imgs)
+            out = self._expand_stripe_col(col)
+            return 0.5 * (out + out.T)
         out = np.zeros((nao, nao))
         for i, shi in enumerate(self.shells):
             i0, i1 = self.shell_slices[i]
@@ -210,10 +262,19 @@ class PbcCell(object):
             for k in range(1, lmax2 + 1):
                 miG[d, k] = miG[d, k - 1] * (-1j * Gv[:, d])
         from libdmet_preview_tpu.ints.md import _pair_E3_imgs
-        for i, shi in enumerate(self.shells):
-            i0, i1 = self.shell_slices[i]
-            for j in range(i + 1):
+        stripe = bool(getattr(self, "ncells_tr", None))
+        if stripe:
+            # first block column only; remaining columns follow from
+            # translation symmetry with e^{-iG.T_D} phases below
+            pair_iter = [(i, j) for i in range(len(self.shells))
+                         for j in range(self.nshell_cell)]
+        else:
+            pair_iter = [(i, j) for i in range(len(self.shells))
+                         for j in range(i + 1)]
+        for i, j in pair_iter:
+                shi = self.shells[i]
                 shj = self.shells[j]
+                i0, i1 = self.shell_slices[i]
                 j0, j1 = self.shell_slices[j]
                 imgs = self._pair_image_list(shi, shj)
                 acc = np.zeros((shi.nc, shj.nc, nG), dtype=np.complex128)
@@ -250,11 +311,23 @@ class PbcCell(object):
                     acc += np.einsum("cdtg, tg -> cdg", Z, mi_rows)
                 blk = np.moveaxis(acc, -1, 0)
                 f[:, i0:i1, j0:j1] = blk
-                if i != j:
+                if not stripe and i != j:
                     # the periodized pair function chi~_I chi~_J is a
                     # pointwise product (order-free) and the image sum
                     # covers both signs -> f_JI = f_IJ^T exactly
                     f[:, j0:j1, i0:i1] = blk.transpose(0, 2, 1)
+        if stripe:
+            # expand the first block column by translation symmetry:
+            # f[(C)s, (D)t](G) = f[(C-D)s, (0)t](G) e^{-iG.T_D}
+            N = self.ncells_tr
+            m = self.nao_cell
+            phases = np.exp(-1j * (Gv @ self.t_vecs.T))   # (nG, N)
+            colb = f[:, :, :m].reshape(nG, N, m, m)
+            for D in range(1, N):
+                src = colb[:, (np.arange(N) - D) % N].reshape(nG,
+                                                              self.nao, m)
+                f[:, :, D * m:(D + 1) * m] = src * phases[:, D][:, None,
+                                                               None]
         return f
 
     # ------------------------------------------------------------------
@@ -468,8 +541,16 @@ class PbcCell(object):
             for shp, h11 in zip(sh_p, hs):
                 projs.append((shp, h11))
         if projs:
-            ov = np.zeros((len(projs), nao))
-            for ipr, (shp, h11) in enumerate(projs):
+            stripe = bool(getattr(self, "ncells_tr", None))
+            if stripe:
+                # projector overlaps by translation: compute only the
+                # cell-0 projectors and roll block-wise for the rest
+                npc = len(projs) // self.ncells_tr
+                projs_calc = projs[:npc]
+            else:
+                projs_calc = projs
+            ov0 = np.zeros((len(projs_calc), nao))
+            for ipr, (shp, h11) in enumerate(projs_calc):
                 for i, shi in enumerate(self.shells):
                     i0, i1 = self.shell_slices[i]
                     mu_min = (shp.exps.min() * shi.exps.min()
@@ -478,9 +559,22 @@ class PbcCell(object):
                     keep = np.einsum("ti, ti -> t", d, d) * mu_min < logt
                     if not np.any(keep):
                         continue
-                    ov[ipr, i0:i1] = ovlp_block_imgs(shp, shi,
-                                                     Ts[keep])[0]
-            h_diag = np.asarray([h for _, h in projs])
+                    ov0[ipr, i0:i1] = ovlp_block_imgs(shp, shi,
+                                                      Ts[keep])[0]
+            if stripe:
+                N = self.ncells_tr
+                m = self.nao_cell
+                npc = len(projs) // N
+                ov = np.zeros((len(projs), nao))
+                blocks = ov0.reshape(npc, N, m)
+                for C in range(N):
+                    # <p in cell C | chi in cell D> = ov0 block (D - C)
+                    ov[C * npc:(C + 1) * npc] = blocks[
+                        :, (np.arange(N) - C) % N].reshape(npc, nao)
+                h_diag = np.asarray([h for _, h in projs])
+            else:
+                ov = ov0
+                h_diag = np.asarray([h for _, h in projs_calc])
             V = V + np.einsum("p, pi, pj -> ij", h_diag, ov, ov)
         return V
 
@@ -636,4 +730,8 @@ def make_hchain_supercell(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
         for i in range(nH):
             atoms.append(("H", (0.0, 0.0, c * length + i * R)))
     a = np.diag([vac, vac, nk * length])
-    return PbcCell(atoms, a, basis=basis, unit="A", **kwargs)
+    cell = PbcCell(atoms, a, basis=basis, unit="A", **kwargs)
+    t_vecs = np.zeros((nk, 3))
+    t_vecs[:, 2] = np.arange(nk) * length * BOHR_PER_ANGSTROM
+    cell.set_translations(nk, t_vecs)
+    return cell

@@ -520,6 +520,7 @@ def make_diamond_lattice(nk=2, a_ang=3.567, basis="gth-szv",
     a_sc = np.asarray([P[0], P[1], nk * P[2]])
     cell = PbcCell(atoms, a_sc, basis=basis, unit="B", pseudo=pseudo,
                    gmax=gmax)
+    cell.set_translations(nk, np.arange(nk)[:, None] * P[2][None, :])
     nlo = cell.nao // nk
     nsite = cell.nao
 

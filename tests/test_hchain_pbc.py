@@ -209,3 +209,17 @@ def test_get_emb_eri_aft_streaming():
                     C, optimize=True)
     out = cell.get_emb_eri_aft(C, blksize=5000)
     assert np.abs(out - ref).max() < 1e-10
+
+
+def test_stripe_assembly_matches_full():
+    """Translation-symmetric (stripe) integral assembly == the full
+    supercell assembly at machine precision (first-block-column 1-body
+    matrices + e^{-iG.T} phase reconstruction of the pair FT)."""
+    from libdmet_preview_tpu.ints.pbc import make_hchain_supercell
+    cs = make_hchain_supercell(nk=2, basis="sto-6g")
+    cf = make_hchain_supercell(nk=2, basis="sto-6g")
+    cf.ncells_tr = None     # disable the stripe path
+    assert np.abs(cs.intor_ovlp() - cf.intor_ovlp()).max() < 1e-14
+    assert np.abs(cs.intor_kin() - cf.intor_kin()).max() < 1e-14
+    assert np.abs(cs.intor_nuc() - cf.intor_nuc()).max() < 1e-13
+    assert np.abs(cs.intor_eri() - cf.intor_eri()).max() < 1e-13
