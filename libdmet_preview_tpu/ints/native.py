@@ -83,6 +83,76 @@ def get_lib():
     return _LIB
 
 
+_SR_LIB = None
+_SR_TRIED = False
+
+
+def get_sr_lib():
+    """Native short-range Hermite-sum core (_sr_core.cpp) or None.
+    Built lazily next to _gto_core.so with the same atomic-rename
+    scheme."""
+    global _SR_LIB, _SR_TRIED
+    if _SR_LIB is not None or _SR_TRIED:
+        return _SR_LIB
+    _SR_TRIED = True
+    if os.environ.get("LIBDMET_TPU_NO_NATIVE"):
+        return None
+    src = os.path.join(_HERE, "_sr_core.cpp")
+    so = os.path.join(os.path.dirname(_SO), "_sr_core.so")
+    if not os.path.exists(so) or \
+            os.path.getmtime(so) < os.path.getmtime(src):
+        tmp = "%s.tmp.%d" % (so, os.getpid())
+        try:
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", tmp,
+                            src], check=True, capture_output=True,
+                           timeout=180)
+            os.rename(tmp, so)
+        except Exception as e:
+            log.warn("native SR core build failed (%s); numpy path", e)
+            try:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+            except OSError:
+                pass
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError as e:
+        log.warn("native SR core load failed (%s)", e)
+        return None
+    lib.sr_hermite_sum.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    lib.sr_hermite_sum.restype = None
+    _SR_LIB = lib
+    return _SR_LIB
+
+
+def sr_hermite_sum(lsum, PC, wz, kimg, nimg, alpha, kernel):
+    """S[(t,u,v) flat, img] = sum_k wz_k R_tuv(alpha; PC_k) via the
+    native core; returns (S_re, S_im) or None if unavailable."""
+    lib = get_sr_lib()
+    if lib is None or lsum > 4:
+        return None
+    PC = np.ascontiguousarray(PC, dtype=np.float64)
+    wz = np.ascontiguousarray(wz, dtype=np.float64)
+    kimg = np.ascontiguousarray(kimg, dtype=np.int64)
+    dim = (lsum + 1) ** 3
+    S_re = np.zeros((dim, nimg))
+    S_im = np.zeros((dim, nimg))
+    a = complex(alpha)
+    lib.sr_hermite_sum(lsum, PC.shape[0], nimg, PC.reshape(-1), wz, kimg,
+                       float(a.real), float(a.imag), int(kernel),
+                       S_re.reshape(-1), S_im.reshape(-1))
+    return S_re, S_im
+
+
 def eri_s_shells(shells):
     """Native ERI for a list of contracted s shells
     [(center_xyz, [(exp, coeff), ...]), ...]; returns (nao,)*4 or None if

@@ -132,8 +132,11 @@ class PbcCell(object):
     # ------------------------------------------------------------------
 
     def _pair_images(self):
-        Ts = self.lattice_images()
-        return Ts
+        cached = getattr(self, "_Ts_cache", None)
+        if cached is None:
+            cached = self.lattice_images()
+            self._Ts_cache = cached
+        return cached
 
     def _pair_image_list(self, shi, shj):
         """Images T with non-negligible Gaussian pair overlap."""
@@ -448,39 +451,59 @@ class PbcCell(object):
             PC = PCc[exact]                              # (nact, 3)
             Zk = Zs[cc[exact]]
             lsum = shi.l + shj.l
+            nimg_p = P.shape[0]
+            from libdmet_preview_tpu.ints import native as natmod
             for kind, par, extra in kernels:
+                S = None
                 if kind == "erfc":
-                    s = par / (p + par)
-                    R = R_table(lsum, lsum, lsum, p, PC) \
-                        - np.sqrt(s) * R_table(lsum, lsum, lsum, p * s,
-                                               PC)
+                    sf = par / (p + par)
                     fac = -extra * c12 * (2.0 * np.pi / p)
-                    Rw = R * Zk                          # weight by Z
+                    nat = natmod.sr_hermite_sum(lsum, PC, Zk, k_img,
+                                                nimg_p, p, 0)
+                    if nat is not None:
+                        S1 = nat[0]
+                        S2 = natmod.sr_hermite_sum(lsum, PC, Zk, k_img,
+                                                   nimg_p, p * sf, 0)[0]
+                        S = (S1 - np.sqrt(sf) * S2).reshape(
+                            lsum + 1, lsum + 1, lsum + 1, nimg_p)
+                    else:
+                        R = R_table(lsum, lsum, lsum, p, PC) \
+                            - np.sqrt(sf) * R_table(lsum, lsum, lsum,
+                                                    p * sf, PC)
+                        Rw = R * Zk
                 elif kind == "gauss":
                     c1, c2, rloc = extra
                     h = 1e-200
                     beta = par + 1j * h
-                    gam = p * beta / (p + beta)
                     pref = (np.pi / (p + beta)) ** 1.5
-                    Rg = pref * R_table(lsum, lsum, lsum, gam, PC,
-                                        kernel="gauss")
-                    R = c1 * Rg.real
-                    if c2 != 0.0:
-                        R = R + c2 * (-(Rg.imag / h)) / (rloc * rloc)
                     fac = c12
-                    Rw = R
+                    gam = p * beta / (p + beta)
+                    nat = natmod.sr_hermite_sum(
+                        lsum, PC, np.ones(len(PC)), k_img, nimg_p, gam, 1)
+                    if nat is not None:
+                        Sc = (nat[0] + 1j * nat[1]) * pref
+                        S = (c1 * Sc.real
+                             + (c2 * (-(Sc.imag / h)) / (rloc * rloc)
+                                if c2 != 0.0 else 0.0)).reshape(
+                            lsum + 1, lsum + 1, lsum + 1, nimg_p)
+                    else:
+                        Rg = pref * R_table(lsum, lsum, lsum, gam, PC,
+                                            kernel="gauss")
+                        R = c1 * Rg.real
+                        if c2 != 0.0:
+                            R = R + c2 * (-(Rg.imag / h)) / (rloc * rloc)
+                        Rw = R
                 else:
                     raise ValueError(kind)
-                # reduce actives to PER-IMAGE sums (segment sum), so the
-                # component contraction runs over images, not actives
-                nimg_p = P.shape[0]
-                S = np.zeros(Rw.shape[:3] + (nimg_p,))
-                for t in range(lsum + 1):
-                    for u in range(lsum + 1):
-                        for v in range(lsum + 1):
-                            S[t, u, v] = np.bincount(
-                                k_img, weights=Rw[t, u, v],
-                                minlength=nimg_p)
+                if S is None:
+                    # numpy fallback: reduce actives to PER-IMAGE sums
+                    S = np.zeros((lsum + 1,) * 3 + (nimg_p,))
+                    for t in range(lsum + 1):
+                        for u in range(lsum + 1):
+                            for v in range(lsum + 1):
+                                S[t, u, v] = np.bincount(
+                                    k_img, weights=Rw[t, u, v],
+                                    minlength=nimg_p)
                 for i, (l1, m1, n1) in enumerate(CART[shi.l]):
                     for j, (l2, m2, n2) in enumerate(CART[shj.l]):
                         val = 0.0
