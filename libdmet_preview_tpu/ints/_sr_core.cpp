@@ -20,10 +20,20 @@ namespace {
 const int LMAX = 4;            // supports lsum <= 4 (up to d-d pairs)
 const int NMAX = 3 * LMAX;     // max Hermite derivative order
 
-// Boys functions F_0..F_n, series + downward recursion (x < 35),
-// asymptotic + upward recursion otherwise.
+// Boys functions F_0..F_n.  Three regimes: exact erf F_0 + upward
+// recursion where that is stable (x comfortably above 2n: the series
+// needs ~x terms there, so this is also the fast path for the
+// mid-range lattice sums), series + downward recursion for small x,
+// asymptotic + upward for very large x.
 inline void boys(int n, double x, double* F) {
-    if (x < 35.0) {
+    if (x > 2.0 * n + 12.0 && x > 18.0) {
+        double sx = std::sqrt(x);
+        double ex = std::exp(-x);
+        double tx = 2.0 * x;
+        F[0] = 0.886226925452758014 / sx * std::erf(sx);  // sqrt(pi)/2
+        for (int m = 0; m < n; ++m)
+            F[m + 1] = ((2.0 * m + 1.0) * F[m] - ex) / tx;
+    } else if (x < 35.0) {
         double term = 1.0 / (2.0 * n + 1.0);
         double acc = term;
         double tx = 2.0 * x;
@@ -143,6 +153,83 @@ void sr_hermite_sum(int64_t lsum, int64_t nact, int64_t nimg,
         }
     }
     (void)dim;
+}
+
+// Fused candidate screen + Hermite kernel sum: moves the per-primitive
+// bookkeeping of ints/pbc.PbcCell._sr_flat_block (image remap, product
+// center - lattice center differences, exact range screen, weight
+// gather) into the same pass as the kernel evaluation, so Python only
+// builds the shell-level candidate list once per shell pair.
+//
+//   for k in candidates:
+//     l = inv[cand_img[k]]           (primitive's surviving-image remap)
+//     if l < 0: skip
+//     PC = P[l] - ctrs[cand_c[k]]
+//     if |PC|^2 >= rng2: skip
+//     S[:, l] += Zs[cand_c[k]] * R_tuv(alpha; PC)
+//
+// kernel = 0: Coulomb (Boys); kernel = 1: Gaussian with complex-step
+// alpha (imag in S_im).  S_re/S_im: ((lsum+1)^3, nimg_p), ACCUMULATED.
+void sr_cand_sum(int64_t lsum, int64_t ncand, int64_t nimg_p,
+                 const double* P, const int64_t* inv,
+                 const int64_t* cand_img, const int64_t* cand_c,
+                 const double* ctrs, const double* Zs, double rng2,
+                 double alpha_re, double alpha_im, int64_t kernel,
+                 double* S_re, double* S_im) {
+    const int L = (int)lsum;
+    const int nmax = 3 * L;
+
+    if (kernel == 0) {
+        double Fn[NMAX + 1];
+        double R[LMAX + 1][LMAX + 1][LMAX + 1];
+        for (int64_t k = 0; k < ncand; ++k) {
+            int64_t l = inv[cand_img[k]];
+            if (l < 0) continue;
+            int64_t c = cand_c[k];
+            double px = P[3 * l] - ctrs[3 * c];
+            double py = P[3 * l + 1] - ctrs[3 * c + 1];
+            double pz = P[3 * l + 2] - ctrs[3 * c + 2];
+            double r2 = px * px + py * py + pz * pz;
+            if (r2 >= rng2) continue;
+            boys(nmax, alpha_re * r2, Fn);
+            r_table_point<double>(L, alpha_re, px, py, pz, Fn, R);
+            double w = Zs[c];
+            double* out = S_re + l;
+            int idx = 0;
+            for (int t = 0; t <= L; ++t)
+                for (int u = 0; u <= L; ++u)
+                    for (int v = 0; v <= L; ++v, ++idx)
+                        out[(int64_t)idx * nimg_p] += w * R[t][u][v];
+        }
+    } else {
+        std::complex<double> alpha(alpha_re, alpha_im);
+        std::complex<double> Fn[NMAX + 1];
+        std::complex<double> R[LMAX + 1][LMAX + 1][LMAX + 1];
+        for (int64_t k = 0; k < ncand; ++k) {
+            int64_t l = inv[cand_img[k]];
+            if (l < 0) continue;
+            int64_t c = cand_c[k];
+            double px = P[3 * l] - ctrs[3 * c];
+            double py = P[3 * l + 1] - ctrs[3 * c + 1];
+            double pz = P[3 * l + 2] - ctrs[3 * c + 2];
+            double r2 = px * px + py * py + pz * pz;
+            if (r2 >= rng2) continue;
+            std::complex<double> e = std::exp(-alpha * r2);
+            for (int n = 0; n <= nmax; ++n) Fn[n] = e;
+            r_table_point<std::complex<double> >(L, alpha, px, py, pz,
+                                                 Fn, R);
+            double w = Zs[c];
+            double* outr = S_re + l;
+            double* outi = S_im + l;
+            int idx = 0;
+            for (int t = 0; t <= L; ++t)
+                for (int u = 0; u <= L; ++u)
+                    for (int v = 0; v <= L; ++v, ++idx) {
+                        outr[(int64_t)idx * nimg_p] += w * R[t][u][v].real();
+                        outi[(int64_t)idx * nimg_p] += w * R[t][u][v].imag();
+                    }
+        }
+    }
 }
 
 }  // extern "C"

@@ -130,6 +130,20 @@ def get_sr_lib():
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
     ]
     lib.sr_hermite_sum.restype = None
+    lib.sr_cand_sum.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    lib.sr_cand_sum.restype = None
     _SR_LIB = lib
     return _SR_LIB
 
@@ -150,6 +164,27 @@ def sr_hermite_sum(lsum, PC, wz, kimg, nimg, alpha, kernel):
     lib.sr_hermite_sum(lsum, PC.shape[0], nimg, PC.reshape(-1), wz, kimg,
                        float(a.real), float(a.imag), int(kernel),
                        S_re.reshape(-1), S_im.reshape(-1))
+    return S_re, S_im
+
+
+def sr_cand_sum(lsum, P, inv, cand_img, cand_c, ctrs, Zs, rng2, alpha,
+                kernel):
+    """Fused candidate screen + Hermite kernel sum (see sr_cand_sum in
+    _sr_core.cpp); caller must pass C-contiguous arrays of the right
+    dtypes.  Returns (S_re, S_im) of shape ((lsum+1)^3, nimg_p), or
+    None if the native core is unavailable."""
+    lib = get_sr_lib()
+    if lib is None or lsum > 4:
+        return None
+    nimg_p = P.shape[0]
+    dim = (lsum + 1) ** 3
+    S_re = np.zeros((dim, nimg_p))
+    S_im = np.zeros((dim, nimg_p))
+    a = complex(alpha)
+    lib.sr_cand_sum(lsum, cand_img.shape[0], nimg_p, P.reshape(-1),
+                    inv, cand_img, cand_c, ctrs.reshape(-1), Zs,
+                    float(rng2), float(a.real), float(a.imag),
+                    int(kernel), S_re.reshape(-1), S_im.reshape(-1))
     return S_re, S_im
 
 

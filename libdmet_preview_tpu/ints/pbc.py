@@ -421,20 +421,87 @@ class PbcCell(object):
         mids = 0.5 * (shi.center[None, :] + Bimg)
         half = 0.5 * np.linalg.norm(shi.center[None, :] - Bimg, axis=1)
         lim2 = (rng + half) ** 2
+        # |mid - c|^2 via the Gram expansion (GEMM, not a broadcast
+        # subtract-square-reduce: this screen runs over nimg x ncenter)
+        m2 = np.einsum("ki, ki -> k", mids, mids)
         ci_list, cc_list = [], []
         for c0 in range(0, ctrs.shape[0], 8192):   # bounded buffers
-            d2m = np.sum((mids[:, None, :]
-                          - ctrs[None, c0:c0 + 8192, :]) ** 2, axis=-1)
+            cch = ctrs[c0:c0 + 8192]
+            d2m = (m2[:, None]
+                   + np.einsum("ci, ci -> c", cch, cch)[None, :]
+                   - 2.0 * (mids @ cch.T))
             ki, kc = np.nonzero(d2m < lim2[:, None])
             ci_list.append(ki)
             cc_list.append(kc + c0)
         if not ci_list or sum(x.size for x in ci_list) == 0:
             return out
-        cand_img = np.concatenate(ci_list)
-        cand_c = np.concatenate(cc_list)
+        cand_img = np.ascontiguousarray(np.concatenate(ci_list),
+                                        dtype=np.int64)
+        cand_c = np.ascontiguousarray(np.concatenate(cc_list),
+                                      dtype=np.int64)
+        ctrs_c = np.ascontiguousarray(ctrs, dtype=np.float64)
+        Zs_c = np.ascontiguousarray(Zs, dtype=np.float64)
+        ones_c = np.ones(ctrs.shape[0])
+        from libdmet_preview_tpu.ints import native as natmod
+        lsum_sh = shi.l + shj.l
+        use_fused = (lsum_sh <= 4 and natmod.get_sr_lib() is not None)
         for p, c12, P, (Ex, Ey, Ez), sel in _pair_E3_imgs(shi, shj, imgs,
                                                           logt):
-            # map shell-level candidates onto this primitive's image set
+            lsum = lsum_sh
+            nimg_p = P.shape[0]
+
+            def _accum(S, fac):
+                for i, (l1, m1, n1) in enumerate(CART[shi.l]):
+                    for j, (l2, m2, n2) in enumerate(CART[shj.l]):
+                        val = 0.0
+                        for t in range(l1 + l2 + 1):
+                            for u in range(m1 + m2 + 1):
+                                for v in range(n1 + n2 + 1):
+                                    E3v = (Ex[l1, l2, t] * Ey[m1, m2, u]
+                                           * Ez[n1, n2, v])
+                                    val = val + np.dot(E3v, S[t, u, v])
+                        out[i, j] += fac * val
+
+            if use_fused:
+                # native fused pass: image remap + range screen +
+                # kernel sums all in C (sr_cand_sum), no per-primitive
+                # candidate gathers in Python
+                inv = np.full(imgs.shape[0], -1, dtype=np.int64)
+                inv[sel] = np.arange(sel.size, dtype=np.int64)
+                Pc = np.ascontiguousarray(P)
+                shp = (lsum + 1, lsum + 1, lsum + 1, nimg_p)
+                for kind, par, extra in kernels:
+                    if kind == "erfc":
+                        sf = par / (p + par)
+                        fac = -extra * c12 * (2.0 * np.pi / p)
+                        S1 = natmod.sr_cand_sum(
+                            lsum, Pc, inv, cand_img, cand_c, ctrs_c,
+                            Zs_c, rng2, p, 0)[0]
+                        S2 = natmod.sr_cand_sum(
+                            lsum, Pc, inv, cand_img, cand_c, ctrs_c,
+                            Zs_c, rng2, p * sf, 0)[0]
+                        S = (S1 - np.sqrt(sf) * S2).reshape(shp)
+                    elif kind == "gauss":
+                        c1, c2, rloc = extra
+                        h = 1e-200
+                        beta = par + 1j * h
+                        pref = (np.pi / (p + beta)) ** 1.5
+                        fac = c12
+                        gam = p * beta / (p + beta)
+                        Sr, Si = natmod.sr_cand_sum(
+                            lsum, Pc, inv, cand_img, cand_c, ctrs_c,
+                            ones_c, rng2, gam, 1)
+                        Sc = (Sr + 1j * Si) * pref
+                        S = (c1 * Sc.real
+                             + (c2 * (-(Sc.imag / h)) / (rloc * rloc)
+                                if c2 != 0.0 else 0.0)).reshape(shp)
+                    else:
+                        raise ValueError(kind)
+                    _accum(S, fac)
+                continue
+
+            # pure NumPy fallback (also the lsum > 4 path): explicit
+            # candidate mapping onto this primitive's image set
             inv = np.full(imgs.shape[0], -1, dtype=int)
             inv[sel] = np.arange(sel.size)
             loc = inv[cand_img]
@@ -450,9 +517,6 @@ class PbcCell(object):
             k_img = loc[exact]
             PC = PCc[exact]                              # (nact, 3)
             Zk = Zs[cc[exact]]
-            lsum = shi.l + shj.l
-            nimg_p = P.shape[0]
-            from libdmet_preview_tpu.ints import native as natmod
             for kind, par, extra in kernels:
                 S = None
                 if kind == "erfc":
@@ -504,16 +568,7 @@ class PbcCell(object):
                                 S[t, u, v] = np.bincount(
                                     k_img, weights=Rw[t, u, v],
                                     minlength=nimg_p)
-                for i, (l1, m1, n1) in enumerate(CART[shi.l]):
-                    for j, (l2, m2, n2) in enumerate(CART[shj.l]):
-                        val = 0.0
-                        for t in range(l1 + l2 + 1):
-                            for u in range(m1 + m2 + 1):
-                                for v in range(n1 + n2 + 1):
-                                    E3v = (Ex[l1, l2, t] * Ey[m1, m2, u]
-                                           * Ez[n1, n2, v])
-                                    val = val + np.dot(E3v, S[t, u, v])
-                        out[i, j] += fac * val
+                _accum(S, fac)
         return out
 
     def _pp_sr_matrix(self):
