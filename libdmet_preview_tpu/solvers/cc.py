@@ -295,6 +295,7 @@ def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
 
     A = LinearOperator((ntot, ntot), matvec=mv)
     b = -np.concatenate([np.asarray(w1).ravel(), np.asarray(w2).ravel()])
+    bnorm = max(1.0, float(np.linalg.norm(b)))
     if lambda_sweeps is not None:
         # approximate lambda: truncated Richardson on the preconditioned
         # system.  The Jacobi-preconditioned adjoint is ~ -I (the residual
@@ -306,10 +307,62 @@ def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
         l1 = jnp.asarray(x[:n1].reshape(s1)) / D1
         l2 = jnp.asarray(x[n1:].reshape(s2)) / D2
         return l1, l2
-    x, info = gmres(A, b, rtol=max(tol, 1e-12), atol=0.0,
-                    restart=min(ntot, 400), maxiter=5)
-    res_norm = float(np.linalg.norm(A.matvec(x) - b))
-    bnorm = max(1.0, float(np.linalg.norm(b)))
+    # DIIS-accelerated Richardson on the preconditioned adjoint first:
+    # the SAME contraction structure as the (converged) amplitude fixed
+    # point, so whenever the t iteration converged this does too --
+    # and at ~1 vjp/iteration it is far cheaper than restarted GMRES,
+    # which stalls on near-degenerate denominators (small emb gaps).
+    diis = _AmpDIIS([(ntot,)], space=diis_space)
+    x = b.copy()
+    res_norm = np.inf
+    for _ in range(max_cycle):
+        e = A.matvec(x) - b
+        res_norm = float(np.linalg.norm(e))
+        if res_norm < max(tol, 1e-10) * bnorm:
+            break
+        x = np.asarray(diis.update([x - e], [e])[0])
+    if res_norm > 1e-8 * bnorm:
+        x2, info = gmres(A, b, rtol=max(tol, 1e-12), atol=0.0, x0=x,
+                         restart=min(ntot, 400), maxiter=5)
+        r2 = float(np.linalg.norm(A.matvec(x2) - b))
+        if r2 < res_norm:
+            x, res_norm = x2, r2
+    if res_norm > 1e-6 * bnorm:
+        # Krylov stall on an indefinite / defective adjoint (a zero EOM
+        # eigenvalue makes the Jacobian singular, and if b overlaps the
+        # cokernel the lambda equations are INCONSISTENT -- CC response
+        # breaks down at such points).  Regularize as the min-norm
+        # least-squares lambda via LSMR; the transpose matvec is the
+        # jvp of the residual (A = J^T D^{-1} => A^T = D^{-1} J).
+        from scipy.sparse.linalg import lsmr
+
+        @jax.jit
+        def rmatvec_prec(y1, y2):
+            if freeze_t1:
+                _, (g1, g2) = jax.jvp(
+                    Rt, (t1, t2), (jnp.zeros_like(y1), y2))
+                return y1, g2 / D2
+            _, (g1, g2) = jax.jvp(Rt, (t1, t2), (y1, y2))
+            return g1 / D1, g2 / D2
+
+        def rmv(x_):
+            x_ = np.asarray(x_, dtype=np.float64)
+            g1, g2 = rmatvec_prec(jnp.asarray(x_[:n1].reshape(s1)),
+                                  jnp.asarray(x_[n1:].reshape(s2)))
+            return np.concatenate([np.asarray(g1).ravel(),
+                                   np.asarray(g2).ravel()])
+
+        Als = LinearOperator((ntot, ntot), matvec=mv, rmatvec=rmv)
+        xl = lsmr(Als, b, atol=1e-12, btol=1e-12, maxiter=3000)[0]
+        rl = float(np.linalg.norm(A.matvec(xl) - b))
+        rlsq = float(np.linalg.norm(Als.rmatvec(A.matvec(xl) - b)))
+        if rl < res_norm or rlsq < 1e-8 * bnorm:
+            x, res_norm = xl, rl
+            if res_norm > 1e-6 * bnorm:
+                log.warn("CCSD adjoint is singular-inconsistent "
+                         "(defective CC Jacobian: zero EOM mode "
+                         "overlapping dE/dt); min-norm least-squares "
+                         "lambda, cokernel residual %.3e", res_norm)
     if res_norm > 1e-8 * bnorm and ntot <= 3000:
         # small system: materialize the Jacobian and solve directly
         log.info("CCSD adjoint: GMRES residual %.2e, dense direct solve",
@@ -429,10 +482,23 @@ def _solve_adjoint_masked(h_so, W, nocc, t1, t2, w1, w2, m1, m2, tol=1e-9,
 
     A = LinearOperator((ntot, ntot), matvec=mv)
     b = -np.concatenate([np.asarray(w1).ravel(), np.asarray(w2).ravel()])
-    x, info = gmres(A, b, rtol=max(tol, 1e-12), atol=0.0,
-                    restart=min(ntot, 400), maxiter=5)
-    res_norm = float(np.linalg.norm(A.matvec(x) - b))
     bnorm = max(1.0, float(np.linalg.norm(b)))
+    # DIIS Richardson first, GMRES polish, dense last (see _solve_adjoint)
+    diis = _AmpDIIS([(ntot,)], space=8)
+    x = b.copy()
+    res_norm = np.inf
+    for _ in range(100):
+        e = A.matvec(x) - b
+        res_norm = float(np.linalg.norm(e))
+        if res_norm < max(tol, 1e-10) * bnorm:
+            break
+        x = np.asarray(diis.update([x - e], [e])[0])
+    if res_norm > 1e-8 * bnorm:
+        x2, info = gmres(A, b, rtol=max(tol, 1e-12), atol=0.0, x0=x,
+                         restart=min(ntot, 400), maxiter=5)
+        r2 = float(np.linalg.norm(A.matvec(x2) - b))
+        if r2 < res_norm:
+            x, res_norm = x2, r2
     if res_norm > 1e-8 * bnorm and ntot <= 3000:
         eye = np.eye(ntot)
         cols = [mv(eye[:, k]) for k in range(ntot)]
