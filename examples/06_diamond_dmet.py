@@ -10,7 +10,7 @@ Lowdin-localizes, and performs one interacting-bath DMET iteration with
 a CCSD impurity solver.  The HF-solver identity (DMET(HF) == lattice HF)
 validates the full embedding chain at ~1e-8.
 
-Runtime: ~6 minutes (one-time integral generation on the host).
+Runtime: ~90 s (one-time integral generation on the host).
 """
 import time
 
