@@ -1,0 +1,221 @@
+"""
+Native generation of minimal valence (SZV-type) Gaussian bases for GTH
+pseudopotentials.
+
+The reference inherits its periodic bases (gth-szv / gth-dzvp) from
+PySCF's bundled CP2K tables (e.g. the NiO workload
+/root/reference/examples/dmet/03-dmet-nio-afm/nio_afm.py:38).  No such
+data files exist in this environment, so this module OWNS the
+construction instead of transcribing it: a wide even-tempered primitive
+set per angular channel is contracted with the orbital coefficients of
+a spherically-averaged fractional-occupation atomic Hartree-Fock
+calculation run against the GTH pseudopotential -- which is exactly how
+SZV-class sets are built.  The result is a reproducible, self-contained
+minimal valence basis ("tpu-szv") for any element with a GTH_PADE entry.
+
+Atomic SCF details: restricted fractional occupations spread the
+valence electrons evenly over the 2(2l+1) spin-orbitals of each open
+shell (spherical + spin averaging), Fock damping for robustness, and
+Cartesian AOs (the s-content of Cartesian d shells is projected out of
+the contraction by construction: only same-l primitive coefficients are
+kept, which is the standard shared-exponent contraction).
+"""
+
+import json
+import os
+
+import numpy as np
+
+from libdmet_preview_tpu.ints.md import MoleGeneral
+from libdmet_preview_tpu.ints.gth import GTH_PADE, gth_pp_molecular
+
+# valence configuration per element: electrons in successive atomic
+# orbitals per l channel (with the GTH valence count)
+VALENCE_CONF = {
+    "H": {0: [1]},
+    "Li": {0: [2, 1]},
+    "C": {0: [2], 1: [2]},
+    "N": {0: [2], 1: [3]},
+    "O": {0: [2], 1: [4]},
+    "Si": {0: [2], 1: [2]},
+    "Ni": {0: [2, 2], 1: [6], 2: [8]},
+}
+
+# even-tempered ladders (alpha0, beta, n) per element and l; ranges are
+# set by the GTH radii (diffuse end ~ valence size, tight end covers the
+# semicore s/p of transition metals)
+_ET_DEFAULT = {0: (0.08, 2.8, 7), 1: (0.08, 2.8, 7), 2: (0.20, 2.8, 6)}
+_ET = {
+    "H": {0: (0.07, 2.6, 6)},
+    "Li": {0: (0.06, 3.0, 8)},
+    "C": {0: (0.10, 2.8, 7), 1: (0.10, 2.8, 7)},
+    "N": {0: (0.12, 2.8, 7), 1: (0.12, 2.8, 7)},
+    "O": {0: (0.14, 2.8, 7), 1: (0.14, 2.8, 7)},
+    "Si": {0: (0.07, 2.8, 7), 1: (0.07, 2.8, 7)},
+    "Ni": {0: (0.10, 3.0, 8), 1: (0.12, 3.0, 8), 2: (0.18, 2.9, 7)},
+}
+
+
+def _even_tempered(sym):
+    conf = VALENCE_CONF[sym]
+    out = {}
+    for l in conf:
+        a0, beta, n = _ET.get(sym, {}).get(l, _ET_DEFAULT[l])
+        out[l] = a0 * beta ** np.arange(n)
+    return out
+
+
+def atomic_rhf_frac(sym, exps_by_l, conv=1e-8, max_cycle=200):
+    """Spherically/spin-averaged fractional-occupation atomic HF with the
+    GTH_PADE pseudopotential on an uncontracted even-tempered basis.
+    Returns (E, per-l list of (exponents, contraction columns))."""
+    # one shell per primitive (uncontracted)
+    shell_list = []
+    for l, es in sorted(exps_by_l.items()):
+        for e in es:
+            shell_list.append((l, [(float(e), 1.0)]))
+    basis_data = {(sym, "et"): shell_list}
+    mol = MoleGeneral([(sym, (0.0, 0.0, 0.0))], basis="et",
+                      basis_data=basis_data)
+    S = mol.intor_ovlp()
+    T = mol.intor_kin()
+    V, zions = gth_pp_molecular(mol)
+    eri = mol.intor_eri()
+    hcore = T + V
+    nao = mol.nao
+    conf = VALENCE_CONF[sym]
+
+    # AO index bookkeeping per l: which AOs belong to l-shells, and the
+    # "leading component" index pattern used for occupation averaging
+    from libdmet_preview_tpu.ints.md import ncart
+    ao_l = []           # l of each AO
+    for l, es in sorted(exps_by_l.items()):
+        for _ in es:
+            ao_l += [l] * ncart(l)
+    ao_l = np.asarray(ao_l)
+
+    # symmetric orthogonalization
+    s_val, s_vec = np.linalg.eigh(S)
+    keep = s_val > 1e-9
+    X = s_vec[:, keep] / np.sqrt(s_val[keep])
+
+    def fock(dm):
+        J = np.einsum("pqrs, rs -> pq", eri, dm)
+        K = np.einsum("prqs, rs -> pq", eri, dm)
+        return hcore + J - 0.5 * K
+
+    def occupations(C):
+        """Fractional occupation vector over MOs: per l channel, fill
+        the lowest n_shell(l) MOs of that character with the configured
+        electrons spread evenly over 2l+1 m-components x 2 spins."""
+        # character of each MO = l with max weight (S-metric)
+        w = np.zeros((3, C.shape[1]))
+        SC = S @ C
+        for l in range(3):
+            sel = ao_l == l
+            if np.any(sel):
+                w[l] = np.einsum("pi, pi -> i", C[sel], SC[sel])
+        char = np.argmax(w, axis=0)
+        occ = np.zeros(C.shape[1])
+        for l, fills in conf.items():
+            idx = np.nonzero(char == l)[0]
+            # MOs come sorted by energy; degenerate m-partners are
+            # consecutive -- group them in blocks of (2l+1)
+            deg = 2 * l + 1
+            for ishell, nel in enumerate(fills):
+                blk = idx[ishell * deg:(ishell + 1) * deg]
+                occ[blk] = nel / deg
+        return occ
+
+    dm = np.zeros((nao, nao))
+    e_old = 0.0
+    E = 0.0
+    C = None
+    occ = None
+    for it in range(max_cycle):
+        F = fock(dm)
+        Fo = X.T @ F @ X
+        e_mo, C_o = np.linalg.eigh(Fo)
+        C = X @ C_o
+        occ = occupations(C)
+        dm_new = (C * occ) @ C.T
+        dm = dm_new if it < 2 else 0.6 * dm_new + 0.4 * dm
+        E = 0.5 * np.einsum("pq, pq ->", hcore + F, dm)
+        if abs(E - e_old) < conv and it > 4:
+            break
+        e_old = E
+
+    # contraction columns: for each l, the occupied atomic orbitals of
+    # that character, restricted to the same-l primitive coefficients of
+    # the LEADING Cartesian component ((l,0,0): shared-exponent radial
+    # contraction)
+    out = []
+    SC = S @ C
+    w = np.zeros((3, C.shape[1]))
+    for l in range(3):
+        sel = ao_l == l
+        if np.any(sel):
+            w[l] = np.einsum("pi, pi -> i", C[sel], SC[sel])
+    char = np.argmax(w, axis=0)
+    for l, es in sorted(exps_by_l.items()):
+        # AO row indices of each Cartesian component of each l-primitive:
+        # rows_by_comp[c][prim]
+        nc = ncart(l)
+        rows_by_comp = [[] for _ in range(nc)]
+        r = 0
+        for ll, ess in sorted(exps_by_l.items()):
+            for _ in ess:
+                if ll == l:
+                    for c in range(nc):
+                        rows_by_comp[c].append(r + c)
+                r += ncart(ll)
+        rows_by_comp = [np.asarray(x) for x in rows_by_comp]
+        nshell = len(VALENCE_CONF[sym].get(l, []))
+        idx = np.nonzero(char == l)[0]
+        deg = 2 * l + 1
+        cols = []
+        for ishell in range(nshell):
+            # among the degenerate m-partners, pick the (MO, Cartesian
+            # component) pair carrying the largest radial weight (a
+            # p_y-like partner has ~zero coefficients on the p_x rows)
+            best, best_norm = None, -1.0
+            for mo in idx[ishell * deg:(ishell + 1) * deg]:
+                for rows in rows_by_comp:
+                    v = C[rows, mo]
+                    n = float(np.abs(v).max())
+                    if n > best_norm:
+                        best, best_norm = v, n
+            cols.append(best)
+        out.append((l, np.asarray(es), np.asarray(cols).T))
+    return E, out
+
+
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "_basis_cache")
+
+
+def make_gth_valence_basis(sym, cache=True):
+    """Minimal valence contracted basis ('tpu-szv') for `sym`, generated
+    from the atomic HF described in the module docstring.  Returns the
+    GBASIS-style shell list [(l, [(exp, coef), ...]), ...] with one
+    contracted function per occupied valence shell per l."""
+    fname = os.path.join(_CACHE_DIR, "%s_tpu_szv.json" % sym)
+    if cache and os.path.exists(fname):
+        with open(fname) as f:
+            data = json.load(f)
+        return [(int(l), [(float(a), float(c)) for a, c in prims])
+                for l, prims in data]
+    exps = _even_tempered(sym)
+    _, contr = atomic_rhf_frac(sym, exps)
+    shells = []
+    for l, es, cols in contr:
+        for j in range(cols.shape[1]):
+            # drop numerically dead primitives to keep lattice sums lean
+            col = cols[:, j]
+            keep = np.abs(col) > 1e-4 * np.abs(col).max()
+            shells.append((int(l), [(float(a), float(c))
+                                    for a, c in zip(es[keep], col[keep])]))
+    if cache:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with open(fname, "w") as f:
+            json.dump([[l, prims] for l, prims in shells], f)
+    return shells

@@ -51,7 +51,10 @@ BASIS = {
 }
 
 CHARGES = {"H": 1.0, "He": 2.0, "Li": 3.0, "Be": 4.0, "B": 5.0, "C": 6.0,
-           "N": 7.0, "O": 8.0, "F": 9.0, "Ne": 10.0}
+           "N": 7.0, "O": 8.0, "F": 9.0, "Ne": 10.0, "Na": 11.0,
+           "Mg": 12.0, "Al": 13.0, "Si": 14.0, "P": 15.0, "S": 16.0,
+           "Cl": 17.0, "Ti": 22.0, "V": 23.0, "Cr": 24.0, "Mn": 25.0,
+           "Fe": 26.0, "Co": 27.0, "Ni": 28.0, "Cu": 29.0, "Zn": 30.0}
 
 
 def _norm_s(alpha):

@@ -36,6 +36,9 @@ CART = {
     2: [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2)],
     3: [(3, 0, 0), (2, 1, 0), (2, 0, 1), (1, 2, 0), (1, 1, 1), (1, 0, 2),
         (0, 3, 0), (0, 2, 1), (0, 1, 2), (0, 0, 3)],
+    4: [(4, 0, 0), (3, 1, 0), (3, 0, 1), (2, 2, 0), (2, 1, 1), (2, 0, 2),
+        (1, 3, 0), (1, 2, 1), (1, 1, 2), (1, 0, 3), (0, 4, 0), (0, 3, 1),
+        (0, 2, 2), (0, 1, 3), (0, 0, 4)],
 }
 
 
@@ -135,7 +138,7 @@ def E_table(l1, l2, Q, a, b):
     return E
 
 
-def R_table(tmax, umax, vmax, alpha, PC, kernel="coulomb"):
+def R_table(tmax, umax, vmax, alpha, PC, kernel="coulomb", poly=None):
     """Hermite kernel integrals R_{tuv} = (d/dPx)^t (d/dPy)^u (d/dPz)^v
     R_000 with R^n_000 = (-2 alpha)^n F_n(alpha |PC|^2).
 
@@ -144,6 +147,11 @@ def R_table(tmax, umax, vmax, alpha, PC, kernel="coulomb"):
                       satisfies the same dF_n/dx = -F_{n+1} chain).
                       Supports complex alpha (for complex-step
                       derivatives w.r.t. the kernel exponent).
+                      With `poly` = [q0, q1, ...], the base function is
+                      F_0(x) = e^{-x} Q(x) with Q(x) = sum_j q_j x^j;
+                      the chain is F_{n+1} = e^{-x} (Q_n - Q_n') with
+                      Q_0 = Q (exact r^{2k}-weighted Gaussian kernels
+                      for the GTH C3/C4 local terms, ints/gth.py).
     PC: (..., 3).  Returns R[t, u, v] with trailing batch shape."""
     cplx = kernel == "gauss" and np.iscomplexobj(np.asarray(alpha))
     PC = np.asarray(PC, dtype=complex if cplx else float)
@@ -152,6 +160,20 @@ def R_table(tmax, umax, vmax, alpha, PC, kernel="coulomb"):
     T = alpha * np.sum(PC * PC, axis=-1)
     if kernel == "coulomb":
         F = boys(nmax, T)                  # (nmax+1,) + batch
+    elif poly is not None:
+        ex = np.exp(-T)
+        q = np.asarray(poly, dtype=ex.dtype)
+        F = np.empty((nmax + 1,) + np.shape(T), dtype=ex.dtype)
+        for n in range(nmax + 1):
+            # Horner evaluation of Q_n, then Q_{n+1} = Q_n - Q_n'
+            acc = np.zeros_like(T)
+            for c in q[::-1]:
+                acc = acc * T + c
+            F[n] = ex * acc
+            dq = q[1:] * np.arange(1, q.size)
+            q = q.copy()
+            q[:dq.size] -= dq
+        F = np.broadcast_to(F, (nmax + 1,) + batch).copy()
     else:
         F = np.broadcast_to(np.exp(-T), (nmax + 1,) + batch).copy()
     # R^n accumulators
@@ -384,6 +406,71 @@ def gauss_block_imgs(sh1, sh2, beta, C, shifts, logt=None):
                             E3v = Ex[l1, l2, t] * Ey[m1, m2, u] \
                                 * Ez[n1, n2, v]
                             val = val + np.sum(E3v * Rs[t, u, v])
+                out[i, j] += pref * val
+    return out
+
+
+def raw_shell(center, l, alpha):
+    """Single-primitive shell with UNIT coefficient (no normalization):
+    its ovlp_block rows are the raw integrals <x^a y^b z^c e^{-alpha r^2}|.
+    (used to expand GTH projectors into Cartesian monomials)."""
+    sh = Shell.__new__(Shell)
+    sh.center = np.asarray(center, dtype=float)
+    sh.l = int(l)
+    sh.exps = np.asarray([float(alpha)])
+    sh.coefs = np.asarray([1.0])
+    sh.nc = ncart(l)
+    return sh
+
+
+def gauss_pow_poly(k, p, beta):
+    """Polynomial Q_k(x) (coefficients, ascending) such that
+    int e^{-p|r-P|^2} |r-C|^{2k} e^{-beta|r-C|^2} d^3r
+      = (pi/(p+beta))^{3/2} e^{-x} Q_k(x),   x = gamma |P-C|^2,
+    gamma = p beta/(p+beta).  Exact Gaussian moments (k <= 3): with
+    a = p+beta and mu^2 = c x, c = p/(beta (p+beta)),
+      <|v+mu|^{2k}>_a = k-th moment of the shifted Gaussian."""
+    a = p + beta
+    c = p / (beta * (p + beta))
+    if k == 0:
+        return [1.0]
+    if k == 1:
+        return [1.5 / a, c]
+    if k == 2:
+        return [3.75 / a ** 2, 5.0 * c / a, c ** 2]
+    if k == 3:
+        return [13.125 / a ** 3, 26.25 * c / a ** 2,
+                10.5 * c ** 2 / a, c ** 3]
+    raise NotImplementedError("gauss_pow_poly k > 3")
+
+
+def gauss_pow_block(sh1, sh2, beta, C, k=0, shift=None):
+    """sum_A (a| |r - C_A|^{2k} e^{-beta |r - C_A|^2} |b), exact
+    polynomial-kernel Hermite integrals (GTH local C1..C4 terms)."""
+    C = np.atleast_2d(np.asarray(C, dtype=float))
+    out = np.zeros((sh1.nc, sh2.nc))
+    lsum = sh1.l + sh2.l
+    for p, c12, P, (Ex, Ey, Ez) in _pair_E3(sh1, sh2, shift):
+        gam = p * beta / (p + beta)
+        pref = c12 * (np.pi / (p + beta)) ** 1.5
+        R = R_table(lsum, lsum, lsum, gam, P[None, :] - C,
+                    kernel="gauss", poly=gauss_pow_poly(k, p, beta))
+        for i, (l1, m1, n1) in enumerate(CART[sh1.l]):
+            for j, (l2, m2, n2) in enumerate(CART[sh2.l]):
+                val = 0.0
+                for t in range(l1 + l2 + 1):
+                    ex = Ex[l1, l2, t]
+                    if ex == 0.0:
+                        continue
+                    for u in range(m1 + m2 + 1):
+                        ey = Ey[m1, m2, u]
+                        if ey == 0.0:
+                            continue
+                        for v in range(n1 + n2 + 1):
+                            ez = Ez[n1, n2, v]
+                            if ez == 0.0:
+                                continue
+                            val = val + ex * ey * ez * np.sum(R[t, u, v])
                 out[i, j] += pref * val
     return out
 

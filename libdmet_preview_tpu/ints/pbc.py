@@ -445,6 +445,13 @@ class PbcCell(object):
         from libdmet_preview_tpu.ints import native as natmod
         lsum_sh = shi.l + shj.l
         use_fused = (lsum_sh <= 4 and natmod.get_sr_lib() is not None)
+        # 'gauss_pow' (GTH C3/C4 polynomial-kernel terms) has no native
+        # core path; route it through the numpy branch alongside the
+        # fused kernels
+        kern_fused = [kk for kk in kernels
+                      if use_fused and kk[0] != "gauss_pow"]
+        kern_np = [kk for kk in kernels
+                   if not use_fused or kk[0] == "gauss_pow"]
         for p, c12, P, (Ex, Ey, Ez), sel in _pair_E3_imgs(shi, shj, imgs,
                                                           logt):
             lsum = lsum_sh
@@ -462,7 +469,7 @@ class PbcCell(object):
                                     val = val + np.dot(E3v, S[t, u, v])
                         out[i, j] += fac * val
 
-            if use_fused:
+            if kern_fused:
                 # native fused pass: image remap + range screen +
                 # kernel sums all in C (sr_cand_sum), no per-primitive
                 # candidate gathers in Python
@@ -470,7 +477,7 @@ class PbcCell(object):
                 inv[sel] = np.arange(sel.size, dtype=np.int64)
                 Pc = np.ascontiguousarray(P)
                 shp = (lsum + 1, lsum + 1, lsum + 1, nimg_p)
-                for kind, par, extra in kernels:
+                for kind, par, extra in kern_fused:
                     if kind == "erfc":
                         sf = par / (p + par)
                         fac = -extra * c12 * (2.0 * np.pi / p)
@@ -498,10 +505,12 @@ class PbcCell(object):
                     else:
                         raise ValueError(kind)
                     _accum(S, fac)
+            if not kern_np:
                 continue
 
-            # pure NumPy fallback (also the lsum > 4 path): explicit
-            # candidate mapping onto this primitive's image set
+            # pure NumPy fallback (also the lsum > 4 and gauss_pow
+            # paths): explicit candidate mapping onto this primitive's
+            # image set
             inv = np.full(imgs.shape[0], -1, dtype=int)
             inv[sel] = np.arange(sel.size)
             loc = inv[cand_img]
@@ -517,7 +526,7 @@ class PbcCell(object):
             k_img = loc[exact]
             PC = PCc[exact]                              # (nact, 3)
             Zk = Zs[cc[exact]]
-            for kind, par, extra in kernels:
+            for kind, par, extra in kern_np:
                 S = None
                 if kind == "erfc":
                     sf = par / (p + par)
@@ -557,6 +566,18 @@ class PbcCell(object):
                         if c2 != 0.0:
                             R = R + c2 * (-(Rg.imag / h)) / (rloc * rloc)
                         Rw = R
+                elif kind == "gauss_pow":
+                    # exact polynomial-kernel term C_k (r/rloc)^{2k}
+                    # e^{-beta r^2} (GTH C3/C4 local coefficients)
+                    from libdmet_preview_tpu.ints.md import gauss_pow_poly
+                    ck, kpow, rloc = extra
+                    beta = par
+                    gam = p * beta / (p + beta)
+                    pref = (np.pi / (p + beta)) ** 1.5
+                    fac = c12
+                    Rw = (ck / rloc ** (2 * kpow)) * pref * R_table(
+                        lsum, lsum, lsum, gam, PC, kernel="gauss",
+                        poly=gauss_pow_poly(kpow, p, beta))
                 else:
                     raise ValueError(kind)
                 if S is None:
@@ -573,12 +594,14 @@ class PbcCell(object):
 
     def _pp_sr_matrix(self):
         """Short-ranged GTH terms, lattice-summed (image-batched).  The
-        nonlocal part is sum_{A,T} <a|p_{A+T}> h <p_{A+T}|b> with the
-        FULL projector-AO overlap lattice sums (periodized projectors)."""
-        from libdmet_preview_tpu.ints.gth import gth_projectors
-        from libdmet_preview_tpu.ints.md import (nuc_block_imgs,
-                                                 gauss_block_imgs,
-                                                 ovlp_block_imgs)
+        nonlocal part is sum_{A,T,lm,ij} <a|p_i^lm,A+T> h^l_ij
+        <p_j^lm,A+T|b> with the FULL projector-AO overlap lattice sums
+        (periodized projectors); general l <= 2 channels with multi-
+        radial h matrices (p_i expands into Cartesian monomials of
+        degree l + 2(i-1), ints/gth.py projector_cart)."""
+        from libdmet_preview_tpu.ints.gth import gth_channels
+        from libdmet_preview_tpu.ints.md import ovlp_block_imgs
+        from scipy.linalg import block_diag
         nao = self.nao
         logt = -np.log(self.precision) * 1.5
         Ts = self._pair_images()
@@ -595,65 +618,79 @@ class PbcCell(object):
                 eta_A = 1.0 / (2.0 * pp["rloc"] ** 2)
                 zion = pp["zion"]
                 cloc = list(pp["cloc"]) + [0.0, 0.0]
-                if len(pp["cloc"]) > 2:
-                    raise NotImplementedError("GTH C3/C4 terms")
                 ctrs = (np.asarray([self.coords[A] for A in idxA])
                         [:, None, :] + Ts[None, :, :]).reshape(-1, 3)
                 rng = np.sqrt(logt / min(eta_A, p_min)) + 2.0
                 Zk = np.full(len(ctrs), zion)
                 # erfc remainder (+Z_ion erfc/r: extra = -1 flips the
-                # attraction sign) + Gaussian polynomial terms
+                # attraction sign) + Gaussian polynomial terms (C1/C2
+                # on the fast complex-step path, C3/C4 exact
+                # polynomial-kernel terms)
                 kernels = [("erfc", eta_A, -1.0),
                            ("gauss", eta_A,
                             (cloc[0], cloc[1], pp["rloc"]))]
+                for kpow in range(2, len(pp["cloc"])):
+                    if pp["cloc"][kpow] != 0.0:
+                        kernels.append(("gauss_pow", eta_A,
+                                        (pp["cloc"][kpow], kpow,
+                                         pp["rloc"])))
                 out += self._sr_flat_block(shi, shj, imgs, Zk, ctrs,
                                            kernels, rng, logt)
             return out
 
         V = self._fill_lattice(loc_block)
 
-        # nonlocal: <chi~_I | p_{A,T}> as image-batched overlap sums
-        projs = []
-        for A, pp in enumerate(self.pps):
-            sh_p, hs = gth_projectors(pp, self.coords[A])
-            for shp, h11 in zip(sh_p, hs):
-                projs.append((shp, h11))
-        if projs:
-            stripe = bool(getattr(self, "ncells_tr", None))
+        # nonlocal: per atom, rows = stacked (channel, i, m) projector
+        # components; <chi~_I | p-row> as image-batched overlap sums of
+        # the raw Cartesian monomial shells contracted with W
+        stripe = bool(getattr(self, "ncells_tr", None))
+        natm_calc = (len(self.pps) // self.ncells_tr if stripe
+                     else len(self.pps))
+        rows = []        # (nrow_total, nao) projector-AO overlaps
+        hblocks = []     # per-atom coupling H = blockdiag kron(h, I_m)
+        for A in range(natm_calc):
+            pp = self.pps[A]
+            chans = gth_channels(pp, self.coords[A])
+            if not chans:
+                continue
+            arow = []
+            ahb = []
+            for h, l, comps in chans:
+                for shp, W in comps:
+                    ov_raw = np.zeros((shp.nc, nao))
+                    for i, shi in enumerate(self.shells):
+                        i0, i1 = self.shell_slices[i]
+                        mu_min = (shp.exps.min() * shi.exps.min()
+                                  / (shp.exps.min() + shi.exps.min()))
+                        d = shi.center + Ts - shp.center
+                        keep = np.einsum("ti, ti -> t", d,
+                                         d) * mu_min < logt
+                        if not np.any(keep):
+                            continue
+                        ov_raw[:, i0:i1] = ovlp_block_imgs(
+                            shp, shi, Ts[keep])
+                    arow.append(W @ ov_raw)          # (2l+1, nao)
+                # coupling between radial components of this channel,
+                # diagonal in m: rows ordered (i, m) -> kron(h, I)
+                ahb.append(np.kron(h, np.eye(2 * l + 1)))
+            rows.append(np.concatenate(arow, axis=0))
+            hblocks.append(block_diag(*ahb))
+        if rows:
+            ov0 = np.concatenate(rows, axis=0)
+            H0 = block_diag(*hblocks)
             if stripe:
-                # projector overlaps by translation: compute only the
-                # cell-0 projectors and roll block-wise for the rest
-                npc = len(projs) // self.ncells_tr
-                projs_calc = projs[:npc]
-            else:
-                projs_calc = projs
-            ov0 = np.zeros((len(projs_calc), nao))
-            for ipr, (shp, h11) in enumerate(projs_calc):
-                for i, shi in enumerate(self.shells):
-                    i0, i1 = self.shell_slices[i]
-                    mu_min = (shp.exps.min() * shi.exps.min()
-                              / (shp.exps.min() + shi.exps.min()))
-                    d = shi.center + Ts - shp.center
-                    keep = np.einsum("ti, ti -> t", d, d) * mu_min < logt
-                    if not np.any(keep):
-                        continue
-                    ov0[ipr, i0:i1] = ovlp_block_imgs(shp, shi,
-                                                      Ts[keep])[0]
-            if stripe:
+                # roll cell-0 projector overlaps to every cell C:
+                # <p in cell C | chi in cell D> = cell-0 block (D - C)
                 N = self.ncells_tr
                 m = self.nao_cell
-                npc = len(projs) // N
-                ov = np.zeros((len(projs), nao))
+                npc = ov0.shape[0]
                 blocks = ov0.reshape(npc, N, m)
                 for C in range(N):
-                    # <p in cell C | chi in cell D> = ov0 block (D - C)
-                    ov[C * npc:(C + 1) * npc] = blocks[
-                        :, (np.arange(N) - C) % N].reshape(npc, nao)
-                h_diag = np.asarray([h for _, h in projs])
+                    ovC = blocks[:, (np.arange(N) - C) % N].reshape(
+                        npc, nao)
+                    V = V + ovC.T @ (H0 @ ovC)
             else:
-                ov = ov0
-                h_diag = np.asarray([h for _, h in projs_calc])
-            V = V + np.einsum("p, pi, pj -> ij", h_diag, ov, ov)
+                V = V + ov0.T @ (H0 @ ov0)
         return V
 
     def intor_hcore(self):

@@ -139,9 +139,18 @@ def Hubbard3band(lattice, Ud, Up, ed, tpd, tpp, tpp1=0.0, Vpd=0.0,
     nsc = lattice.nscsites
     names = lattice.supercell.names
     H1 = np.zeros((ncells, nsc, nsc))
-    if not ignore_intercell and abs(Vpd) > 1e-12:
-        raise NotImplementedError("intercell Vpd not implemented")
-    H2 = np.zeros((nsc,) * 4)
+    intercell = not ignore_intercell
+    if intercell:
+        # 'nearest' H2 format, our convention (ops/embham.py):
+        # H2[R, p, q, r, s] = (0p 0q | Rr Rs)
+        H2 = np.zeros((ncells,) + (nsc,) * 4)
+        if abs(Vpd) < 1e-5:
+            log.warn("Vpd=%s tiny; ignore_intercell=True is cheaper", Vpd)
+    else:
+        H2 = np.zeros((nsc,) * 4)
+
+    def H2loc(p, q, r, s):
+        return (0, p, q, r, s) if intercell else (p, q, r, s)
 
     d_pd = lattice.neighborDist[0]
     d_pp = lattice.neighborDist[1]
@@ -150,10 +159,10 @@ def Hubbard3band(lattice, Ud, Up, ed, tpd, tpp, tpp1=0.0, Vpd=0.0,
     # on-site energies and U
     for s in range(nsc):
         if names[s] == "Cu":
-            H2[s, s, s, s] = Ud
+            H2[H2loc(s, s, s, s)] = Ud
             H1[0, s, s] = ed if abs(ed) > tol else 0.0
         else:
-            H2[s, s, s, s] = Up
+            H2[H2loc(s, s, s, s)] = Up
 
     def _bonds(dis, search_range=2):
         """Image-resolved bonds (i in cell 0, j global, dvec): unlike
@@ -182,13 +191,26 @@ def Hubbard3band(lattice, Ud, Up, ed, tpd, tpp, tpp1=0.0, Vpd=0.0,
         ax = int(np.argmax(np.abs(d)))
         return 1.0 if d[ax] > 0 else -1.0
 
-    # tpd between nearest Cu-O
-    if abs(tpd) > tol:
+    # tpd between nearest Cu-O; Vpd density-density on the same bonds
+    # (reference hamiltonian.py:266-269 -- intercell pairs populate the
+    # 'nearest' H2 format; each unordered bond is enumerated in both
+    # scan directions, so the 0.5 weights sum to Vpd per ordered entry,
+    # identical to the reference's assignment)
+    if abs(tpd) > tol or abs(Vpd) > tol:
         for i, j, dvec in _bonds(d_pd):
             nj_name = lattice.supercell.names[j % nsc]
             ni_name = names[i]
             if {ni_name, nj_name} == {"Cu", "O"}:
-                H1[j // nsc, j % nsc, i] += tpd * phase_pd(dvec, ni_name)
+                if abs(tpd) > tol:
+                    H1[j // nsc, j % nsc, i] += tpd * phase_pd(dvec, ni_name)
+                if abs(Vpd) > tol:
+                    R, q = j // nsc, j % nsc
+                    if intercell:
+                        H2[R, i, i, q, q] += 0.5 * Vpd
+                        H2[(-R) % ncells, q, q, i, i] += 0.5 * Vpd
+                    elif R == 0:
+                        H2[q, q, i, i] += 0.5 * Vpd
+                        H2[i, i, q, q] += 0.5 * Vpd
 
     # tpp between nearest O-O
     if abs(tpp) > tol:
@@ -208,29 +230,44 @@ def Hubbard3band(lattice, Ud, Up, ed, tpd, tpp, tpp1=0.0, Vpd=0.0,
 
 def Hubbard3band_ref(lattice, name="Hanke", min_model=False, hole_rep=False,
                      factor=1.0, ignore_intercell=True):
-    """Literature parameter sets for the 3-band model
-    (reference hamiltonian.py:253-330)."""
+    """Literature parameter sets for the 3-band model, stored in the
+    HOLE representation as (Ud, tpd, D_pd, Up, tpp, tpp1, Vpd) and
+    transformed exactly as the reference (hamiltonian.py:309-430):
+    hole rep -> ed = -D_pd; electron rep -> all t's flip sign and
+    ed = D_pd - Ud - 4 Vpd + Up (particle-hole transform of the
+    density-density terms).  `name` may also be a parameter dict with
+    those keys."""
     params = {
-        "Hanke":      dict(Ud=12.0, Up=5.25, ed=-3.75, tpd=1.5, tpp=0.75, tpp1=0.0, Vpd=0.0),
-        "Hybertsen":  dict(Ud=10.5, Up=4.0,  ed=-3.6,  tpd=1.3, tpp=0.65, tpp1=0.0, Vpd=1.2),
-        "Martin":     dict(Ud=16.5, Up=5.5,  ed=-4.3,  tpd=1.8, tpp=0.6,  tpp1=0.0, Vpd=0.0),
-        "Wagner":     dict(Ud=8.4,  Up=2.0,  ed=-2.75, tpd=1.2, tpp=0.7,  tpp1=0.0, Vpd=0.0),
+        "hybertsen": dict(Ud=10.5, tpd=1.3, D_pd=3.6, Up=4.0, tpp=0.65,
+                          tpp1=0.0, Vpd=1.2),
+        "martin":    dict(Ud=16.5, tpd=1.8, D_pd=5.4, Up=0.0, tpp=0.6,
+                          tpp1=0.0, Vpd=0.0),
+        "hanke":     dict(Ud=12.0, tpd=1.5, D_pd=4.5, Up=5.25, tpp=0.75,
+                          tpp1=0.0, Vpd=0.75),
+        "wagner":    dict(Ud=8.4,  tpd=1.2, D_pd=4.4, Up=2.0, tpp=0.7,
+                          tpp1=0.0, Vpd=0.0),
     }
-    log.eassert(name in params, "unknown 3-band parameter set %s", name)
-    p = {k: v * factor for k, v in params[name].items()}
-    if min_model:
-        p["tpp"] = 0.0
-        p["tpp1"] = 0.0
-    if hole_rep:
-        return Hubbard3band(lattice, p["Ud"], p["Up"], p["ed"], p["tpd"],
-                            p["tpp"], p["tpp1"], Vpd=p["Vpd"],
-                            ignore_intercell=ignore_intercell)
+    if isinstance(name, str):
+        key = name.lower().strip()
+        log.eassert(key in params, "unknown 3-band parameter set %s", name)
+        p = dict(params[key])
     else:
-        # electron representation: particle-hole transform of on-site terms
-        return Hubbard3band(lattice, p["Ud"], p["Up"],
-                            -p["ed"] - p["Ud"] + 2.0 * p["Vpd"] * 0.0,
-                            p["tpd"], p["tpp"], p["tpp1"], Vpd=p["Vpd"],
-                            ignore_intercell=ignore_intercell)
+        known = {"Ud", "tpd", "D_pd", "Up", "tpp", "tpp1", "Vpd"}
+        log.eassert(set(name.keys()).issubset(known),
+                    "unknown 3-band parameter names %s", set(name) - known)
+        p = {"Up": 0.0, "tpp": 0.0, "tpp1": 0.0, "Vpd": 0.0, **name}
+    if min_model:
+        p["tpp"] = p["tpp1"] = p["Up"] = p["Vpd"] = 0.0
+    if hole_rep:
+        ed = -p["D_pd"]
+        tpd, tpp, tpp1 = p["tpd"], p["tpp"], p["tpp1"]
+    else:
+        tpd, tpp, tpp1 = -p["tpd"], -p["tpp"], -p["tpp1"]
+        ed = p["D_pd"] - p["Ud"] - 4.0 * p["Vpd"] + p["Up"]
+    return Hubbard3band(lattice, p["Ud"] * factor, p["Up"] * factor,
+                        ed * factor, tpd * factor, tpp * factor,
+                        tpp1 * factor, Vpd=p["Vpd"] * factor,
+                        ignore_intercell=ignore_intercell)
 
 
 def HubbardDCA(lattice, lattice_fine, U, tlist=(1.0,), tol=1e-8):

@@ -178,3 +178,75 @@ def test_hubbard_dca_model():
     vcor.update(np.zeros(vcor.length()))
     rho, mu, res = dmet.RHartreeFock(Lat2, vcor, 0.5, 0.0, ires=True)
     assert np.isfinite(res["e"]).all()
+
+
+def test_3band_vpd_intercell():
+    """Vpd density-density terms of the 3-band model: intracell (local
+    H2) vs intercell ('nearest' H2) bookkeeping and the reference's
+    representation transforms (reference hamiltonian.py:266-269,309-430).
+    Per CuO2 cell there are 4 unordered pd bonds (2 intracell), each
+    carrying total weight 2*Vpd over its two ordered H2 entries."""
+    from libdmet_preview_tpu.models.lattice import Square3Band
+    from libdmet_preview_tpu.models.hamiltonian import (Hubbard3band,
+                                                        Hubbard3band_ref)
+    Lat = Square3Band(2, 2, 1, 1)
+    Ud, Up, ed, tpd, tpp, Vpd = 10.5, 4.0, -8.1, -1.3, -0.65, 1.2
+    Hloc = Hubbard3band(Lat, Ud, Up, ed, tpd, tpp, Vpd=Vpd,
+                        ignore_intercell=True)
+    Hnear = Hubbard3band(Lat, Ud, Up, ed, tpd, tpp, Vpd=Vpd,
+                         ignore_intercell=False)
+    H2l, H2n = Hloc.getH2(), Hnear.getH2()
+    assert Hloc.H2_format == "local" and Hnear.H2_format == "nearest"
+    # H1 identical; intracell H2 blocks identical
+    assert np.abs(np.asarray(Hloc.getH1()) -
+                  np.asarray(Hnear.getH1())).max() < 1e-12
+    assert np.abs(H2n[0] - H2l).max() < 1e-12
+    base = Ud + 2 * Up
+    assert abs(H2l.sum() - (base + 2 * 2 * Vpd)) < 1e-10
+    assert abs(H2n.sum() - (base + 4 * 2 * Vpd)) < 1e-10
+    # k-space Hermiticity of H1 (bond signs are image-resolved)
+    H1k = np.asarray(Lat.R2k(np.asarray(Hnear.getH1()))).reshape(
+        -1, 3, 3)
+    assert np.abs(H1k - H1k.conj().transpose(0, 2, 1)).max() < 1e-10
+    # reference electron-rep transform: Hybertsen ed = 3.6-10.5-4*1.2+4.0 = -7.7
+    Hel = Hubbard3band_ref(Lat, name="Hybertsen", hole_rep=False)
+    icu = [i for i, n in enumerate(Lat.supercell.names) if n == "Cu"][0]
+    assert abs(np.asarray(Hel.getH1())[0, icu, icu] - (-7.7)) < 1e-10
+    # hole rep: ed = -D_pd; Vpd populates H2
+    Hho = Hubbard3band_ref(Lat, name="Hybertsen", hole_rep=True)
+    assert abs(np.asarray(Hho.getH1())[0, icu, icu] - (-3.6)) < 1e-10
+    assert abs(np.asarray(Hho.getH2()).sum()
+               - (10.5 + 2 * 4.0 + 2 * 2 * 1.2)) < 1e-10
+
+
+def test_3band_vpd_nearest_dmet_smoke():
+    """One-shot UHF-DMET with the intercell-Vpd 'nearest' H2 runs
+    end-to-end through the interacting-bath transform."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.models.lattice import Square3Band
+    from libdmet_preview_tpu.models.hamiltonian import Hubbard3band_ref
+    from libdmet_preview_tpu.solvers import FCI
+    Lat = Square3Band(2, 2, 1, 1)
+    Ham = Hubbard3band_ref(Lat, name="Hybertsen", hole_rep=True,
+                           ignore_intercell=False)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    nlo = Lat.nscsites
+    vcor = dmet.VcorLocal(True, False, nlo)
+    vcor.update(np.zeros(vcor.length()))
+    filling = 1.0 / 6.0      # one hole per CuO2 in the hole rep
+    rho, mu, res = dmet.RHartreeFock(Lat, vcor, filling, None, ires=True)
+    Lat.update_Ham(np.asarray(rho) * 2.0)
+    ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                              matching=False,
+                                              int_bath=True)
+    solver = FCI(restricted=True)
+    nelec = int(round(2 * filling * nlo * 2))
+    rhoEmb, EEmb = solver.run(ImpHam, nelec=nelec)
+    _, E, nel = dmet.transformResults(
+        rhoEmb, EEmb, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
+        int_bath=True, solver=solver, solver_args={"nelec": nelec})
+    assert np.isfinite(E)
+    # nel is the impurity-projected electron count PER SITE (= 2*filling
+    # at the target); loose tolerance -- one-shot with a degenerate
+    # mean-field HOMO-LUMO and no dmu fit
+    assert abs(nel - 2 * filling) < 0.3
