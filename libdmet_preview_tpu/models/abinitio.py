@@ -613,3 +613,133 @@ def attach_ks(Lat, meta, xc="lsda", hyb=0.0, n_rad=60, n_theta=12,
     Lat.xc_dc = xc_dc
     Lat.xc_hyb = hyb
     return ks
+
+
+def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
+                         precision=1e-10):
+    """Ab initio DMET lattice for ANTIFERROMAGNETIC NiO -- the
+    reference's flagship transition-metal oxide workload
+    (/root/reference/examples/dmet/03-dmet-nio-afm/nio_afm.py): the
+    rhombohedral AFM-II double cell (2 Ni + 2 O; the two Ni carry
+    opposite spins), GTH-PADE pseudopotentials with s/p/d nonlocal
+    projectors (ints/gth.py), and the natively generated tpu-szv
+    minimal valence basis (ints/basisopt.py), on a BvK torus of nk
+    cells along the third primitive vector.
+
+    Spin-polarized supercell UHF with an AFM initial guess, Lowdin LOs
+    (tpu-szv is minimal, so Lowdin == the IAO valence space), per-spin
+    lattice operators, dense LO ERI + Cholesky factors for the
+    interacting-bath path, spin-blocked cell ERIs for NIB.
+
+    Returns (Lat, meta)."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ints.pbc import PbcCell, BOHR_PER_ANGSTROM
+    from libdmet_preview_tpu.ints.basisopt import make_gth_valence_basis
+    from libdmet_preview_tpu.solvers.scf import SCF, _veff_uhf
+
+    a0 = a_ang * BOHR_PER_ANGSTROM
+    # AFM-II rhombohedral double cell (reference NiO-AFM-417 POSCAR)
+    P = 0.5 * a0 * np.asarray([[2.0, 1.0, 1.0],
+                               [1.0, 2.0, 1.0],
+                               [1.0, 1.0, 2.0]])
+    fracs = [("Ni", np.array([0.0, 0.0, 0.0])),       # Ni (spin up)
+             ("Ni", np.array([0.5, 0.5, 0.5])),       # Ni (spin down)
+             ("O", np.array([0.25, 0.25, 0.25])),
+             ("O", np.array([0.75, 0.75, 0.75]))]
+    basis_data = {(sym, "tpu-szv"): make_gth_valence_basis(sym)
+                  for sym in ("Ni", "O")}
+    atoms = []
+    for c in range(nk):
+        for sym, f in fracs:
+            atoms.append((sym, f @ P + c * P[2]))
+    a_sc = np.asarray([P[0], P[1], nk * P[2]])
+    cell = PbcCell(atoms, a_sc, basis="tpu-szv", basis_data=basis_data,
+                   unit="B", pseudo="gth-pade", gmax=gmax,
+                   precision=precision)
+    cell.set_translations(nk, np.arange(nk)[:, None] * P[2][None, :])
+    nlo = cell.nao // nk
+    nsite = cell.nao
+
+    log.result("NiO AFM cell: nao = %d (%d per cell), nelec = %d",
+               nsite, nlo, cell.nelectron)
+    S = cell.intor_ovlp()
+    hcore = cell.intor_hcore()
+    eri = cell.intor_eri()
+    e_nuc = cell.energy_nuc()
+
+    # AFM initial guess: Ni sublattice A majority-alpha d, B
+    # majority-beta; O closed shell (2s2 2p4)
+    nao_atom = {}
+    for sym in ("Ni", "O"):
+        nao_atom[sym] = sum({0: 1, 1: 3, 2: 6}[l]
+                            for l, _ in basis_data[(sym, "tpu-szv")])
+    dm0 = np.zeros((2, nsite, nsite))
+    p = 0
+    ni_seen = 0
+    for sym, _ in atoms:
+        if sym == "Ni":
+            # shell order: 3s, 4s, p(x3), d(x6)
+            up = ni_seen % 2 == 0
+            da, db = (0.85, 0.55) if up else (0.55, 0.85)
+            occs_a = [1.0, 0.5] + [1.0] * 3 + [da] * 6
+            occs_b = [1.0, 0.5] + [1.0] * 3 + [db] * 6
+            ni_seen += 1
+        else:
+            occs_a = occs_b = [1.0] + [2.0 / 3.0] * 3
+        for i, (oa, ob) in enumerate(zip(occs_a, occs_b)):
+            dm0[0, p + i, p + i] = oa
+            dm0[1, p + i, p + i] = ob
+        p += len(occs_a)
+
+    Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
+                       {"ccdd": eri[None]}, ovlp=S)
+    myscf = SCF()
+    myscf.set_system(cell.nelectron, 0, False, False)
+    myscf.set_integral(Ham_mol)
+    E_hf, dm = myscf.HF(tol=1e-10, MaxIter=500, InitGuess=dm0)
+
+    C = lowdin(S)
+    h_lo = C.T @ hcore @ C
+    SC = S @ C
+    rdm1_lo = np.asarray([SC.T @ dm[s] @ SC for s in range(2)])
+
+    @jax.jit
+    def _rot4(g, c):
+        return jnp.einsum("pqrs, pi, qj, rk, sl -> ijkl", g, c, c, c, c,
+                          optimize=True)
+
+    eri_lo = np.asarray(_rot4(jnp.asarray(eri), jnp.asarray(C)))
+    va, vb = [np.asarray(v) for v in _veff_uhf(
+        jnp.asarray(rdm1_lo[0]), jnp.asarray(rdm1_lo[1]),
+        jnp.asarray(eri_lo), jnp.asarray(eri_lo), jnp.asarray(eri_lo))]
+    fock_lo = np.asarray([h_lo + va, h_lo + vb])
+
+    h_R = np.asarray([_stripe_symm(h_lo, nk, nlo)] * 2)
+    fock_R = np.asarray([_stripe_symm(fock_lo[s], nk, nlo)
+                         for s in range(2)])
+    rdm1_R = np.asarray([_stripe_symm(rdm1_lo[s], nk, nlo)
+                         for s in range(2)])
+    chol_L = cholesky_eri(eri_lo, tol=chol_tol)
+    n4 = (slice(None, nlo),) * 4
+    eri_imp = np.asarray([eri_lo[n4]] * 3)    # aa, bb, ab equal (same C)
+
+    Lat = ChainLattice(nk * nlo, nlo)
+    Ham = AbInitioHam(h_R, fock_R, chol_L, eri_imp, e_nuc / nk)
+    Lat.set_Ham_abinitio(Ham, rdm1=rdm1_R)
+    Lat.set_val_virt_core(nlo, 0, 0)
+    # staggered Ni d magnetization (AFM order parameter)
+    mag = []
+    p = 0
+    for sym, _ in atoms[:len(fracs)]:
+        n = nao_atom[sym]
+        if sym == "Ni":
+            dblk = slice(p + 5, p + 11)
+            mag.append(np.trace(rdm1_lo[0][dblk, dblk])
+                       - np.trace(rdm1_lo[1][dblk, dblk]))
+        p += n
+    meta = {"cell": cell, "E_hf": E_hf, "E_hf_elec": E_hf - e_nuc,
+            "e_nuc": e_nuc, "C_ao_lo": C, "eri_lo": eri_lo, "h_lo": h_lo,
+            "fock_lo": fock_lo, "rdm1_lo": rdm1_lo, "nlo": nlo, "S": S,
+            "mag_ni": np.asarray(mag)}
+    return Lat, meta

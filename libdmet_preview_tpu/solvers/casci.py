@@ -111,8 +111,43 @@ class CASCI(object):
         return self.onepdm, E
 
     def make_rdm2(self, Ham=None):
-        raise NotImplementedError("CASCI rdm2 back-transform: use the "
-                                  "active-space solver's twopdm")
+        """Full-space spin-summed 2-RDM (chemist (pq|rs), the FCI
+        convention E2 = 0.5 sum G_pqrs (pq|rs)): active-space twopdm
+        back-transformed with C_cas plus the analytic closed-shell core
+        contributions (reference dmrgci.py CASCI make_rdm2 role;
+        standard CAS decomposition
+          G = G_act + Dc Dc - Dc Dc /2 (exch) + Dc Da cross terms
+        with Dc/Da the spin-summed core/active 1-RDMs)."""
+        if self.onepdm is None:
+            raise RuntimeError("run CASCI before make_rdm2")
+        C_core, C_cas, Ham_cas = self._cas
+        G_act_cas = np.asarray(self.fcisolver.make_rdm2(Ham_cas))[0]
+        G = np.array(jnp.einsum(
+            "pqrs, ip, jq, kr, ls -> ijkl", jnp.asarray(G_act_cas),
+            *([jnp.asarray(C_cas)] * 4), optimize=True))
+        Dc = 2.0 * C_core @ C_core.T
+        Da = 2.0 * C_cas @ np.asarray(
+            self.fcisolver.onepdm[0]) @ C_cas.T
+        G += (np.einsum("pq, rs -> pqrs", Dc, Dc)
+              - 0.5 * np.einsum("ps, rq -> pqrs", Dc, Dc))
+        G += (np.einsum("pq, rs -> pqrs", Dc, Da)
+              + np.einsum("pq, rs -> pqrs", Da, Dc)
+              - 0.5 * np.einsum("ps, rq -> pqrs", Dc, Da)
+              - 0.5 * np.einsum("ps, rq -> pqrs", Da, Dc))
+        self.twopdm = G[None]
+        return self.twopdm
+
+    def run_dmet_ham(self, Ham, **kwargs):
+        """Evaluate the scaled DMET Hamiltonian's energy with the stored
+        rdm1/rdm2 (reference solver contract)."""
+        self.make_rdm2()
+        h1 = np.asarray(Ham.H1["cd"][0])
+        h2 = np.asarray(Ham.H2["ccdd"][0])
+        if h2.ndim == 2:
+            h2 = restore_eri(h2, Ham.norb, 1)
+        E1 = np.einsum("pq, qp", h1, self.onepdm[0]) * 2.0
+        E2 = np.einsum("pqrs, pqrs", h2, self.twopdm[0]) * 0.5
+        return E1 + E2 + float(Ham.H0)
 
     def cleanup(self):
         pass

@@ -154,3 +154,45 @@ def test_casscf():
     assert E_mc <= E_casci + 1e-10
     assert E_mc >= E_fci - 1e-9
     assert abs(np.trace(rdm1[0]) * 2 - 4) < 1e-8
+
+
+def test_casci_make_rdm2_energy_consistency():
+    """CASCI.make_rdm2: (rdm1, rdm2) contracted with (h1, g, H0)
+    reproduce e_tot exactly (validates the analytic core-core and
+    core-active rdm2 contributions), and the full-active-space rdm2
+    matches FCI's."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cc import random_integral
+    from libdmet_preview_tpu.models.integral import restore_eri
+    from libdmet_preview_tpu.solvers import FCI
+    from libdmet_preview_tpu.solvers.casci import CASCI
+    Ham = random_integral(4, restricted=True, seed=7)
+    h1 = np.asarray(Ham.H1["cd"][0])
+    g = restore_eri(np.asarray(Ham.H2["ccdd"][0]), 4, 1)
+
+    # frozen-core CASCI: energy from the RDMs == e_tot
+    cas = CASCI(ncas=2, nelecas=2)
+    rdm1, E_cas = cas.run(Ham, nelec=4)
+    G = cas.make_rdm2()[0]
+    E_from_rdm = (2.0 * np.einsum("pq, qp", h1, rdm1[0])
+                  + 0.5 * np.einsum("pqrs, pqrs", g, G)
+                  + float(Ham.H0))
+    assert abs(E_from_rdm - E_cas) < 1e-9
+    # symmetries of the spin-summed 2-RDM
+    assert np.abs(G - G.transpose(1, 0, 3, 2)).max() < 1e-9
+    assert np.abs(G - G.transpose(2, 3, 0, 1)).max() < 1e-9
+    # run_dmet_ham reproduces the energy on the same Hamiltonian
+    assert abs(cas.run_dmet_ham(Ham) - E_cas) < 1e-9
+
+    # full-active-space CASCI rdm2 == FCI rdm2
+    fci = FCI(restricted=True, tol=1e-12)
+    rdm1_f, E_fci = fci.run(Ham, nelec=4)
+    G_fci = fci.make_rdm2(Ham)[0]
+    cas_full = CASCI(ncas=4, nelecas=4)
+    cas_full.run(Ham, nelec=4)
+    G_full = cas_full.make_rdm2()[0]
+    assert abs(cas_full.e_tot - E_fci) < 1e-9
+    E_full = (2.0 * np.einsum("pq, qp", h1, cas_full.onepdm[0])
+              + 0.5 * np.einsum("pqrs, pqrs", g, G_full) + float(Ham.H0))
+    assert abs(E_full - E_fci) < 1e-9
