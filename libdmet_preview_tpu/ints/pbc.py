@@ -172,6 +172,19 @@ class PbcCell(object):
         self.t_vecs = t_vecs
         self.nshell_cell = nshell_cell
         self.nao_cell = self.nao // ncells
+        # general (possibly 3D) translation-group difference table:
+        # tr_diff[C, D] = index E with T_E = T_C - T_D (mod supercell);
+        # for a 1D cyclic group this is (C - D) mod N
+        frac = t_vecs @ np.linalg.inv(self.a)
+        frac -= np.floor(frac + 1e-8)
+        key = {tuple(np.round(f, 6)): i for i, f in enumerate(frac)}
+        diff = np.empty((ncells, ncells), dtype=np.int64)
+        for C in range(ncells):
+            d = frac[C][None, :] - frac
+            d -= np.floor(d + 1e-8)
+            for D in range(ncells):
+                diff[C, D] = key[tuple(np.round(d[D], 6))]
+        self.tr_diff = diff
         return self
 
     def _expand_stripe_col(self, col):
@@ -182,8 +195,8 @@ class PbcCell(object):
         colb = col.reshape(N, m, m)
         out = np.empty((self.nao, self.nao))
         for D in range(N):
-            # block rows C: source block (C - D) mod N
-            src = colb[(np.arange(N) - D) % N]
+            # block rows C: source block index of T_C - T_D
+            src = colb[self.tr_diff[:, D]]
             out[:, D * m:(D + 1) * m] = src.reshape(self.nao, m)
         return out
 
@@ -234,19 +247,24 @@ class PbcCell(object):
     # torus pair Fourier transforms
     # ------------------------------------------------------------------
 
-    def ft_aopair(self, Gv):
+    def ft_aopair(self, Gv, expand=True):
         """f_IJ(G) = sum_T FT[chi_I chi_J(. - T)](G), (nG, nao, nao)
         complex (the periodized pair density's Fourier coefficients).
-        Cached for the cell's own mesh (reused by intor_nuc/intor_eri)."""
+        Cached for the cell's own mesh (reused by intor_nuc/intor_eri).
+        With set_translations and expand=False, returns only the FIRST
+        BLOCK COLUMN (nG, nao, nao_cell) -- the full tensor follows from
+        f[(C)s,(D)t] = f[(C-D)s,(0)t] e^{-iG.T_D} (the O(nG nao^2)
+        memory path for large tori; see eri_trans_full)."""
         cached = getattr(self, "_ft_cache", None)
         if cached is not None and cached[0].shape == Gv.shape \
-                and np.array_equal(cached[0][:8], Gv[:8]):
+                and np.array_equal(cached[0][:8], Gv[:8]) \
+                and cached[2] == expand:
             return cached[1]
-        f = self._ft_aopair_impl(Gv)
-        self._ft_cache = (Gv, f)
+        f = self._ft_aopair_impl(Gv, expand=expand)
+        self._ft_cache = (Gv, f, expand)
         return f
 
-    def _ft_aopair_impl(self, Gv):
+    def _ft_aopair_impl(self, Gv, expand=True):
         """General-l pair FT: the Hermite-expanded Fourier transform
         FT[Lambda_tuv](G) = (-iGx)^t (-iGy)^u (-iGz)^v (pi/p)^{3/2}
                             e^{-G^2/4p} e^{-iG.P},
@@ -256,7 +274,9 @@ class PbcCell(object):
         nao = self.nao
         nG = Gv.shape[0]
         G2 = np.einsum("gi, gi -> g", Gv, Gv)
-        f = np.zeros((nG, nao, nao), dtype=np.complex128)
+        col_only = bool(getattr(self, "ncells_tr", None)) and not expand
+        ncol = self.nao_cell if col_only else nao
+        f = np.zeros((nG, nao, ncol), dtype=np.complex128)
         lmax2 = 2 * max(sh.l for sh in self.shells)
         # powers of (-i G_d)^k, (3, lmax2+1, nG)
         miG = np.empty((3, lmax2 + 1, nG), dtype=np.complex128)
@@ -319,7 +339,7 @@ class PbcCell(object):
                     # pointwise product (order-free) and the image sum
                     # covers both signs -> f_JI = f_IJ^T exactly
                     f[:, j0:j1, i0:i1] = blk.transpose(0, 2, 1)
-        if stripe:
+        if stripe and not col_only:
             # expand the first block column by translation symmetry:
             # f[(C)s, (D)t](G) = f[(C-D)s, (0)t](G) e^{-iG.T_D}
             N = self.ncells_tr
@@ -327,8 +347,8 @@ class PbcCell(object):
             phases = np.exp(-1j * (Gv @ self.t_vecs.T))   # (nG, N)
             colb = f[:, :, :m].reshape(nG, N, m, m)
             for D in range(1, N):
-                src = colb[:, (np.arange(N) - D) % N].reshape(nG,
-                                                              self.nao, m)
+                src = colb[:, self.tr_diff[:, D]].reshape(nG,
+                                                          self.nao, m)
                 f[:, :, D * m:(D + 1) * m] = src * phases[:, D][:, None,
                                                                None]
         return f
@@ -357,10 +377,19 @@ class PbcCell(object):
         Gv, w = self.coulG()
         G2 = np.einsum("gi, gi -> g", Gv, Gv)
         wlr = w * np.exp(-G2 / (4.0 * eta))
-        f = self.ft_aopair(Gv)
         SF = np.einsum("a, ga -> g", self.charges,
                        np.exp(-1j * (Gv @ self.coords.T)))
-        V = -np.einsum("g, g, gij -> ij", wlr, SF, f.conj()).real / self.vol
+        if getattr(self, "ncells_tr", None):
+            # the lattice-periodic potential's stripe expansion needs
+            # only the first FT block column (O(nG nao nao_cell) memory)
+            fcol = self.ft_aopair(Gv, expand=False)
+            Vcol = -np.einsum("g, g, gij -> ij", wlr, SF,
+                              fcol.conj()).real / self.vol
+            V = self._expand_stripe_col(Vcol)
+        else:
+            f = self.ft_aopair(Gv)
+            V = -np.einsum("g, g, gij -> ij", wlr, SF,
+                           f.conj()).real / self.vol
 
         # SR: real-space erfc attraction (general l, image-batched),
         # images of both the pair and the nuclei
@@ -686,8 +715,7 @@ class PbcCell(object):
                 npc = ov0.shape[0]
                 blocks = ov0.reshape(npc, N, m)
                 for C in range(N):
-                    ovC = blocks[:, (np.arange(N) - C) % N].reshape(
-                        npc, nao)
+                    ovC = blocks[:, self.tr_diff[:, C]].reshape(npc, nao)
                     V = V + ovC.T @ (H0 @ ovC)
             else:
                 V = V + ov0.T @ (H0 @ ov0)
@@ -716,6 +744,44 @@ class PbcCell(object):
         eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
         eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
         return eri
+
+    def eri_trans_full(self, blksize=2048):
+        """Translation-symmetric supercell ERI in the 'full' H2 format
+        (models/hamiltonian.py): eri_F[R1, R2, R3, p, q, r, s] =
+        (0p R1q | R2r R3s), assembled from the FIRST FT BLOCK COLUMN
+        only (never materializing the O(nao^4) dense supercell ERI):
+
+          (0p R1q | R2r R3s) = (1/Omega) sum_G w(G)
+              conj(f[G, R1q, 0p]) e^{-iG.T_R2} f[G, (R3-R2)s, 0r]
+
+        O(ncells x GEMM(ncells nao_cell^2, nG)) -- the scaling path for
+        3D k-meshes (north-star diamond 3x3x3: ncells=27, nao=216 keeps
+        ~650 MB instead of 17 GB)."""
+        assert getattr(self, "ncells_tr", None), "requires set_translations"
+        N = self.ncells_tr
+        m = self.nao_cell
+        Gv, w = self.coulG()
+        nG = Gv.shape[0]
+        fcol = self.ft_aopair(Gv, expand=False)       # (nG, nao, m)
+        # Bra[G, R1, p, q] = f[G, R1q, 0p];  Ket[G, D, r, s] = f[G, Ds, 0r]
+        fc = fcol.reshape(nG, N, m, m)
+        Bra = np.ascontiguousarray(fc.transpose(0, 1, 3, 2).reshape(
+            nG, N * m * m))
+        Ket = Bra                                     # same tensor
+        phases = np.exp(-1j * (Gv @ self.t_vecs.T))   # (nG, N)
+        out = np.empty((N, N, N, m, m, m, m))
+        for R2 in range(N):
+            acc = np.zeros((N * m * m, N * m * m), dtype=np.complex128)
+            for g0 in range(0, nG, blksize):
+                sl = slice(g0, g0 + blksize)
+                X = Ket[sl] * (w[sl] * phases[sl, R2])[:, None]
+                acc += Bra[sl].conj().T @ X
+            blk = (acc.real / self.vol).reshape(N, m, m, N, m, m)
+            # blk[R1, p, q, D, r, s] with D = R3 - R2
+            for R3 in range(N):
+                D = self.tr_diff[R3, R2]
+                out[:, R2, R3] = blk[:, :, :, D]
+        return out
 
     def get_emb_eri_aft(self, C_emb, blksize=8192):
         """Embedding-space ERI DIRECTLY from the AFT factors, G-block

@@ -743,3 +743,152 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
             "fock_lo": fock_lo, "rdm1_lo": rdm1_lo, "nlo": nlo, "S": S,
             "mag_ni": np.asarray(mag)}
     return Lat, meta
+
+
+# ----------------------------------------------------------------------
+# 3D k-mesh machinery: translation-ERI JK, k-space SCF (the scaling
+# path for the north-star diamond 3x3x3 workload; reference runs kmf =
+# KRHF + GDF here, /root/reference/examples/dmet/02-dmet-hchain.py:88-99)
+# ----------------------------------------------------------------------
+
+def _tr_add_from_diff(tr_diff):
+    """Invert the difference table: add[R, c] = E with T_E = T_R + T_c
+    (tr_diff[E, c] == R)."""
+    N = tr_diff.shape[0]
+    add = np.empty_like(tr_diff)
+    for c in range(N):
+        inv = np.empty(N, dtype=tr_diff.dtype)
+        inv[tr_diff[:, c]] = np.arange(N)
+        add[:, c] = inv
+    return add
+
+
+def _stripe_symm_tr(M, tr_diff, nlo):
+    """Translation-symmetrized stripes <(R)|M|(0)> for a GENERAL
+    (possibly 3D) translation group: stripe[R] = (1/N) sum_c
+    M[add(R,c) block, c block]."""
+    N = tr_diff.shape[0]
+    add = _tr_add_from_diff(tr_diff)
+    Mb = np.asarray(M).reshape(N, nlo, N, nlo)
+    out = np.zeros((N, nlo, nlo))
+    for c in range(N):
+        out += Mb[add[:, c], :, c]
+    return out / N
+
+
+def _expand_stripe_tr(stripe, tr_diff):
+    """Stripes -> full supercell matrix: M[(C),(D)] = stripe[C - D]."""
+    N, m, m2 = stripe.shape
+    out = np.empty((N * m, N * m2))
+    for D in range(N):
+        out[:, D * m2:(D + 1) * m2] = stripe[tr_diff[:, D]].reshape(
+            N * m, m2)
+    return out
+
+
+def make_jk_tables(eriF, tr_diff):
+    """Contraction tables for translation-symmetric JK from the 'full'
+    ERI format:  W[D, d] = sum_E eriF[D, E, E - d]  (Coulomb),
+                 Y[D, d] = sum_E eriF[E, D, E - d]  (exchange)."""
+    N = tr_diff.shape[0]
+    m = eriF.shape[-1]
+    W = np.zeros((N, N, m, m, m, m))
+    Y = np.zeros((N, N, m, m, m, m))
+    for d in range(N):
+        for E in range(N):
+            F = tr_diff[E, d]
+            W[:, d] += eriF[:, E, F]
+            Y[:, d] += eriF[E, :, F]
+    return W, Y
+
+
+def jk_stripes(rho_st, W, Y, tr_diff):
+    """J and K stripes <(R)|J|(0)> from a density stripe rho_st[R] =
+    D[(C+R), (C)] (spin-summed).  Chemist convention:
+    J_IJ = sum_KL (IJ|KL) D_KL, K_IJ = sum_KL (IK|JL) D_KL."""
+    N = tr_diff.shape[0]
+    neg = tr_diff[0]
+    # first block ROW: X0[(0)p, (D)q]; stripe[R] = row-block at neg(D)=R
+    J0 = np.einsum("DNpqrs, Nrs -> Dpq", W, rho_st)
+    K0 = np.einsum("DNprqs, Nrs -> Dpq", Y, rho_st)
+    Jst = np.empty_like(J0)
+    Kst = np.empty_like(K0)
+    for D in range(N):
+        Jst[neg[D]] = J0[D]
+        Kst[neg[D]] = K0[D]
+    return Jst, Kst
+
+
+def kscf_stripe_hf(h_st, S_st, eriF, tr_diff, kmesh, nelec,
+                   tol=1e-10, max_cycle=150, dm0_st=None, damp=0.3):
+    """Restricted k-space supercell HF with translation-ERI JK:
+    per-iteration cost O(ncells^2 nao_cell^4) for JK + ncells small
+    eighs -- never touches an O(nao_sc^4) object.  All inputs/outputs
+    are <(R)|X|(0)> stripes.  Returns (E_elec, rho_st, fock_st)."""
+    kmesh = tuple(int(x) for x in kmesh)
+    N = int(np.prod(kmesh))
+    m = h_st.shape[-1]
+    dims = tuple(range(len(kmesh)))
+
+    def R2k(st):
+        return np.fft.fftn(np.asarray(st).reshape(kmesh + (m, m)),
+                           axes=dims).reshape(N, m, m)
+
+    def k2R(bk):
+        return np.fft.ifftn(bk.reshape(kmesh + (m, m)),
+                            axes=dims).real.reshape(N, m, m)
+
+    W, Y = make_jk_tables(eriF, tr_diff)
+    h_k = R2k(h_st)
+    S_k = R2k(S_st)
+    nocc = nelec // 2
+    assert nelec % 2 == 0
+
+    def solve(F_k):
+        ew_all = np.empty((N, m))
+        ev_all = np.empty((N, m, m), dtype=complex)
+        for k in range(N):
+            ew, ev = sla.eigh(F_k[k], S_k[k])
+            ew_all[k], ev_all[k] = ew, ev
+        # aufbau over all (k, band)
+        order = np.argsort(ew_all.ravel(), kind="stable")
+        occ = np.zeros(N * m)
+        occ[order[:nocc]] = 2.0
+        homo = ew_all.ravel()[order[nocc - 1]]
+        lumo = ew_all.ravel()[order[nocc]] if nocc < N * m else np.inf
+        if lumo - homo < 1e-8:
+            log.warn("kscf: (near-)degenerate Fermi level, gap=%.2e",
+                     lumo - homo)
+        occ = occ.reshape(N, m)
+        rho_k = np.einsum("kpi, ki, kqi -> kpq", ev_all, occ,
+                          ev_all.conj())
+        return rho_k, ew_all
+
+    if dm0_st is None:
+        rho_k, _ = solve(h_k)
+    else:
+        rho_k = R2k(dm0_st).astype(complex)
+    E_old = 0.0
+    for it in range(max_cycle):
+        rho_st = k2R(rho_k)
+        Jst, Kst = jk_stripes(rho_st, W, Y, tr_diff)
+        F_st = h_st + Jst - 0.5 * Kst
+        F_k = R2k(F_st)
+        # supercell electronic energy (sum over the k blocks)
+        E = 0.5 * float(np.einsum("kpq, kqp ->", h_k + F_k,
+                                  rho_k).real)
+        rho_new, ew = solve(F_k)
+        if abs(E - E_old) < tol and it > 3:
+            rho_k = rho_new
+            break
+        rho_k = rho_new if it < 2 else \
+            (1.0 - damp) * rho_new + damp * rho_k
+        E_old = E
+    rho_st = k2R(rho_k)
+    Jst, Kst = jk_stripes(rho_st, W, Y, tr_diff)
+    F_st = h_st + Jst - 0.5 * Kst
+    F_k = R2k(F_st)
+    rho_k2 = R2k(rho_st)
+    E = 0.5 * float(np.einsum("kpq, kqp ->", h_k + F_k,
+                              rho_k2).real)
+    return E, rho_st, F_st

@@ -554,3 +554,17 @@ def HoneycombLattice(lx, ly, scx, scy):
     lat = LatticeModel(sc, np.asarray([lx // scx, ly // scy]))
     lat.neighborDist = [1.0, np.sqrt(3.0), 2.0]
     return lat
+
+
+def MeshLattice(kmesh, nsites_cell):
+    """Generic d-dimensional mesh lattice with `nsites_cell` abstract
+    orbitals per cell -- the DMET-side translation algebra for ab initio
+    solids on 2D/3D k-meshes (the reference attaches its k-mesh to the
+    same LatticeModel machinery via Lattice(cell, kmesh))."""
+    kmesh = tuple(int(x) for x in kmesh)
+    dim = len(kmesh)
+    sites = [(np.full(dim, (i + 1.0) / (nsites_cell + 1.0)), "X")
+             for i in range(nsites_cell)]
+    uc = UnitCell(np.eye(dim), sites)
+    sc = SuperCell(uc, np.ones(dim, dtype=int))
+    return LatticeModel(sc, np.asarray(kmesh, dtype=int))
