@@ -813,20 +813,81 @@ class PbcCell(object):
             return (g_re * wb[:, None]).T @ g_re \
                 + (g_im * wb[:, None]).T @ g_im
 
-        Cj = _jnp.asarray(C_emb)
-        for g0 in range(0, Gv.shape[0], blksize):
-            Gb = Gv[g0:g0 + blksize]
-            wb = w[g0:g0 + blksize]
-            if not np.any(wb):
-                continue
-            f_blk = self._ft_aopair_impl(Gb)
-            eri += np.asarray(_acc(_jnp.asarray(f_blk.real),
-                                   _jnp.asarray(f_blk.imag),
-                                   _jnp.asarray(wb), Cj))
+        if getattr(self, "ncells_tr", None):
+            g = self._emb_g_aft(C_emb, Gv, blksize)
+            for g0 in range(0, Gv.shape[0], blksize):
+                gb = g[g0:g0 + blksize].reshape(-1, neo * neo)
+                wb = w[g0:g0 + blksize]
+                eri += (gb.conj() * wb[:, None]).T.real @ gb.real \
+                    + (gb.conj() * wb[:, None]).T.imag @ (-gb.imag)
+        else:
+            Cj = _jnp.asarray(C_emb)
+            for g0 in range(0, Gv.shape[0], blksize):
+                Gb = Gv[g0:g0 + blksize]
+                wb = w[g0:g0 + blksize]
+                if not np.any(wb):
+                    continue
+                f_blk = self._ft_aopair_impl(Gb)
+                eri += np.asarray(_acc(_jnp.asarray(f_blk.real),
+                                       _jnp.asarray(f_blk.imag),
+                                       _jnp.asarray(wb), Cj))
         eri = eri.reshape(neo, neo, neo, neo) / self.vol
         eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
         eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
         eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
+        return eri
+
+    def _emb_g_aft(self, C_emb, Gv, blksize=8192):
+        """g[G, i, j] = (C^T f(G) C)_ij from the CACHED first-block-
+        column pair FT (stripe cells):
+          g[G] = sum_D e^{-iG.T_D} A_D(G)^T C_D,
+          A_D(G) = fcol[G, rows perm by +D]^T-contracted with C rows --
+        N small GEMMs per G block instead of the O(nG nao^2) full FT."""
+        C_emb = np.asarray(C_emb)
+        nao, neo = C_emb.shape
+        N = self.ncells_tr
+        m = self.nao_cell
+        fcol = self.ft_aopair(Gv, expand=False)     # cached (nG, nao, m)
+        phases = np.exp(-1j * (Gv @ self.t_vecs.T))  # (nG, N)
+        add = np.empty_like(self.tr_diff)
+        for c in range(N):
+            inv = np.empty(N, dtype=self.tr_diff.dtype)
+            inv[self.tr_diff[:, c]] = np.arange(N)
+            add[:, c] = inv
+        Cb = C_emb.reshape(N, m, neo)
+        g = np.zeros((Gv.shape[0], neo, neo), dtype=np.complex128)
+        for D in range(N):
+            # rows of C permuted so row block E aligns with f block E:
+            # sum_{E s} C[(E+D)s, i] fcol[G, (E)s, t]
+            Crow = Cb[add[:, D]].reshape(nao, neo)
+            CD = Cb[D]                               # (m, neo)
+            for g0 in range(0, Gv.shape[0], blksize):
+                sl = slice(g0, g0 + blksize)
+                # (nG_b, neo, m) = Crow^T fcol
+                t1 = np.einsum("pi, gpt -> git", Crow, fcol[sl],
+                               optimize=True)
+                g[sl] += phases[sl, D][:, None, None] * (t1 @ CD)
+        return g
+
+    def get_emb_eri_aft_cross(self, C_a, C_b, blksize=8192):
+        """Cross-spin embedding ERI (ij_a | kl_b) from the AFT factors
+        (stripe cells): (1/Omega) sum_G w g_a*[G,ij] g_b[G,kl]."""
+        assert getattr(self, "ncells_tr", None), "stripe cells only"
+        Gv, w = self.coulG()
+        na = np.asarray(C_a).shape[1]
+        nb = np.asarray(C_b).shape[1]
+        ga = self._emb_g_aft(C_a, Gv, blksize)
+        gb = self._emb_g_aft(C_b, Gv, blksize)
+        eri = np.zeros((na * na, nb * nb))
+        for g0 in range(0, Gv.shape[0], blksize):
+            A = ga[g0:g0 + blksize].reshape(-1, na * na)
+            B = gb[g0:g0 + blksize].reshape(-1, nb * nb)
+            wb = w[g0:g0 + blksize]
+            eri += (A.conj() * wb[:, None]).T.real @ B.real \
+                + (A.conj() * wb[:, None]).T.imag @ (-B.imag)
+        eri = eri.reshape(na, na, nb, nb) / self.vol
+        eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
+        eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
         return eri
 
     # ------------------------------------------------------------------

@@ -35,15 +35,28 @@ def lowdin(S):
 
 
 class AbInitioHam(object):
-    """Duck-typed Ham object for Lattice.set_Ham (cholesky H2 format)."""
+    """Duck-typed Ham object for Lattice.set_Ham.
 
-    def __init__(self, H1_R, fock_R, chol_L, eri_imp, H0):
+    H2 representations:
+      'cholesky' -- chol_L factors of the supercell LO ERI (in-core)
+      'aft'      -- no materialized two-body object: embedding ERIs are
+                    streamed from the cell's analytic pair FT
+                    (PbcCell.get_emb_eri_aft) with the AO->EO
+                    coefficients C_ao_lo @ basis; the scaling path for
+                    3D k-meshes (pass aft_cell + C_ao_lo)."""
+
+    def __init__(self, H1_R, fock_R, chol_L, eri_imp, H0,
+                 aft_cell=None, C_ao_lo=None):
         self.H1_R = H1_R
         self.fock_R = fock_R
         self.chol_L = chol_L
         self.eri_imp = eri_imp
         self.H0 = H0
-        self.H2_format = "cholesky"
+        self.aft_cell = aft_cell
+        self.C_ao_lo = C_ao_lo
+        self.H2_format = "aft" if (chol_L is None
+                                   and aft_cell is not None) \
+            else "cholesky"
         self.ImpJK = None
 
     def getH1(self):
@@ -892,3 +905,159 @@ def kscf_stripe_hf(h_st, S_st, eriF, tr_diff, kmesh, nelec,
     E = 0.5 * float(np.einsum("kpq, kqp ->", h_k + F_k,
                               rho_k2).real)
     return E, rho_st, F_st
+
+
+def make_diamond_lattice3(kmesh=(3, 3, 3), a_ang=3.567, basis="gth-szv",
+                          pseudo="gth-pade", gmax=None, precision=1e-10,
+                          scf_tol=1e-11):
+    """Diamond on a FULL 3D k-mesh -- the declared north-star workload
+    (BASELINE.json configs[3]: GTH-SZV, GTH-PADE, 3x3x3 k-mesh).
+
+    Scaling design (never materializes an O(nao_sc^4) object):
+      stripe 1-body assembly -> translation-'full' ERI from the FT
+      block column (eri_trans_full) -> k-space HF (kscf_stripe_hf) ->
+      per-k Lowdin LOs -> AFT-streamed embedding ERIs (H2_format 'aft').
+
+    Returns (Lat, meta); reference flow analog:
+    /root/reference/examples/dmet/02-dmet-hchain.py:88-99 (kmf + GDF)."""
+    import itertools as _it
+    from libdmet_preview_tpu.ints.pbc import PbcCell, BOHR_PER_ANGSTROM
+    from libdmet_preview_tpu.models.lattice import MeshLattice
+
+    kmesh = tuple(int(x) for x in kmesh)
+    N = int(np.prod(kmesh))
+    a0 = a_ang * BOHR_PER_ANGSTROM
+    P = 0.5 * a0 * np.asarray([[0.0, 1.0, 1.0],
+                               [1.0, 0.0, 1.0],
+                               [1.0, 1.0, 0.0]])
+    basis_cell = [np.zeros(3), 0.25 * a0 * np.ones(3)]
+    t_vecs = []
+    atoms = []
+    for cx, cy, cz in _it.product(*[range(n) for n in kmesh]):
+        T = cx * P[0] + cy * P[1] + cz * P[2]
+        t_vecs.append(T)
+        for pos in basis_cell:
+            atoms.append(("C", pos + T))
+    a_sc = np.asarray([kmesh[0] * P[0], kmesh[1] * P[1],
+                       kmesh[2] * P[2]])
+    cell = PbcCell(atoms, a_sc, basis=basis, unit="B", pseudo=pseudo,
+                   gmax=gmax, precision=precision)
+    cell.set_translations(N, np.asarray(t_vecs))
+    nlo = cell.nao // N
+
+    import time as _time
+    t0 = _time.time()
+    S = cell.intor_ovlp()
+    h = cell.intor_hcore()
+    log.result("diamond3 %s: 1-body done (%.1f s)", kmesh,
+               _time.time() - t0)
+    h_st = _stripe_symm_tr(h, cell.tr_diff, nlo)
+    S_st = _stripe_symm_tr(S, cell.tr_diff, nlo)
+    t0 = _time.time()
+    eriF = cell.eri_trans_full()
+    log.result("diamond3: translation ERI done (%.1f s)",
+               _time.time() - t0)
+    e_nuc = cell.energy_nuc()
+    t0 = _time.time()
+    E_elec, rho_st, fock_st = kscf_stripe_hf(
+        h_st, S_st, eriF, cell.tr_diff, kmesh, cell.nelectron,
+        tol=scf_tol)
+    E_hf = E_elec + e_nuc
+    log.result("diamond3: k-HF done E/cell = %.10f (%.1f s)",
+               E_hf / N, _time.time() - t0)
+
+    # per-k Lowdin (Hermitian inverse square root keeps stripes real)
+    dims = tuple(range(3))
+
+    def R2k(st):
+        return np.fft.fftn(np.asarray(st).reshape(kmesh + (nlo, nlo)),
+                           axes=dims).reshape(N, nlo, nlo)
+
+    def k2R(bk):
+        return np.fft.ifftn(bk.reshape(kmesh + (nlo, nlo)),
+                            axes=dims).reshape(N, nlo, nlo)
+
+    S_k = R2k(S_st)
+    h_k = R2k(h_st)
+    f_k = R2k(fock_st)
+    r_k = R2k(rho_st)
+    C_k = np.empty_like(S_k)
+    Sh_k = np.empty_like(S_k)
+    for k in range(N):
+        w, v = np.linalg.eigh(S_k[k])
+        assert w.min() > 1e-9, "k-block overlap not positive definite"
+        C_k[k] = (v / np.sqrt(w)) @ v.conj().T
+        Sh_k[k] = (v * np.sqrt(w)) @ v.conj().T
+    h_lo_k = np.einsum("kpi, kpq, kqj -> kij", C_k.conj(), h_k, C_k)
+    f_lo_k = np.einsum("kpi, kpq, kqj -> kij", C_k.conj(), f_k, C_k)
+    r_lo_k = np.einsum("kpi, kpq, kqj -> kij", Sh_k.conj(), r_k, Sh_k)
+    h_lo_R = k2R(h_lo_k)
+    f_lo_R = k2R(f_lo_k)
+    r_lo_R = k2R(r_lo_k)
+    for name, arr in (("h", h_lo_R), ("fock", f_lo_R), ("rdm1", r_lo_R)):
+        im = float(np.abs(arr.imag).max())
+        log.eassert(im < 1e-8, "LO %s stripe imaginary %.2e", name, im)
+    h_lo_R, f_lo_R, r_lo_R = (h_lo_R.real, f_lo_R.real, r_lo_R.real)
+
+    # supercell AO->LO matrix (columns cell-major) for the AFT streams
+    C_R = k2R(C_k)
+    log.eassert(float(np.abs(C_R.imag).max()) < 1e-8,
+                "C_ao_lo stripes imaginary")
+    C_full = _expand_stripe_tr(C_R.real, cell.tr_diff)
+    t0 = _time.time()
+    eri_imp = np.asarray(cell.get_emb_eri_aft(C_full[:, :nlo]))
+    log.result("diamond3: impurity ERI done (%.1f s)", _time.time() - t0)
+
+    Lat = MeshLattice(kmesh, nlo)
+    Ham = AbInitioHam(h_lo_R, f_lo_R, None, eri_imp, e_nuc / N,
+                      aft_cell=cell, C_ao_lo=C_full)
+    Lat.set_Ham_abinitio(Ham, rdm1=r_lo_R[None])
+    Lat.set_val_virt_core(nlo, 0, 0)
+    W, Y = make_jk_tables(eriF, cell.tr_diff)
+    meta = {"cell": cell, "E_hf": E_hf, "E_hf_elec": E_elec,
+            "e_nuc": e_nuc, "C_ao_lo": C_full, "nlo": nlo,
+            "h_lo_R": h_lo_R, "fock_lo_R": f_lo_R, "rdm1_lo_R": r_lo_R,
+            "S": S, "C_k": C_k, "h_st": h_st, "W": W, "Y": Y,
+            "kmesh": kmesh, "tr_diff": cell.tr_diff}
+    return Lat, meta
+
+
+def update_ham_eriF(Lat, meta, rdm1_lo_R):
+    """Charge self-consistency for 'aft'/translation-ERI lattices
+    (reference Lat.update_Ham role, lattice.py:565-589): rebuild the
+    lattice Fock stripes from new LO density stripes with the
+    translation-symmetric JK tables (AO basis), then rotate back."""
+    kmesh = meta["kmesh"]
+    N = int(np.prod(kmesh))
+    m = meta["nlo"]
+    dims = tuple(range(len(kmesh)))
+
+    def R2k(st):
+        return np.fft.fftn(np.asarray(st).reshape(kmesh + (m, m)),
+                           axes=dims).reshape(N, m, m)
+
+    def k2R(bk):
+        return np.fft.ifftn(bk.reshape(kmesh + (m, m)),
+                            axes=dims).reshape(N, m, m)
+
+    rdm1_lo_R = np.asarray(rdm1_lo_R)
+    if rdm1_lo_R.ndim == 4:
+        rdm1_lo_R = rdm1_lo_R.sum(axis=0)
+    C_k = meta["C_k"]
+    r_lo_k = R2k(rdm1_lo_R)
+    # density transforms contravariantly: rho_AO = C rho_LO C^dagger
+    r_ao_k = np.einsum("kpi, kij, kqj -> kpq", C_k, r_lo_k, C_k.conj())
+    r_ao_st = k2R(r_ao_k).real
+    Jst, Kst = jk_stripes(r_ao_st, meta["W"], meta["Y"],
+                          meta["tr_diff"])
+    F_st = meta["h_st"] + Jst - 0.5 * Kst
+    F_k = R2k(F_st)
+    f_lo_k = np.einsum("kpi, kpq, kqj -> kij", C_k.conj(), F_k, C_k)
+    f_lo_R = k2R(f_lo_k)
+    log.eassert(float(np.abs(f_lo_R.imag).max()) < 1e-7,
+                "updated fock stripes imaginary")
+    f_lo_R = f_lo_R.real
+    Lat.update_Ham(rdm1_lo_R[None] if rdm1_lo_R.ndim == 3 else rdm1_lo_R,
+                   fock_lo_k=Lat._pairify(Lat.R2k(f_lo_R)))
+    Lat.fock_lo_R = f_lo_R
+    meta["fock_lo_R"] = f_lo_R

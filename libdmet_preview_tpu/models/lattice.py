@@ -323,7 +323,7 @@ class LatticeModel(object):
         self.use_hcore_as_emb_ham = use_hcore_as_emb_ham
         self.has_Ham = True
         self.is_model = False
-        self.H2_format = "cholesky"
+        self.H2_format = getattr(Ham, "H2_format", "cholesky")
         self.H0 = Ham.getH0()
 
     def update_Ham(self, rdm1_lo_R, fock_lo_k=None):

@@ -533,11 +533,28 @@ def _emb_H2(lattice, basis, vcor, int_bath=True, **kwargs):
     neo = basis.shape[-1]
     nsc = lattice.nscsites
     npair = spin * (spin + 1) // 2
-    if lattice.H2_format == "cholesky":
+    if lattice.H2_format in ("cholesky", "aft"):
         # ab initio path: factorized ERI transform (the reference
         # eri_transform.get_emb_eri role)
         from libdmet_preview_tpu.ops.eri_transform import get_emb_eri_chol
         if int_bath:
+            if lattice.H2_format == "aft":
+                # stream the embedding ERI straight from the analytic
+                # pair FT (reference AFT driver role,
+                # eri_transform.py:566-779) -- no supercell two-body
+                # object is ever materialized (3D k-mesh scaling path)
+                Ham = lattice.Ham
+                C = np.asarray(Ham.C_ao_lo)
+                out = []
+                for s in range(spin):
+                    B = np.asarray(basis[s]).reshape(-1, neo)
+                    out.append(Ham.aft_cell.get_emb_eri_aft(C @ B))
+                if spin == 2:
+                    Ba = np.asarray(basis[0]).reshape(-1, neo)
+                    Bb = np.asarray(basis[1]).reshape(-1, neo)
+                    out.append(Ham.aft_cell.get_emb_eri_aft_cross(
+                        C @ Ba, C @ Bb))
+                return np.asarray(out)
             return get_emb_eri_chol(lattice.Ham.getH2(), basis)
         eri_imp = np.asarray(lattice.Ham.eri_imp)
         if eri_imp.ndim == 5:     # spin-blocked (aa, bb, ab) unit-cell ERI

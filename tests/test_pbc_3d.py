@@ -106,3 +106,24 @@ def test_kscf_stripe_vs_dense_hf():
     # density stripes match the translation-symmetrized dense density
     rho_dense = _stripe_symm_tr(dm[0] + dm[1], cs.tr_diff, m)
     assert np.abs(rho_st - rho_dense).max() < 1e-6
+
+
+def test_emb_eri_aft_stripe_vs_dense():
+    """Streamed embedding ERI from the cached FT block column (stripe
+    fast path + cross-spin variant) == dense-ERI transform."""
+    km = (2, 2, 1)
+    cs = _h2_crystal(km, True)
+    cd = _h2_crystal(km, False)
+    rng = np.random.default_rng(3)
+    n = cs.nao
+    Ca = rng.normal(size=(n, 3))
+    Cb = rng.normal(size=(n, 2))
+    dense = cd.intor_eri()
+    ref_aa = np.einsum("pqrs, pi, qj, rk, sl -> ijkl", dense,
+                       Ca, Ca, Ca, Ca, optimize=True)
+    got = cs.get_emb_eri_aft(Ca)
+    assert np.abs(got - ref_aa).max() < 1e-8
+    ref_ab = np.einsum("pqrs, pi, qj, rk, sl -> ijkl", dense,
+                       Ca, Ca, Cb, Cb, optimize=True)
+    got_ab = cs.get_emb_eri_aft_cross(Ca, Cb)
+    assert np.abs(got_ab - ref_ab).max() < 1e-8
