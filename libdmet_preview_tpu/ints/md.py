@@ -475,6 +475,28 @@ def gauss_pow_block(sh1, sh2, beta, C, k=0, shift=None):
     return out
 
 
+def dipole_block(sh1, sh2, origin=(0.0, 0.0, 0.0), shift=None):
+    """(3, nc1, nc2) dipole-operator block <a| r - origin |b>, exact via
+    the monomial identity x chi_B = [mono + e_x at B] + B_x chi_B
+    (raw_shell overlaps carry the l2+1 monomials)."""
+    origin = np.asarray(origin, dtype=float)
+    B = sh2.center if shift is None else sh2.center + np.asarray(shift,
+                                                                 float)
+    sh2s = _shifted(sh2, shift)
+    out = np.zeros((3, sh1.nc, sh2.nc))
+    hi_index = {m: k for k, m in enumerate(CART[sh2.l + 1])}
+    for e, c in zip(sh2s.exps, sh2s.coefs):
+        O_hi = ovlp_block(sh1, raw_shell(B, sh2.l + 1, e))
+        O_lo = ovlp_block(sh1, raw_shell(B, sh2.l, e))
+        for j, mono in enumerate(CART[sh2.l]):
+            for d in range(3):
+                up = list(mono)
+                up[d] += 1
+                out[d, :, j] += c * (O_hi[:, hi_index[tuple(up)]]
+                                     + (B[d] - origin[d]) * O_lo[:, j])
+    return out
+
+
 def ovlp_block(sh1, sh2, shift=None):
     """(nc1, nc2) overlap block between two shells."""
     out = np.zeros((sh1.nc, sh2.nc))
@@ -739,6 +761,35 @@ class MoleGeneral(object):
 
     def intor_hcore(self):
         return self.intor_kin() + self.intor_nuc()
+
+    def intor_dipole(self, origin=(0.0, 0.0, 0.0)):
+        """(3, nao, nao) dipole-operator matrices <a| r - origin |b>."""
+        out = np.zeros((3, self.nao, self.nao))
+        for i, shi in enumerate(self.shells):
+            i0, i1 = self.shell_slices[i]
+            for j, shj in enumerate(self.shells):
+                j0, j1 = self.shell_slices[j]
+                out[:, i0:i1, j0:j1] = dipole_block(shi, shj,
+                                                    origin=origin)
+        return out
+
+    def ao_slices_by_atom(self):
+        """[(p0, p1)] AO ranges per atom (shells are emitted atom-major
+        by construction)."""
+        out = []
+        si = 0
+        for sym, xyz in self.atoms:
+            p0 = self.shell_slices[si][0]
+            nsh = 0
+            for sh in self.shells[si:]:
+                if np.allclose(sh.center, xyz, atol=1e-12):
+                    nsh += 1
+                else:
+                    break
+            p1 = self.shell_slices[si + nsh - 1][1]
+            out.append((p0, p1))
+            si += nsh
+        return out
 
     def intor_eri(self):
         n = self.nao

@@ -199,3 +199,97 @@ def spin_corr_from_rdm2(rdm1, rdm2, i, j):
     nab = rdm2[2, i, i, j, j]
     nba = rdm2[2, j, j, i, i]
     return float(0.25 * (naa + nbb - nab - nba))
+
+
+# ----------------------------------------------------------------------
+# molecular analysis (reference system/molecule.py + analyze.py roles:
+# population analysis, dipole moments, symmetry-equivalent fragments)
+# ----------------------------------------------------------------------
+
+def mulliken_mol(mol, dm):
+    """Mulliken populations/charges per atom for a MoleGeneral molecule:
+    q_A = Z_A - sum_{mu in A} (D S)_mumu with D the spin-summed AO
+    density (reference analyze.py:185-258 lattice analog, molecular AO
+    variant)."""
+    import numpy as np
+    dm = np.asarray(dm)
+    if dm.ndim == 3:
+        dm = dm.sum(axis=0)
+    S = mol.intor_ovlp()
+    ps = np.diag(dm @ S)
+    pops = []
+    charges = []
+    for (p0, p1), Z in zip(mol.ao_slices_by_atom(), mol.charges):
+        pop = float(ps[p0:p1].sum())
+        pops.append(pop)
+        charges.append(float(Z) - pop)
+    return np.asarray(pops), np.asarray(charges)
+
+
+def dipole_mol(mol, dm, origin=None):
+    """Molecular dipole moment (a.u.): nuclear - electronic, with the
+    charge center as the default origin."""
+    import numpy as np
+    dm = np.asarray(dm)
+    if dm.ndim == 3:
+        dm = dm.sum(axis=0)
+    if origin is None:
+        origin = (mol.charges[:, None]
+                  * mol.coords).sum(axis=0) / mol.charges.sum()
+    r_ints = mol.intor_dipole(origin=origin)
+    d_el = -np.einsum("xpq, qp -> x", r_ints, dm)
+    d_nuc = np.einsum("a, ax -> x", mol.charges, mol.coords - origin)
+    return d_el + d_nuc
+
+
+def equivalent_atoms(mol, tol=1e-6):
+    """Partition atoms into point-group orbits by geometric fingerprint
+    (sorted distances to all atoms, weighted by charges): atoms related
+    by ANY symmetry operation of the molecule share a fingerprint.
+    Returns a list of index lists (reference get_symm_orb role for
+    molecular fragments)."""
+    import numpy as np
+    coords = mol.coords
+    Z = np.asarray(mol.charges)
+    n = len(coords)
+    fps = []
+    for i in range(n):
+        d = np.linalg.norm(coords - coords[i][None, :], axis=1)
+        fp = np.sort(np.round(np.stack([d, np.broadcast_to(Z, d.shape)],
+                                       axis=1) / tol) * tol, axis=0)
+        fps.append((float(Z[i]), fp))
+    groups = []
+    used = set()
+    for i in range(n):
+        if i in used:
+            continue
+        grp = [i]
+        used.add(i)
+        for j in range(i + 1, n):
+            if j in used:
+                continue
+            if fps[i][0] == fps[j][0] and np.allclose(
+                    fps[i][1], fps[j][1], atol=10 * tol):
+                grp.append(j)
+                used.add(j)
+        groups.append(grp)
+    return groups
+
+
+def molecule_fragments(mol, atom_lists=None):
+    """Orbital index lists per fragment for molecular DMET
+    (make_molecule_lattice flows): atom_lists = explicit atom-index
+    groups, or None to use the point-group orbits of equivalent_atoms.
+    Returns [(atoms, orb_idx)] with orb_idx the AO/LO indices of the
+    fragment (Lowdin LOs inherit the AO atom assignment)."""
+    slices = mol.ao_slices_by_atom()
+    if atom_lists is None:
+        atom_lists = equivalent_atoms(mol)
+    out = []
+    for atoms in atom_lists:
+        idx = []
+        for a in atoms:
+            p0, p1 = slices[a]
+            idx.extend(range(p0, p1))
+        out.append((list(atoms), idx))
+    return out

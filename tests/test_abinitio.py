@@ -492,3 +492,50 @@ def test_gso_gdf_kresolved_transform(hring6):
     # tr_symm weights exact too
     g3 = get_emb_eri_gso_gdf(factors, basis_k, nc, nao, tr_symm=True)
     assert np.max(np.abs(g3 - g2)) < 1e-10
+
+
+def test_cderi_roundtrip_and_ingestion(hring6, tmp_path):
+    """PySCF-layout CDERI HDF5 interop (ops/cderi.py, reference
+    eri_transform.py:195-233 sr_loop role): export our per-transfer GDF
+    factors, ingest them back through the full file surface (kptij
+    matching, s2 tril unpacking for gamma-like diagonal pairs,
+    segment concatenation, conjugate reverse pairs) and reproduce the
+    brute-force embedding ERI exactly."""
+    from libdmet_preview_tpu.ops.eri_transform import (make_gdf_factors,
+                                                       get_emb_eri_gdf,
+                                                       get_emb_eri_mol)
+    from libdmet_preview_tpu.ops.cderi import write_cderi, read_cderi
+    Lat, meta = hring6
+    nc, nlo = Lat.ncells, Lat.nscsites
+    kpts_scaled = np.asarray([[0.0, 0.0, f] for f in np.fft.fftfreq(nc)])
+    kpts = 2.0 * np.pi * kpts_scaled / 3.7        # arbitrary cell length
+    factors = make_gdf_factors(meta["eri_lo"], nc, nlo)
+    fname = str(tmp_path / "cderi.h5")
+    write_cderi(fname, factors, kpts, kpts_scaled, nlo)
+    fac2 = read_cderi(fname, kpts, kpts_scaled, nlo)
+    rng = np.random.RandomState(11)
+    neo = 4
+    basis = rng.randn(1, nc, nlo, neo)
+    basis_k = Lat.R2k_basis(basis)
+    ref = get_emb_eri_mol(meta["eri_lo"], basis)
+    g = get_emb_eri_gdf(fac2, basis_k, nc, nlo)
+    assert np.max(np.abs(g - ref)) < 1e-9
+    # complex s1 branch exercised above; the REAL s2-packed branch is
+    # exercised by a gamma-only factorization (real aux gauge)
+    from libdmet_preview_tpu.ops.eri_transform import cholesky_eri
+    eri0 = np.asarray(meta["eri_lo"])[:nlo, :nlo, :nlo, :nlo]
+    L0 = cholesky_eri(eri0, tol=1e-12)            # (naux, nlo, nlo) real
+    fac_g = {0: (np.moveaxis(L0, 0, -1)[None],
+                 np.zeros((1, nlo, nlo, L0.shape[0])))}
+    kpts_g = np.zeros((1, 3))
+    fname_g = str(tmp_path / "cderi_gamma.h5")
+    write_cderi(fname_g, fac_g, kpts_g, kpts_g, nlo)
+    import h5py
+    with h5py.File(fname_g, "r") as f:
+        d = np.asarray(f["j3c/0/0"])
+        assert not np.iscomplexobj(d) and d.shape[1] == nlo * (nlo + 1) // 2
+    fac_g2 = read_cderi(fname_g, kpts_g, kpts_g, nlo)
+    Fr, Fi = fac_g2[0]
+    eri_back = np.einsum("pqx, rsx -> pqrs", Fr[0], Fr[0])
+    assert np.abs(eri_back - eri0).max() < 1e-9
+    assert np.abs(Fi).max() < 1e-12

@@ -124,3 +124,71 @@ def test_multi_impurity_musolver(h4):
     # MuSolver's metric: summed per-site impurity filling == 2 * filling
     target = 2.0 * (mol.nelectron / (2.0 * mol.nao))
     assert abs(ntot - target) < 1e-4
+
+
+def _h2o():
+    from libdmet_preview_tpu.ints.md import MoleGeneral
+    # experimental-ish geometry, dipole along z (bohr)
+    r, th = 1.809, np.deg2rad(104.52)
+    atoms = [("O", (0.0, 0.0, 0.0)),
+             ("H", (r * np.sin(th / 2), 0.0, r * np.cos(th / 2))),
+             ("H", (-r * np.sin(th / 2), 0.0, r * np.cos(th / 2)))]
+    return MoleGeneral(atoms, basis="sto-3g")
+
+
+def _rhf(mol, h_extra=None):
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers.scf import SCF
+    h = mol.intor_hcore()
+    if h_extra is not None:
+        h = h + h_extra
+    Ham = Integral(mol.nao, True, False, mol.energy_nuc(),
+                   {"cd": h[None]}, {"ccdd": mol.intor_eri()[None]},
+                   ovlp=mol.intor_ovlp())
+    scf = SCF()
+    scf.set_system(mol.nelectron, 0, False, True)
+    scf.set_integral(Ham)
+    E, dm = scf.HF(tol=1e-12, MaxIter=200)
+    return E, dm[0] + dm[1]
+
+
+def test_molecule_mulliken_and_equivalence():
+    """H2O/STO-3G: Mulliken charges sum to zero, O negative, the two H
+    symmetry-equivalent; point-group orbits found geometrically
+    (reference system/molecule.py + analyze.py parity)."""
+    from libdmet_preview_tpu.utils.analysis import (mulliken_mol,
+                                                    equivalent_atoms,
+                                                    molecule_fragments)
+    mol = _h2o()
+    _, dm = _rhf(mol)
+    pops, charges = mulliken_mol(mol, dm)
+    assert abs(charges.sum()) < 1e-9
+    assert charges[0] < -0.2
+    assert abs(charges[1] - charges[2]) < 1e-8
+    orbits = equivalent_atoms(mol)
+    assert sorted(map(sorted, orbits)) == [[0], [1, 2]]
+    frags = molecule_fragments(mol)
+    assert frags[0][1] == list(range(5))        # O: 1s 2s 2p
+    assert sorted(frags[1][1]) == [5, 6]        # the two H 1s
+
+
+def test_molecule_dipole_vs_finite_field():
+    """Analytic dipole (md.dipole_block integrals) == finite-field
+    energy derivative dE/dF = -d_el, and the total H2O/STO-3G dipole
+    lands at the textbook ~0.6-0.7 a.u. along z."""
+    from libdmet_preview_tpu.utils.analysis import dipole_mol
+    mol = _h2o()
+    E0, dm = _rhf(mol)
+    d = dipole_mol(mol, dm)
+    assert abs(d[0]) < 1e-8 and abs(d[1]) < 1e-8
+    assert 0.4 < d[2] < 0.9
+    # finite field along z (origin at the charge center, matching
+    # dipole_mol's default)
+    origin = (mol.charges[:, None] * mol.coords).sum(0) / mol.charges.sum()
+    r_int = mol.intor_dipole(origin=origin)[2]
+    F = 2e-4
+    Ep, _ = _rhf(mol, h_extra=F * r_int)
+    Em, _ = _rhf(mol, h_extra=-F * r_int)
+    d_el_ff = -(Ep - Em) / (2 * F)
+    d_nuc = np.einsum("a, ax -> x", mol.charges, mol.coords - origin)[2]
+    assert abs((d_el_ff + d_nuc) - d[2]) < 1e-6
