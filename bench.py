@@ -1,9 +1,11 @@
 """
 Benchmark: one DMET iteration hot path (lattice mean field + Schmidt bath +
-embedding transform + vcor fit) at Nk=27, nlo=16, executed through the
-LIBRARY entry points (ops.mfd.HF -> ops.embham.embBasis/embHam ->
-ops.fit.FitVcorEmb), timed on the default JAX backend (the real TPU chip
-under the driver).
+EMBEDDING-ERI TRANSFORM + vcor fit) at Nk=27, nlo=16, executed through the
+LIBRARY entry points (ops.fastpath.make_dmet_iteration with GDF/Cholesky
+factors: the metric's "bath + ERI transform + vcor fit" now includes the
+two-body transform sum_x (B^T L_x B)(x)(B^T L_x B) at naux=512 over the
+432-orbital supercell inside the timed loop), timed on the default JAX
+backend (the real TPU chip under the driver).
 
 The fast paths are library defaults now: IBZ time-reversal reduction inside
 mfd.HF, the Gram-eigh bath inside embBasis, EIGH_REFINE auto (f32 seed + 2
@@ -40,6 +42,7 @@ NEO = NLO + NVAL
 BETA = 1000.0
 FILLING = 0.5
 N_FIT_STEPS = 20   # vcor-fit iterations per DMET iteration
+NAUX = 512         # DF rank of the embedding-ERI transform workload
 
 
 def make_lattice(seed=0):
@@ -76,7 +79,12 @@ def make_lattice(seed=0):
     vmat = rng.randn(1, NLO, NLO) * 0.05
     vmat = (vmat + vmat.transpose(0, 2, 1)) / 2
     rho_t = np.tile(np.eye(NEO)[None] * FILLING, (1, 1, 1))
-    return Lat, vmat, rho_t
+    # DF factors of a fake supercell ERI (realistic GDF shapes: naux x
+    # nsites x nsites, symmetric slices)
+    nsites = NK * NLO
+    L = rng.randn(NAUX, nsites, nsites).astype(float) * 0.02
+    L = 0.5 * (L + L.transpose(0, 2, 1))
+    return Lat, vmat, rho_t, L
 
 
 class _VcorFixed:
@@ -113,7 +121,7 @@ class _VcorFixed:
         return len(self.param)
 
 
-def numpy_iteration(Lat, vmat, rho_target):
+def numpy_iteration(Lat, vmat, rho_target, chol_L=None):
     """Equivalent NumPy/LAPACK pipeline (reference-style per-k loops)."""
     cos_t, sin_t = zlinalg.dft_tables((NK,))
     h1 = np.asarray(Lat.getFock(kspace=False))
@@ -169,6 +177,19 @@ def numpy_iteration(Lat, vmat, rho_target):
         mf_and_emb(v)
         rho_emb, embH1 = mf_and_emb(v)
         v = v - 0.0 * v
+    # embedding-ERI transform, once per DMET iteration (the reference's
+    # GDF rotate + syrk hot loop, eri_transform.py:436-522): two GEMMs
+    # per factor + syrk through NumPy BLAS
+    if chol_L is not None:
+        basis = np.zeros((NK * NLO, NEO))
+        basis[:NLO, :NLO] = np.eye(NLO)
+        basis[NLO:, NLO:] = np.linalg.qr(
+            np.random.RandomState(0).randn(NK * NLO - NLO, NVAL))[0]
+        LB = np.einsum("xpq, qj -> xpj", chol_L, basis, optimize=True)
+        L_emb = np.einsum("pi, xpj -> xij", basis, LB, optimize=True)
+        Lf = L_emb.reshape(L_emb.shape[0], -1)
+        eri_emb = Lf.T @ Lf
+        embH1 = embH1 + 0.0 * eri_emb[0, 0]
     return v, np.sum((rho_emb - rho_target) ** 2), embH1
 
 
@@ -189,16 +210,17 @@ N_CHAIN = 10   # back-to-back iterations per timed program (a real DMET
 def main():
     from libdmet_preview_tpu.ops.fastpath import (make_dmet_iteration,
                                                   chain_iterations)
-    Lat, vmat, rho_t = make_lattice()
+    Lat, vmat, rho_t, chol_L = make_lattice()
     vcor = _VcorFixed(vmat)
 
     step, p0 = make_dmet_iteration(Lat, vcor, FILLING, beta=BETA,
-                                   fit_max_iter=N_FIT_STEPS)
+                                   fit_max_iter=N_FIT_STEPS,
+                                   chol_L=chol_L)
     # a realistic correlated target: the mean-field embedding density of a
     # PERTURBED vcor (so the fit has a genuine residual + gradient signal)
     rng = np.random.RandomState(7)
     dp = rng.randn(len(p0)) * 0.1
-    _, _, embH1_p, _, _ = step(jnp.asarray(p0 + dp), jnp.asarray(rho_t))
+    embH1_p = step(jnp.asarray(p0 + dp), jnp.asarray(rho_t))[2]
     w, V = np.linalg.eigh(np.asarray(embH1_p))
     occ = 1.0 / (np.exp(np.clip(BETA * (w - np.median(w)), -100, 100)) + 1)
     rho_target = np.einsum("spi, si, sqi -> spq", V, occ, V)
@@ -216,12 +238,12 @@ def main():
     t_jax = timeit(run_library, n=5) / N_CHAIN
 
     def run_np():
-        return numpy_iteration(Lat, vmat, rho_target)
+        return numpy_iteration(Lat, vmat, rho_target, chol_L=chol_L)
 
     t_np = timeit(run_np, n=3)
 
     print(json.dumps({
-        "metric": "dmet_iteration_walltime_nk27_library",
+        "metric": "dmet_iteration_walltime_nk27_library_with_eri",
         "value": round(t_jax * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(t_np / t_jax, 2),

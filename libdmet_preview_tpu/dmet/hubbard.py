@@ -198,16 +198,23 @@ def transformResults(rhoEmb, E, basis, ImpHam, H1e=None, int_bath=False,
                            solver_args=solver_args,
                            imp_idx=list(imp_idx), **{
                                k: v for k, v in kwargs.items()
-                               if k in ("add_vcor_to_E", "vcor")})
+                               if k in ("add_vcor_to_E", "vcor", "E1",
+                                        "rdm1_emb")})
     log.debug(0, "E0 = %20.12f, E1 = %20.12f, E2 = %20.12f, E = %20.12f",
               lattice.getH0(), E1, E2, Efrag)
     return rhoImp, Efrag / nscsites, nelec / nscsites
 
 
 def get_H_dmet(basis, lattice, ImpHam, last_dmu, imp_idx=None,
-               add_vcor_to_E=False, vcor=None, **kwargs):
+               add_vcor_to_E=False, vcor=None, E1=None, rdm1_emb=None,
+               **kwargs):
     """Scaled (democratic-partitioning) DMET Hamiltonian for the
-    interacting-bath energy functional (reference slater.py:1957-2032)."""
+    interacting-bath energy functional (reference slater.py:1957-2032).
+
+    E1: optional externally evaluated one-body energy (hcore + J/K from
+    the GLOBAL density matrix, the reference's E1-from-glob variant,
+    slater.py:2015-2018): the scaled H1 then only removes the locally
+    double-counted veff of rdm1_emb and H0 absorbs E1."""
     spin = basis.shape[0]
     nbasis = basis.shape[-1]
     if imp_idx is None:
@@ -216,6 +223,16 @@ def get_H_dmet(basis, lattice, ImpHam, last_dmu, imp_idx=None,
     env_idx = np.asarray([i for i in range(nbasis) if i not in imp_idx],
                          dtype=int)
     basis_k = lattice.R2k_basis(basis)
+    if E1 is not None:
+        log.eassert(rdm1_emb is not None, "E1-from-glob needs rdm1_emb")
+        veff_loc = np.asarray(embham.get_veff(
+            np.asarray(rdm1_emb), jnp.asarray(ImpHam.H2["ccdd"])))
+        H1_scaled = get_H1_scaled(-veff_loc / spin, imp_idx, env_idx)
+        H2 = np.asarray(ImpHam.H2["ccdd"])
+        H2_scaled = get_H2_scaled(H2, imp_idx, env_idx)
+        return Integral(nbasis, spin == 1, False,
+                        float(np.real(E1)) + lattice.getH0(),
+                        {"cd": H1_scaled}, {"ccdd": H2_scaled})
     hcore_k = lattice.getH1(kspace=True)
     H1_scaled = np.array(embham.transform_h1(hcore_k, basis_k))
     if lattice.JK_core is not None:

@@ -56,12 +56,19 @@ _ET = {
 }
 
 
-def _even_tempered(sym):
+def _even_tempered(sym, floor=None):
+    """Even-tempered ladders; `floor` drops primitives more diffuse
+    than the given exponent (the 'solid' variant: functions with
+    extents beyond the nearest-neighbour distance are redundant in a
+    crystal and dominate the lattice-sum cost)."""
     conf = VALENCE_CONF[sym]
     out = {}
     for l in conf:
         a0, beta, n = _ET.get(sym, {}).get(l, _ET_DEFAULT[l])
-        out[l] = a0 * beta ** np.arange(n)
+        es = a0 * beta ** np.arange(n)
+        if floor is not None:
+            es = es[es >= floor * 0.999]
+        out[l] = es
     return out
 
 
@@ -193,18 +200,24 @@ def atomic_rhf_frac(sym, exps_by_l, conv=1e-8, max_cycle=200):
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "_basis_cache")
 
 
-def make_gth_valence_basis(sym, cache=True):
+def make_gth_valence_basis(sym, cache=True, variant="atom"):
     """Minimal valence contracted basis ('tpu-szv') for `sym`, generated
     from the atomic HF described in the module docstring.  Returns the
     GBASIS-style shell list [(l, [(exp, coef), ...]), ...] with one
-    contracted function per occupied valence shell per l."""
-    fname = os.path.join(_CACHE_DIR, "%s_tpu_szv.json" % sym)
+    contracted function per occupied valence shell per l.
+
+    variant='solid' floors the diffuse end at 0.15 bohr^-2 (periodic
+    workloads: the dropped tails are spanned by neighbouring cells;
+    lattice-sum image counts shrink as rcut^3)."""
+    tag = "" if variant == "atom" else "_" + variant
+    fname = os.path.join(_CACHE_DIR, "%s_tpu_szv%s.json" % (sym, tag))
     if cache and os.path.exists(fname):
         with open(fname) as f:
             data = json.load(f)
         return [(int(l), [(float(a), float(c)) for a, c in prims])
                 for l, prims in data]
-    exps = _even_tempered(sym)
+    exps = _even_tempered(sym,
+                          floor=0.15 if variant == "solid" else None)
     _, contr = atomic_rhf_frac(sym, exps)
     shells = []
     for l, es, cols in contr:

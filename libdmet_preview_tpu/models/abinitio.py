@@ -629,7 +629,8 @@ def attach_ks(Lat, meta, xc="lsda", hyb=0.0, n_rad=60, n_theta=12,
 
 
 def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
-                         precision=1e-10):
+                         precision=1e-10, basis_variant="solid",
+                         cache_file=None):
     """Ab initio DMET lattice for ANTIFERROMAGNETIC NiO -- the
     reference's flagship transition-metal oxide workload
     (/root/reference/examples/dmet/03-dmet-nio-afm/nio_afm.py): the
@@ -660,8 +661,8 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
              ("Ni", np.array([0.5, 0.5, 0.5])),       # Ni (spin down)
              ("O", np.array([0.25, 0.25, 0.25])),
              ("O", np.array([0.75, 0.75, 0.75]))]
-    basis_data = {(sym, "tpu-szv"): make_gth_valence_basis(sym)
-                  for sym in ("Ni", "O")}
+    basis_data = {(sym, "tpu-szv"): make_gth_valence_basis(
+        sym, variant=basis_variant) for sym in ("Ni", "O")}
     atoms = []
     for c in range(nk):
         for sym, f in fracs:
@@ -676,10 +677,28 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
 
     log.result("NiO AFM cell: nao = %d (%d per cell), nelec = %d",
                nsite, nlo, cell.nelectron)
-    S = cell.intor_ovlp()
-    hcore = cell.intor_hcore()
-    eri = cell.intor_eri()
-    e_nuc = cell.energy_nuc()
+    import os as _os
+    cfile = None
+    if cache_file is not None:
+        key = "nio_%d_%s_%s_%.0e.npz" % (nk, a_ang, basis_variant,
+                                         precision)
+        cfile = cache_file if cache_file.endswith(".npz") \
+            else _os.path.join(cache_file, key)
+    if cfile is not None and _os.path.exists(cfile):
+        log.result("NiO: loading cached integrals %s", cfile)
+        dat = np.load(cfile)
+        S, hcore, eri, e_nuc = (dat["S"], dat["hcore"], dat["eri"],
+                                float(dat["e_nuc"]))
+    else:
+        S = cell.intor_ovlp()
+        hcore = cell.intor_hcore()
+        eri = cell.intor_eri()
+        e_nuc = cell.energy_nuc()
+        if cfile is not None:
+            _os.makedirs(_os.path.dirname(cfile) or ".", exist_ok=True)
+            tmp = cfile + ".tmp.npz"
+            np.savez(tmp, S=S, hcore=hcore, eri=eri, e_nuc=e_nuc)
+            _os.replace(tmp, cfile)
 
     # AFM initial guess: Ni sublattice A majority-alpha d, B
     # majority-beta; O closed shell (2s2 2p4)
@@ -909,7 +928,7 @@ def kscf_stripe_hf(h_st, S_st, eriF, tr_diff, kmesh, nelec,
 
 def make_diamond_lattice3(kmesh=(3, 3, 3), a_ang=3.567, basis="gth-szv",
                           pseudo="gth-pade", gmax=None, precision=1e-10,
-                          scf_tol=1e-11):
+                          scf_tol=1e-11, cache_file=None):
     """Diamond on a FULL 3D k-mesh -- the declared north-star workload
     (BASELINE.json configs[3]: GTH-SZV, GTH-PADE, 3x3x3 k-mesh).
 
@@ -946,18 +965,43 @@ def make_diamond_lattice3(kmesh=(3, 3, 3), a_ang=3.567, basis="gth-szv",
     nlo = cell.nao // N
 
     import time as _time
-    t0 = _time.time()
-    S = cell.intor_ovlp()
-    h = cell.intor_hcore()
-    log.result("diamond3 %s: 1-body done (%.1f s)", kmesh,
-               _time.time() - t0)
-    h_st = _stripe_symm_tr(h, cell.tr_diff, nlo)
-    S_st = _stripe_symm_tr(S, cell.tr_diff, nlo)
-    t0 = _time.time()
-    eriF = cell.eri_trans_full()
-    log.result("diamond3: translation ERI done (%.1f s)",
-               _time.time() - t0)
-    e_nuc = cell.energy_nuc()
+    import os as _os
+    key = "diamond3_%s_%s_%s_%s_%.0e" % ("x".join(map(str, kmesh)),
+                                         a_ang, basis, pseudo, precision)
+    cfile = None
+    if cache_file is not None:
+        cfile = cache_file if cache_file.endswith(".npz") \
+            else _os.path.join(cache_file, key + ".npz")
+    if cfile is not None and _os.path.exists(cfile):
+        log.result("diamond3 %s: loading cached integrals %s", kmesh,
+                   cfile)
+        dat = np.load(cfile)
+        h_st, S_st, eriF, e_nuc = (dat["h_st"], dat["S_st"],
+                                   dat["eriF"], float(dat["e_nuc"]))
+        # pre-seed the pair-FT column cache (the expensive piece the
+        # AFT embedding streams reuse)
+        cell._ft_cache = (dat["Gv"],
+                          dat["fcol_re"] + 1j * dat["fcol_im"], False)
+    else:
+        t0 = _time.time()
+        S = cell.intor_ovlp()
+        h = cell.intor_hcore()
+        log.result("diamond3 %s: 1-body done (%.1f s)", kmesh,
+                   _time.time() - t0)
+        h_st = _stripe_symm_tr(h, cell.tr_diff, nlo)
+        S_st = _stripe_symm_tr(S, cell.tr_diff, nlo)
+        t0 = _time.time()
+        eriF = cell.eri_trans_full()
+        log.result("diamond3: translation ERI done (%.1f s)",
+                   _time.time() - t0)
+        e_nuc = cell.energy_nuc()
+        if cfile is not None:
+            _os.makedirs(_os.path.dirname(cfile) or ".", exist_ok=True)
+            Gv_c, fcol_c, _exp = cell._ft_cache
+            tmp = cfile + ".tmp.npz"
+            np.savez(tmp, h_st=h_st, S_st=S_st, eriF=eriF, e_nuc=e_nuc,
+                     Gv=Gv_c, fcol_re=fcol_c.real, fcol_im=fcol_c.imag)
+            _os.replace(tmp, cfile)
     t0 = _time.time()
     E_elec, rho_st, fock_st = kscf_stripe_hf(
         h_st, S_st, eriF, cell.tr_diff, kmesh, cell.nelectron,

@@ -59,6 +59,22 @@ def _syrk_eri(La, Lb):
     return jnp.einsum("xij, xkl -> ijkl", La, Lb, optimize=True)
 
 
+def _use_pallas_syrk(naux, neo):
+    """Auto-select the Pallas split-precision syrk kernel: TPU backend,
+    size above the tile threshold (the kernel pays off once the s4 pair
+    matrix exceeds one 128x128 MXU tile), unless overridden by
+    LIBDMET_PALLAS_ERI=0/1."""
+    import os
+    ov = os.environ.get("LIBDMET_PALLAS_ERI")
+    if ov is not None:
+        return ov not in ("0", "false", "False")
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return (backend == "tpu" and neo >= 48 and naux >= 256)
+
+
 def get_emb_eri_chol(L, basis, outcore=None):
     """Embedding ERI from Cholesky/DF factors.
 
@@ -76,7 +92,13 @@ def get_emb_eri_chol(L, basis, outcore=None):
     C = basis.reshape(spin, ncells * nlo, neo)
     Lj = jnp.asarray(L)
     Ls = [_rotate_chol(Lj, jnp.asarray(C[s])) for s in range(spin)]
-    if spin == 1:
+    if spin == 1 and _use_pallas_syrk(np.shape(L)[0], neo):
+        # flagship TPU kernel: split-fp32 Kahan syrk on the MXU
+        # (ops/pallas_eri.py; ~1e-7 relative vs the f64 einsum,
+        # tests/test_pallas_eri.py + the on-chip bench in README)
+        from libdmet_preview_tpu.ops.pallas_eri import eri_from_df_pallas
+        blocks = [jnp.asarray(eri_from_df_pallas(np.asarray(Ls[0])))]
+    elif spin == 1:
         blocks = [_syrk_eri(Ls[0], Ls[0])]
     else:
         blocks = [_syrk_eri(Ls[0], Ls[0]), _syrk_eri(Ls[1], Ls[1]),

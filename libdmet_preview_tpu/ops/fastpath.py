@@ -37,7 +37,8 @@ from libdmet_preview_tpu.ops.zlinalg import zrho_fermi, zrho_fermi_w
 
 
 def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
-                        fit_max_iter=20, ytol=1e-7, gtol=1e-3):
+                        fit_max_iter=20, ytol=1e-7, gtol=1e-3,
+                        chol_L=None):
     """Build the fused lattice-iteration program for `lattice` + `vcor`.
 
     Returns (step_fn, params0) where
@@ -47,7 +48,15 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
 
     is jit-compiled (also usable traced inside lax.scan via
     chain_iterations).  vparam is the vcor parameter vector; rho_target is
-    the correlated embedding 1-RDM to fit, (spin, neo, neo)."""
+    the correlated embedding 1-RDM to fit, (spin, neo, neo).
+
+    chol_L: optional (naux, nsites, nsites) Cholesky/GDF factors of the
+    supercell ERI.  When given (restricted path), the EMBEDDING-ERI
+    TRANSFORM eri_emb = sum_x (B^T L_x B) (x) (B^T L_x B) runs inside
+    the fused program once per iteration -- the reference's hot ab
+    initio kernel (SURVEY 3.4, eri_transform.py:436-522) timed together
+    with bath + fit; step_fn then returns
+    (vparam_new, fit_err, embH1, rho_R, basis, eri_emb)."""
     # same operator convention as ops.mfd.HF / ops.fit.FitVcorEmb
     if lattice.use_hcore_as_emb_ham:
         fock_k = lattice.getH1(kspace=True)
@@ -111,6 +120,7 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
 
     dv = jnp.asarray(np.asarray(vcor.gradient())[:, :spin])  # (P,s,n,n)
     params0 = np.asarray(vcor.param, dtype=float)
+    Lj = None if chol_L is None else jnp.asarray(chol_L)
 
     def mean_field(vparam):
         vmat = jnp.einsum("P, Psij -> sij", vparam, dv)
@@ -170,7 +180,22 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
 
         fg = jax.value_and_grad(err)
         p_new, err_end, _ = _cg_engine(fg, vparam, fit_max_iter, ytol, gtol)
-        return p_new, err_end, embH1, rho_R, basis
+        if chol_L is None:
+            return p_new, err_end, embH1, rho_R, basis
+        # embedding-ERI transform (once per DMET iteration): rotate the
+        # DF factors into the embedding basis, then the syrk
+        # accumulation -- large MXU GEMMs (precision pinned: TPU f64
+        # matmuls must not fall back to bf16 passes)
+        Bf = basis[0]                                 # (nsites, neo)
+        LB = jnp.einsum("xpq, qj -> xpj", Lj, Bf,
+                        precision=lax.Precision.HIGHEST)
+        L_emb = jnp.einsum("pi, xpj -> xij", Bf, LB,
+                           precision=lax.Precision.HIGHEST)
+        Lf = L_emb.reshape(L_emb.shape[0], -1)
+        eri_emb = jnp.matmul(Lf.T, Lf,
+                             precision=lax.Precision.HIGHEST
+                             ).reshape((neo,) * 4)
+        return p_new, err_end, embH1, rho_R, basis, eri_emb
 
     return jax.jit(step), params0
 
@@ -185,10 +210,18 @@ def chain_iterations(step_fn, n_chain):
     (vparam0, rho_target) -> (vparam_final, last_err)."""
 
     def chained(vparam, rho_target):
-        def body(p, _):
-            p_new, err, _, _, _ = step_fn(p, rho_target)
-            return p_new, err
-        p_fin, errs = lax.scan(body, vparam, None, length=n_chain)
-        return p_fin, errs[-1]
+        def body(carry, _):
+            p, chk = carry
+            out = step_fn(p, rho_target)
+            p_new, err = out[0], out[1]
+            if len(out) > 5:
+                # keep the per-iteration ERI transform LIVE under scan
+                # (a checksum in the carry defeats dead-code
+                # elimination of the unused eri_emb)
+                chk = chk + jnp.sum(out[5][0, 0])
+            return (p_new, chk), err
+        (p_fin, chk), errs = lax.scan(body, (vparam, 0.0), None,
+                                      length=n_chain)
+        return p_fin, errs[-1] + 1e-300 * chk
 
     return jax.jit(chained)

@@ -1,0 +1,149 @@
+"""
+Reference ab initio anchor table (BASELINE.md): converged H-chain
+(321G, 3 k-points) DMET energies against the reference's hard-coded
+values, through one shared self-consistency loop mirroring the
+reference protocol (charge self-consistency via update_Ham, MuSolver
+with accumulated dmu, trace-fixed vcor, DIIS from iteration 4;
+reference /root/reference/libdmet/test/test_cc_solver.py,
+test_bcc_solver.py, test_E1_from_glob.py, test_non_int_bath.py).
+
+Runtime-budgeted: the lattice build is session-scoped; the CC-family
+runs are in-suite, the slowest (NIB-FCI convergence) RUN_SLOW-gated.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def hchain():
+    from libdmet_preview_tpu.models.abinitio import make_hchain_pbc_lattice
+    return make_hchain_pbc_lattice(nk=3)
+
+
+def run_hchain_dmet(Lat, meta, solver, int_bath=True, e1_from_glob=False,
+                    max_iter=14, u_tol=5e-5, e_tol=5e-6, beta=np.inf,
+                    verbose=False):
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.models.abinitio import update_ham_dense
+    from libdmet_preview_tpu.ops import embham
+    from libdmet_preview_tpu.ops.vcor import VcorLocal
+    from libdmet_preview_tpu.ops.diis import DIIS
+    from libdmet_preview_tpu.ops.fit import make_vcor_trace_unchanged
+    nsc = Lat.nscsites
+    Filling = 6 / (nsc * 2.0 * 3)
+    vcor = VcorLocal(True, False, nsc)
+    vcor.assign(np.zeros((2, nsc, nsc)))
+    mu_solver = dmet.MuSolver(adaptive=True)
+    adiis = DIIS(space=4)
+    Mu, last_dmu, E_old = 0.0, 0.0, 0.0
+    E_cell = None
+    for it in range(max_iter):
+        rho, Mu, res = dmet.RHartreeFock(Lat, vcor, Filling, Mu,
+                                         beta=beta, ires=True)
+        update_ham_dense(Lat, meta, np.asarray(rho)[0] * 2.0)
+        ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                                  matching=not int_bath,
+                                                  int_bath=int_bath)
+        ImpHam = dmet.apply_dmu(Lat, ImpHam, basis, last_dmu)
+        solver_args = {"nelec": (Lat.ncore + Lat.nval) * 2}
+        rhoEmb, EnergyEmb, ImpHam, dmu = mu_solver(
+            Lat, Filling, ImpHam, basis, solver, solver_args,
+            thrnelec=1e-6, delta=0.01, step=0.1)
+        last_dmu += dmu
+        extra = {}
+        if e1_from_glob:
+            # E1 from the global (democratically partitioned) density
+            # matrix (reference test_E1_from_glob.py:187-218)
+            veff_st, rho_glob = embham.get_veff_from_rdm1_emb(
+                Lat, rhoEmb, basis)
+            h1_k = np.asarray(Lat.getH1(kspace=True))
+            v_k = np.asarray(Lat.R2k(veff_st))
+            g_k = np.asarray(Lat.R2k(rho_glob))
+            A_re = h1_k[0] + 0.5 * v_k[0]
+            A_im = h1_k[1] + 0.5 * v_k[1]
+            if A_re.ndim == 3:
+                A_re, A_im = A_re[None], A_im[None]
+            E1 = (np.einsum("skpq, skqp ->", A_re, g_k[0])
+                  - np.einsum("skpq, skqp ->", A_im, g_k[1])) / 3.0
+            spin = rhoEmb.shape[0]
+            E1 *= 2.0 / spin
+            extra = {"E1": E1, "rdm1_emb": np.asarray(rhoEmb)}
+        _, EnergyImp, nelecImp = dmet.transformResults(
+            rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat,
+            last_dmu=last_dmu, int_bath=int_bath, solver=solver,
+            solver_args=solver_args, **extra)
+        E_cell = EnergyImp * nsc
+        vcor_new, err = dmet.FitVcor(rhoEmb, Lat, basis, vcor, beta,
+                                     Filling, MaxIter1=300, MaxIter2=0,
+                                     ytol=1e-8, gtol=1e-4)
+        if it >= 3:
+            vcor_new = make_vcor_trace_unchanged(vcor_new, vcor)
+        if it >= 4:
+            pvcor = adiis.update(np.hstack(vcor_new.param))
+        else:
+            pvcor = np.hstack(vcor_new.param)
+        dV = np.max(np.abs(pvcor - np.hstack(vcor.param)))
+        vcor.update(np.asarray(pvcor))
+        dE = E_cell - E_old
+        E_old = E_cell
+        if verbose:
+            print("it %2d E=%.10f dE=%.2e dV=%.2e" % (it, E_cell, dE, dV),
+                  flush=True)
+        if dV < u_tol and abs(dE) < e_tol and it > 4:
+            break
+    return E_cell
+
+
+def test_anchor_ccsd_ib(hchain):
+    """Converged IB CCSD DMET == reference -1.242988933742
+    (test_cc_solver.py:267, 1e-4)."""
+    from libdmet_preview_tpu.solvers import CCSD
+    Lat, meta = hchain
+    E = run_hchain_dmet(Lat, meta, CCSD(restricted=True, tol=1e-9),
+                        beta=1000.0)
+    assert abs(E - (-1.242988933742)) < 1e-4
+
+
+def test_anchor_ccd_ib(hchain):
+    """Converged IB CCD DMET == reference -1.242043057334
+    (test_cc_solver.py:265, 1e-4)."""
+    from libdmet_preview_tpu.solvers import CCD
+    Lat, meta = hchain
+    E = run_hchain_dmet(Lat, meta, CCD(restricted=True, tol=1e-9),
+                        beta=1000.0)
+    assert abs(E - (-1.242043057334)) < 1e-4
+
+
+def test_anchor_bccsd_ib(hchain):
+    """Converged IB Brueckner-CC DMET == reference -1.243042935207
+    (test_bcc_solver.py:258, 1e-4)."""
+    from libdmet_preview_tpu.solvers import BCCSD
+    Lat, meta = hchain
+    E = run_hchain_dmet(Lat, meta, BCCSD(restricted=True, tol=1e-9),
+                        beta=1000.0)
+    assert abs(E - (-1.243042935207)) < 1e-4
+
+
+def test_anchor_e1_from_glob(hchain):
+    """Converged IB FCI DMET with E1 from the global density matrix ==
+    reference -1.242066325237 (test_E1_from_glob.py:260, 5e-5)."""
+    from libdmet_preview_tpu.solvers import FCI
+    Lat, meta = hchain
+    E = run_hchain_dmet(Lat, meta, FCI(restricted=True, tol=1e-12),
+                        e1_from_glob=True)
+    assert abs(E - (-1.242066325237)) < 5e-5
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="NIB convergence takes many iterations")
+def test_anchor_rhf_nib(hchain):
+    """Converged NON-INTERACTING-bath FCI DMET == reference
+    -1.196534405734 (test_non_int_bath.py:259, 1e-4)."""
+    from libdmet_preview_tpu.solvers import FCI
+    Lat, meta = hchain
+    E = run_hchain_dmet(Lat, meta, FCI(restricted=True, tol=1e-12),
+                        int_bath=False, max_iter=30)
+    assert abs(E - (-1.196534405734)) < 1e-4
