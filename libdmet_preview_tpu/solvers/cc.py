@@ -269,19 +269,37 @@ def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
     def Rt(t1_, t2_):
         return _residual(t1_, t2_, h_so, W, nocc)
 
+    def P2(x2):
+        """Projector onto the ANTISYMMETRIC t2 subspace -- the full
+        (i,j,a,b) storage is 4x redundant, and the residual Jacobian on
+        the redundant directions carries a large artificial kernel that
+        MIXES into the physical subspace (measured: 360 null vectors at
+        neo=8, overlapping dE/dt at 1e-3).  The amplitude iteration
+        lives on the antisymmetric invariant manifold, so the correct
+        adjoint is the PROJECTED system P J^T P lam = P b, which is
+        consistent and nonsingular for a gapped reference (this removed
+        the spurious 'defective Jacobian' min-norm fallbacks)."""
+        return 0.25 * (x2 - jnp.transpose(x2, (1, 0, 2, 3))
+                       - jnp.transpose(x2, (0, 1, 3, 2))
+                       + jnp.transpose(x2, (1, 0, 3, 2)))
+
     _, vjp_t = jax.vjp(Rt, t1, t2)
     if freeze_t1:
         w1 = jnp.zeros_like(w1)
+    w2 = P2(jnp.asarray(w2))
 
     @jax.jit
     def matvec_prec(l1, l2):
-        # A^T lam, right-preconditioned by the Jacobi inverse 1/D
+        # P A^T P lam, right-preconditioned by the Jacobi inverse 1/D
+        # (D2 is symmetric under the transpositions, so 1/D commutes
+        # with the projector)
+        l2 = P2(l2)
         if freeze_t1:
             # CCD: the t1 sector is pinned -> identity block, lam1 = 0
             g1, g2 = vjp_t((jnp.zeros_like(l1), l2 / D2))
-            return l1, g2
+            return l1, P2(g2)
         g1, g2 = vjp_t((l1 / D1, l2 / D2))
-        return g1, g2
+        return g1, P2(g2)
 
     def mv(x):
         # scipy's LinearOperator probes matvec with an int8 vector to
@@ -338,12 +356,13 @@ def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
 
         @jax.jit
         def rmatvec_prec(y1, y2):
+            y2 = P2(y2)
             if freeze_t1:
                 _, (g1, g2) = jax.jvp(
                     Rt, (t1, t2), (jnp.zeros_like(y1), y2))
-                return y1, g2 / D2
+                return y1, P2(g2) / D2
             _, (g1, g2) = jax.jvp(Rt, (t1, t2), (y1, y2))
-            return g1 / D1, g2 / D2
+            return g1 / D1, P2(g2) / D2
 
         def rmv(x_):
             x_ = np.asarray(x_, dtype=np.float64)
@@ -463,13 +482,21 @@ def _solve_adjoint_masked(h_so, W, nocc, t1, t2, w1, w2, m1, m2, tol=1e-9,
 
     _, vjp_t = jax.vjp(Rt, t1, t2)
 
+    def P2(x2):
+        # antisymmetric-subspace projector (see _solve_adjoint); the CAS
+        # freeze masks are invariant under the ij/ab transpositions, so
+        # the projector commutes with the masking
+        return 0.25 * (x2 - jnp.transpose(x2, (1, 0, 2, 3))
+                       - jnp.transpose(x2, (0, 1, 3, 2))
+                       + jnp.transpose(x2, (1, 0, 3, 2)))
+
     @jax.jit
     def matvec_prec(l1, l2):
         l1_in = jnp.where(m1 > 0, 0.0, l1 / D1)
-        l2_in = jnp.where(m2 > 0, 0.0, l2 / D2)
+        l2_in = jnp.where(m2 > 0, 0.0, P2(l2) / D2)
         g1, g2 = vjp_t((l1_in, l2_in))
         g1 = jnp.where(m1 > 0, l1, g1)
-        g2 = jnp.where(m2 > 0, l2, g2)
+        g2 = jnp.where(m2 > 0, l2, P2(g2))
         return g1, g2
 
     def mv(x):
