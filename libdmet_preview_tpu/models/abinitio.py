@@ -1061,7 +1061,7 @@ def make_diamond_lattice3(kmesh=(3, 3, 3), a_ang=3.567, basis="gth-szv",
     meta = {"cell": cell, "E_hf": E_hf, "E_hf_elec": E_elec,
             "e_nuc": e_nuc, "C_ao_lo": C_full, "nlo": nlo,
             "h_lo_R": h_lo_R, "fock_lo_R": f_lo_R, "rdm1_lo_R": r_lo_R,
-            "S": S, "C_k": C_k, "h_st": h_st, "W": W, "Y": Y,
+            "S_st": S_st, "C_k": C_k, "h_st": h_st, "W": W, "Y": Y,
             "kmesh": kmesh, "tr_diff": cell.tr_diff}
     return Lat, meta
 

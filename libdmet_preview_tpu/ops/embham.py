@@ -82,7 +82,7 @@ def _spin_pairs(spin):
     return [(0, 0)] if spin == 1 else [(0, 0), (1, 1), (0, 1)]
 
 
-def transform_eri_nearest(basis, eri_R):
+def transform_eri_nearest(basis, eri_R, lattice=None):
     """Interacting-bath embedding transform of the 'nearest' H2 format
     (blocks (0p 0q | Rr Rs) = eri_R[R], translation invariant) -- beyond
     the reference, which raises NotImplementedError here
@@ -90,18 +90,28 @@ def transform_eri_nearest(basis, eri_R):
 
       H2_emb[ijkl] = sum_{C, R} B[C,p,i] B[C,q,j]
                      B[C+R,r,k] B[C+R,s,l] eri_R[R,p,q,r,s].
+
+    lattice: required for multi-dimensional cell meshes -- the C+R cell
+    addition must use the lattice's index algebra (the flattened C order
+    of a 2D/3D mesh is NOT 1D-cyclic); falls back to 1D-cyclic when
+    absent.
     """
     basis = np.asarray(basis)
     spin, ncells, nlo, neo = basis.shape
     eri_R = np.asarray(eri_R)
     B = jnp.asarray(basis)
+    if lattice is not None:
+        add = np.asarray(lattice._add_tab)
+    else:
+        add = (np.arange(ncells)[:, None]
+               + np.arange(ncells)[None, :]) % ncells
     # P1[s][C, p, q, i, j] = B[s,C,p,i] B[s,C,q,j]
     P1 = jnp.einsum("sCpi, sCqj -> sCpqij", B, B)
     out = []
     for s1, s2 in _spin_pairs(spin):
         acc = 0.0
         for R in range(ncells):
-            P2 = jnp.roll(P1[s2], -R, axis=0)     # cell C+R
+            P2 = P1[s2][jnp.asarray(add[:, R])]   # cell C+R
             acc = acc + jnp.einsum("Cpqij, pqrs, Crskl -> ijkl",
                                    P1[s1], jnp.asarray(eri_R[R]), P2,
                                    optimize=True)
@@ -109,26 +119,34 @@ def transform_eri_nearest(basis, eri_R):
     return np.asarray(out)
 
 
-def transform_eri_full(basis, eri_F):
+def transform_eri_full(basis, eri_F, lattice=None):
     """Interacting-bath embedding transform of the 'full' H2 format
     (eri_F[R1, R2, R3] = (0p R1q | R2r R3s), translation invariant):
 
       H2_emb[ijkl] = sum_{C, R1, R2, R3} B[C,p,i] B[C+R1,q,j]
                      B[C+R2,r,k] B[C+R3,s,l] eri_F[R1,R2,R3,p,q,r,s].
+
+    lattice: required for multi-dimensional cell meshes (see
+    transform_eri_nearest).
     """
     basis = np.asarray(basis)
     spin, ncells, nlo, neo = basis.shape
     eri_F = np.asarray(eri_F)
     B = jnp.asarray(basis)
+    if lattice is not None:
+        add = np.asarray(lattice._add_tab)
+    else:
+        add = (np.arange(ncells)[:, None]
+               + np.arange(ncells)[None, :]) % ncells
     out = []
     for s1, s2 in _spin_pairs(spin):
         acc = 0.0
         for R1 in range(ncells):
-            B1 = jnp.roll(B[s1], -R1, axis=0)
+            B1 = B[s1][jnp.asarray(add[:, R1])]
             for R2 in range(ncells):
-                B2 = jnp.roll(B[s2], -R2, axis=0)
+                B2 = B[s2][jnp.asarray(add[:, R2])]
                 for R3 in range(ncells):
-                    B3 = jnp.roll(B[s2], -R3, axis=0)
+                    B3 = B[s2][jnp.asarray(add[:, R3])]
                     acc = acc + jnp.einsum(
                         "Cpi, Cqj, Crk, Csl, pqrs -> ijkl",
                         B[s1], B1, B2, B3,
@@ -409,10 +427,12 @@ def get_rho_glob_R(basis, lattice, rho_emb):
     b = jnp.asarray(basis)
     r = jnp.asarray(rho_emb)
     # two democratic estimates of the (0, R) stripe block (lattice stripe
-    # convention: rho[R]_pq = <R p| rho |0 q>)
+    # convention: rho[R]_pq = <R p| rho |0 q>); the fragment translation
+    # MUST use the lattice's cell-index algebra (a 2D/3D mesh is not
+    # 1D-cyclic in the flattened C order)
     row = jnp.einsum("spi, sij, sRqj -> sRqp", b[:, 0], r, b)
-    bm = b[:, (-np.arange(ncells)) % ncells]
-    col = jnp.einsum("sRpi, sij, sqj -> sRqp", bm, r, b[:, 0])
+    neg = np.asarray(lattice._neg_map)
+    col = jnp.einsum("sRpi, sij, sqj -> sRqp", b[:, neg], r, b[:, 0])
     return np.asarray(0.5 * (row + col))
 
 
@@ -569,13 +589,13 @@ def _emb_H2(lattice, basis, vcor, int_bath=True, **kwargs):
             H2 = unit2emb(np.asarray((LatH2,) * npair), neo)
     elif lattice.H2_format == "nearest":
         if int_bath:
-            H2 = transform_eri_nearest(basis, LatH2)
+            H2 = transform_eri_nearest(basis, LatH2, lattice=lattice)
         else:
             H2 = np.zeros((npair,) + (neo,) * 4)
             H2[:, :nsc, :nsc, :nsc, :nsc] = LatH2[0]
     elif lattice.H2_format == "full":
         if int_bath:
-            H2 = transform_eri_full(basis, LatH2)
+            H2 = transform_eri_full(basis, LatH2, lattice=lattice)
         else:
             H2 = np.zeros((npair,) + (neo,) * 4)
             H2[:, :nsc, :nsc, :nsc, :nsc] = LatH2[0, 0, 0]
