@@ -8,10 +8,12 @@ at the nio/hchain scale; the reference runs this class of workload via
 PySCF kmf + GDF).
 
 RUN_SLOW-gated: ~17 min one-time integral generation (disk-cached under
-.cache/ afterwards) + ~6 min per DMET iteration.  Internal anchors from
-the first completed run (commit history):
-  supercell RHF E/cell   = -10.0930031640
-  one-shot DMET(CCSD)    = -10.2082668828  (E_corr/cell = -0.115264)
+.cache/ afterwards) + ~4 min per DMET iteration.  Internal anchors from
+the first completed runs (commit history):
+  supercell RHF E/cell    = -10.0930031640
+  one-shot DMET(CCSD)     = -10.2082668828
+  CONVERGED vcor + CCSD   = -10.2122587074  (E_corr/cell = -0.119256,
+                            3 iterations, dVcor 3.2e-5, dE 5.0e-6)
 """
 
 import os
@@ -87,6 +89,9 @@ def test_diamond_333_self_consistent():
             conv = True
             break
     assert conv, "vcor self-consistency did not converge in 8 iterations"
+    # converged internal anchor (first completed run, 3 iterations,
+    # dVcor = 3.2e-5, clean CC adjoint): E_cc/cell = -10.2122587074
+    assert abs(E * nsc - (-10.2122587074)) < 5e-4
     E_corr = E * nsc - E_hf_cell
     assert -0.3 < E_corr < -0.05
     assert abs(n - 1.0) < 0.05
