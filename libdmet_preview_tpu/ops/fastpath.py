@@ -120,7 +120,23 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
 
     dv = jnp.asarray(np.asarray(vcor.gradient())[:, :spin])  # (P,s,n,n)
     params0 = np.asarray(vcor.param, dtype=float)
-    Lj = None if chol_L is None else jnp.asarray(chol_L)
+    try:
+        _tpu = jax.default_backend() == "tpu"
+    except Exception:
+        _tpu = False
+    if chol_L is None:
+        Lj = None
+    elif _tpu:
+        # pre-split the DF factors on the HOST and thread them as REAL
+        # jit arguments: a closed-over f64 constant of this size gets
+        # constant-folded/serialized at compile time (minutes and GBs
+        # over the tunneled TPU)
+        chol_np = np.asarray(chol_L)
+        Lhi_h = chol_np.astype(np.float32)
+        Llo_h = (chol_np - Lhi_h.astype(np.float64)).astype(np.float32)
+        Lj = (jax.device_put(Lhi_h), jax.device_put(Llo_h))
+    else:
+        Lj = jnp.asarray(chol_L)
 
     def mean_field(vparam):
         vmat = jnp.einsum("P, Psij -> sij", vparam, dv)
@@ -129,7 +145,7 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
                                       beta, wk_j)
         return h_re, r_re, r_im, mu
 
-    def step(vparam, rho_target):
+    def step(vparam, rho_target, Lhi=None, Llo=None):
         h_re, r_re, r_im, mu = mean_field(vparam)
         # rho_R stripe fold over the weighted IBZ (exact under TR symm)
         rho_R = (jnp.einsum("kR, skpq -> sRpq", cos_i, r_re)
@@ -182,21 +198,67 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
         p_new, err_end, _ = _cg_engine(fg, vparam, fit_max_iter, ytol, gtol)
         if chol_L is None:
             return p_new, err_end, embH1, rho_R, basis
-        # embedding-ERI transform (once per DMET iteration): rotate the
-        # DF factors into the embedding basis, then the syrk
-        # accumulation -- large MXU GEMMs (precision pinned: TPU f64
-        # matmuls must not fall back to bf16 passes)
+        # embedding-ERI transform (once per DMET iteration).  On TPU
+        # this is the flagship split-precision path: a plain f64 dot has
+        # no MXU lowering, so the rotations run as double-float operand
+        # splits (pallas_eri.dot_split, ~47 mantissa bits) and the syrk
+        # as the Kahan-compensated Pallas kernel -- ~1e-7 relative vs
+        # the exact f64 einsums, which remain the CPU path.
         Bf = basis[0]                                 # (nsites, neo)
-        LB = jnp.einsum("xpq, qj -> xpj", Lj, Bf,
-                        precision=lax.Precision.HIGHEST)
-        L_emb = jnp.einsum("pi, xpj -> xij", Bf, LB,
-                           precision=lax.Precision.HIGHEST)
-        Lf = L_emb.reshape(L_emb.shape[0], -1)
-        eri_emb = jnp.matmul(Lf.T, Lf,
-                             precision=lax.Precision.HIGHEST
-                             ).reshape((neo,) * 4)
+        if _tpu:
+            from libdmet_preview_tpu.ops.pallas_eri import (split_f32,
+                                                            syrk_df,
+                                                            TI, KB)
+            hp = lax.Precision.HIGHEST
+
+            def mm(Ahi, Alo, Bh, Bl):
+                t = jnp.matmul(Ahi, Bh, precision=hp,
+                               preferred_element_type=jnp.float32)
+                t = t + jnp.matmul(Ahi, Bl, precision=hp,
+                                   preferred_element_type=jnp.float32)
+                t = t + jnp.matmul(Alo, Bh, precision=hp,
+                                   preferred_element_type=jnp.float32)
+                return t.astype(jnp.float64)
+
+            naux = Lhi.shape[0]
+            bhi, blo = split_f32(Bf)
+            LB = jax.vmap(lambda xh, xl: mm(xh, xl, bhi, blo))(Lhi, Llo)
+            LBhi, LBlo = split_f32(LB)
+            L_emb = jax.vmap(lambda xh, xl: mm(bhi.T, blo.T, xh, xl)
+                             )(LBhi, LBlo)
+            ti, tj = np.tril_indices(neo)
+            F = L_emb[:, ti, tj]                      # s4 pack
+            npair = F.shape[1]
+            npair_p = -(-npair // TI) * TI
+            naux_p = -(-naux // KB) * KB
+            Fp = jnp.zeros((naux_p, npair_p), F.dtype)
+            Fp = Fp.at[:naux, :npair].set(F)
+            eri_emb = syrk_df(Fp)[:npair, :npair]     # s4-packed result
+        else:
+            LB = jnp.einsum("xpq, qj -> xpj", Lj, Bf,
+                            precision=lax.Precision.HIGHEST)
+            L_emb = jnp.einsum("pi, xpj -> xij", Bf, LB,
+                               precision=lax.Precision.HIGHEST)
+            Lf = L_emb.reshape(L_emb.shape[0], -1)
+            eri_emb = jnp.matmul(Lf.T, Lf,
+                                 precision=lax.Precision.HIGHEST
+                                 ).reshape((neo,) * 4)
         return p_new, err_end, embH1, rho_R, basis, eri_emb
 
+    if chol_L is not None and _tpu:
+        # the split factors ride as CALL arguments (never baked into
+        # the executable); the public 2-arg signature is preserved
+        step_jit = jax.jit(step)
+        Lhi_d, Llo_d = Lj
+
+        def step_fn(vparam, rho_target, Lhi=None, Llo=None):
+            if Lhi is None:
+                Lhi, Llo = Lhi_d, Llo_d
+            return step_jit(vparam, rho_target, Lhi, Llo)
+
+        step_fn._eri_operands = (Lhi_d, Llo_d)
+        step_fn._traced = step
+        return step_fn, params0
     return jax.jit(step), params0
 
 
@@ -209,10 +271,13 @@ def chain_iterations(step_fn, n_chain):
     object; its traced call composes under scan).  Returns a jitted
     (vparam0, rho_target) -> (vparam_final, last_err)."""
 
-    def chained(vparam, rho_target):
+    eri_ops = getattr(step_fn, "_eri_operands", None)
+    traced = getattr(step_fn, "_traced", step_fn)
+
+    def chained_impl(vparam, rho_target, *ops):
         def body(carry, _):
             p, chk = carry
-            out = step_fn(p, rho_target)
+            out = traced(p, rho_target, *ops)
             p_new, err = out[0], out[1]
             if len(out) > 5:
                 # keep the per-iteration ERI transform LIVE under scan
@@ -224,4 +289,11 @@ def chain_iterations(step_fn, n_chain):
                                       length=n_chain)
         return p_fin, errs[-1] + 1e-300 * chk
 
-    return jax.jit(chained)
+    chained_jit = jax.jit(chained_impl)
+    if eri_ops is None:
+        return chained_jit
+
+    def chained(vparam, rho_target):
+        return chained_jit(vparam, rho_target, *eri_ops)
+
+    return chained

@@ -108,6 +108,22 @@ def syrk_df(F, interpret=False):
     return val.astype(jnp.float64) + comp.astype(jnp.float64)
 
 
+def dot_split(A, B):
+    """f64-in f64-out matmul via the double-float operand split on the
+    f32 MXU (hi.hi + hi.lo + lo.hi; ~47 operand mantissa bits): the
+    TPU-native path for the big DF-factor rotations, where a plain f64
+    dot has no MXU lowering.  Traceable (usable inside jitted programs)."""
+    ahi, alo = split_f32(A)
+    bhi, blo = split_f32(B)
+    hp = jax.lax.Precision.HIGHEST
+    t = jnp.matmul(ahi, bhi, precision=hp, preferred_element_type=jnp.float32)
+    t = t + jnp.matmul(ahi, blo, precision=hp,
+                       preferred_element_type=jnp.float32)
+    t = t + jnp.matmul(alo, bhi, precision=hp,
+                       preferred_element_type=jnp.float32)
+    return t.astype(jnp.float64)
+
+
 def pack_tril(Lemb):
     """(naux, neo, neo) symmetric -> s4-packed (naux, neo*(neo+1)/2)."""
     neo = Lemb.shape[-1]

@@ -576,10 +576,12 @@ def test_bench_program_runs_on_cpu():
     import bench
     from libdmet_preview_tpu.ops.fastpath import (make_dmet_iteration,
                                                   chain_iterations)
-    Lat, vmat, rho_t = bench.make_lattice()
+    Lat, vmat, rho_t, chol_L = bench.make_lattice()
     vcor = bench._VcorFixed(vmat)
+    # small DF rank keeps the CPU f64 transform cheap in-suite
     step, p0 = make_dmet_iteration(Lat, vcor, bench.FILLING,
-                                   beta=bench.BETA, fit_max_iter=3)
+                                   beta=bench.BETA, fit_max_iter=3,
+                                   chol_L=chol_L[:32])
     chained = chain_iterations(step, 2)
     p_fin, err = chained(jnp.asarray(p0), jnp.asarray(rho_t))
     assert np.isfinite(float(err))
