@@ -121,16 +121,23 @@ def run_dmet_iteration_sharded(n_devices):
     err_h1 = float(np.max(np.abs(embH1_sh - embH1_serial)))
     assert err_h1 < 1e-8, "sharded embH1 deviates: %.3e" % err_h1
 
-    # ---- 4. sharded embedding ERI from the local-U Cholesky factors ----
-    # lattice-wide on-site U: (ij|kl) = U sum_x C[x,i]C[x,j]C[x,k]C[x,l],
-    # i.e. Cholesky factors L[x] = sqrt(U) e_x e_x^T over the aux axis
-    L = np.zeros((nsites, nsites, nsites))
-    L[np.arange(nsites), np.arange(nsites), np.arange(nsites)] = np.sqrt(U)
-    eri_sh = kmesh.get_emb_eri_chol_sharded(mesh, L, basis[:1])
-    C = basis[0].reshape(nsites, neo)
-    eri_serial = U * np.einsum("xi, xj, xk, xl -> ijkl", C, C, C, C,
-                               optimize=True)
-    err_eri = float(np.max(np.abs(eri_sh[0] - eri_serial)))
+    # ---- 4. sharded embedding ERI on a REAL ab initio factor set ----
+    # the aux axis carries the dense Cholesky factors of an actual
+    # 1/r-interaction H-ring lattice (full-rank, non-diagonal), with its
+    # own Schmidt bath -- the GDF-workload shape of the reference's MPI
+    # ERI transform (eri_transform_mpi.py), not a symbolic diagonal U
+    from libdmet_preview_tpu.models.abinitio import make_h_ring_lattice
+    from libdmet_preview_tpu.ops.eri_transform import get_emb_eri_chol
+    Lat_ai, meta_ai = make_h_ring_lattice(ncells=4, atoms_per_cell=2,
+                                          r_bond=1.8, basis="sto-6g")
+    rho_ai, _mu_ai = dmet.RHartreeFock(Lat_ai, dmet.PMInitGuess(
+        (Lat_ai.nscsites,), 0.0, 0.5), 0.5, None)
+    basis_ai = embham.embBasis(Lat_ai, np.asarray(rho_ai))
+    L_ai = np.asarray(Lat_ai.Ham.getH2())
+    eri_sh = kmesh.get_emb_eri_chol_sharded(mesh, L_ai, basis_ai[:1])
+    eri_serial = get_emb_eri_chol(L_ai, basis_ai[:1])
+    err_eri = float(np.max(np.abs(np.asarray(eri_sh)
+                                  - np.asarray(eri_serial))))
     assert err_eri < 1e-8, "sharded ERI deviates: %.3e" % err_eri
 
     # ---- 5. impurity solve + mu fit + energy (facade, replicated) ----

@@ -271,13 +271,14 @@ def test_run_dmet_sc_driver():
     assert res.e_per_site < 0.0
 
 
-def test_sc_dmet_2d_dwave_self_consistency():
+def test_sc_dmet_2d_dwave_converged_anchor():
     """d-wave SC-DMET on the REPULSIVE doped 2D Hubbard (U=4, 1/8 hole
-    doping, 2x2 impurity, GSO frame): the d_{x2-y2} sign structure of
-    the anomalous density SURVIVES damped self-consistent vcor updates
-    (opposite-sign x/y bonds with C4-related magnitudes) -- beyond the
-    HFB-level symmetry test above; the long converged run is
-    RUN_SLOW-gated below."""
+    doping, 2x2 impurity, GSO frame) CONVERGED to its fixed point on
+    the 4x4 lattice (damping 0.5, late DIIS): committed internal
+    anchors E/site = -0.9352863316 and |kappa_x| = 0.0952150 with the
+    d_{x2-y2} sign structure and C4-exact magnitudes (r2 VERDICT item 6
+    -- a converged anchored fixed point instead of the 2-iteration
+    'survives' check; measured convergence: dE = 1e-13 at iteration 5)."""
     import itertools as it
     from libdmet_preview_tpu.dmet import hubbard_bcs as dmet
     from libdmet_preview_tpu.dmet.loop import run_dmet_sc
@@ -302,15 +303,18 @@ def test_sc_dmet_2d_dwave_self_consistency():
         if (i, j) in y_bonds:
             p0[nV + idx] = -0.1
     vcor.update(p0)
-    res = run_dmet_sc(Lat, vcor, filling, max_iter=2, mu0=U * filling,
-                      mixing=0.5, diis_start=100, thrnelec=1e-4)
+    res = run_dmet_sc(Lat, vcor, filling, max_iter=20, mu0=U * filling,
+                      mixing=0.5, diis_start=10, conv_tol_E=1e-7,
+                      conv_tol_vcor=1e-6, thrnelec=1e-6)
     rA, rB, kap = spinless.extract_rdm(res.rho_imp)
     kx = np.mean([kap[i, j] for i, j in x_bonds])
     ky = np.mean([kap[i, j] for i, j in y_bonds])
-    assert abs(kx) > 0.01 and abs(ky) > 0.01
+    assert res.converged
+    assert abs(res.e_per_site - (-0.9352863316)) < 1e-6
+    assert abs(abs(kx) - 0.0952150) < 1e-4
     assert kx * ky < 0                       # d-wave sign structure
-    assert abs(abs(kx) - abs(ky)) < 1e-4     # C4-related magnitudes
-    assert abs(res.nelec_imp - 2 * filling) < 1e-3
+    assert abs(abs(kx) - abs(ky)) < 1e-5     # C4-related magnitudes
+    assert abs(res.nelec_imp - 2 * filling) < 1e-4
 
 
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
