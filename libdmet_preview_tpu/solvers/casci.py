@@ -196,20 +196,24 @@ def project_active_space(Ham, nelec, ncas, nelecas, mo_coeff=None):
 
 
 class CASSCF(object):
-    """Orbital-optimized CASCI (reference solver/umc1step.py:1210 /
-    casscf.py:137 capability): minimize the CASCI energy over
-    nonredundant orbital rotations exp(K) (core-active, core-virtual,
-    active-virtual; intra-space rotations are redundant because the
-    active problem is solved exactly and core/virtual spaces enter only
-    through their span).
+    """Orbital-optimized CASCI with SECOND-ORDER orbital steps
+    (reference solver/umc1step.py:1210 / casscf.py:137 capability):
+    macro-iterate CAS solve -> analytic orbital optimization.  The
+    inner problem is the exact fixed-CI energy functional
 
-    Small embedding problems only: derivative-free-gradient BFGS with a
-    CASCI energy evaluation per point (the DMET impurity regime, where
-    the reference also runs its 1-step CASSCF on a handful of orbitals).
-    """
+        E(kappa) = Tr[h(kappa) D] + 1/2 sum G g(kappa),  C -> C e^kappa
 
-    def __init__(self, ncas, nelecas, restricted=True, tol=1e-9,
-                 max_cycle=200, fcisolver=None):
+    with the CASCI full-space RDMs (D, G) held fixed; its gradient and
+    Hessian-vector products come from jax autodiff through expm + the
+    integral rotations, minimized by the trust-region-Newton engine
+    (ops.fit.minimize(method='NEWTON'), Steihaug CG) over the
+    nonredundant rotations (core-active, core-virtual, active-virtual).
+    Any solver with the run/make_rdm2 contract works as the CAS solver
+    -- pass the Block-DMRG bridge for DMRG-SCF (reference casscf.py:137;
+    tests/test_solvers_extra.py composition test)."""
+
+    def __init__(self, ncas, nelecas, restricted=True, tol=1e-8,
+                 max_cycle=30, fcisolver=None):
         assert restricted
         self.ncas = ncas
         self.nelecas = nelecas
@@ -222,8 +226,11 @@ class CASSCF(object):
         self.converged = False
 
     def run(self, Ham, nelec=None, **kwargs):
-        from scipy.optimize import minimize as sp_minimize
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.linalg import expm as jexpm
         import scipy.linalg as sla
+        from libdmet_preview_tpu.ops.fit import minimize as fit_minimize
         if nelec is None:
             raise ValueError("CASSCF.run requires nelec")
         n = Ham.norb
@@ -233,18 +240,15 @@ class CASSCF(object):
         assert ncore >= 0 and nvirt >= 0
 
         # start from the CASCI solution's orbitals (HF -> MP2 NOs)
-        cas0 = CASCI(self.ncas, self.nelecas, fcisolver=self.fcisolver)
-        _, E0 = cas0.run(Ham, nelec=nelec)
-        C_core, C_cas, _ = cas0._cas
-        # complete to a full orthonormal set: top eigenvectors of the
-        # orthogonal-complement projector
+        cas = CASCI(self.ncas, self.nelecas, fcisolver=self.fcisolver)
+        _, E = cas.run(Ham, nelec=nelec)
+        C_core, C_cas, _ = cas._cas
         C0 = np.hstack([C_core, C_cas])
         resid = np.eye(n) - C0 @ C0.T
         w, v = np.linalg.eigh(resid)
         C_virt = v[:, -nvirt:] if nvirt > 0 else np.zeros((n, 0))
         C_full = np.hstack([C0, C_virt])
 
-        # nonredundant rotation parameters
         pairs = [(i, j) for i in range(ncore) for j in
                  range(ncore, ncore + ncas)]
         pairs += [(i, j) for i in range(ncore) for j in
@@ -255,60 +259,92 @@ class CASSCF(object):
         rows = np.array([p[0] for p in pairs], dtype=int)
         cols = np.array([p[1] for p in pairs], dtype=int)
 
-        h1 = np.asarray(Ham.H1["cd"][0])
-        from libdmet_preview_tpu.models.integral import (Integral,
-                                                         restore_eri)
-        g = restore_eri(np.asarray(Ham.H2["ccdd"][0]), n, 1)
+        h1 = jnp.asarray(np.asarray(Ham.H1["cd"][0]))
+        g = jnp.asarray(restore_eri(np.asarray(Ham.H2["ccdd"][0]), n, 1))
+        H0 = float(Ham.H0)
 
-        def casci_energy(C):
-            import jax.numpy as jnp
-            from libdmet_preview_tpu.solvers.scf import _veff_uhf
-            C_cor = C[:, :ncore]
-            C_act = C[:, ncore:ncore + ncas]
-            dm_core = 2.0 * C_cor @ C_cor.T
-            v_core = np.asarray(_veff_uhf(
-                jnp.asarray(dm_core * 0.5), jnp.asarray(dm_core * 0.5),
-                jnp.asarray(g), jnp.asarray(g), jnp.asarray(g))[0])
-            e_core = float(np.sum((h1 + 0.5 * v_core) * dm_core)) \
-                + float(Ham.H0)
-            h_cas = C_act.T @ (h1 + v_core) @ C_act
-            import jax
-            g_cas = np.asarray(jax.jit(lambda gg, cc: jnp.einsum(
-                "pqrs, pi, qj, rk, sl -> ijkl", gg, cc, cc, cc, cc,
-                optimize=True))(jnp.asarray(g), jnp.asarray(C_act)))
-            Ham_cas = Integral(ncas, True, False, e_core,
-                               {"cd": h_cas[None]}, {"ccdd": g_cas[None]})
-            solver = self.fcisolver or FCI(restricted=True, tol=1e-11)
-            rdm_cas, E = solver.run(Ham_cas, nelec=self.nelecas)
-            return E, (C_cor, C_act, rdm_cas, dm_core)
+        def mo_rdms():
+            """Full-space (D spin-summed rdm1, G spin-summed rdm2) in
+            the CURRENT MO basis (core | act | virt)."""
+            G_act = np.asarray(cas.fcisolver.make_rdm2(cas._cas[2]))[0]
+            d_act = 2.0 * np.asarray(cas.fcisolver.onepdm[0])
+            D = np.zeros((n, n))
+            D[:ncore, :ncore] = 2.0 * np.eye(ncore)
+            a = slice(ncore, ncore + ncas)
+            D[a, a] = d_act
+            G = np.zeros((n, n, n, n))
+            G[a, a, a, a] = G_act
+            Dc = np.zeros((n, n))
+            Dc[:ncore, :ncore] = 2.0 * np.eye(ncore)
+            Da = np.zeros((n, n))
+            Da[a, a] = d_act
+            G += (np.einsum("pq, rs -> pqrs", Dc, Dc)
+                  - 0.5 * np.einsum("ps, rq -> pqrs", Dc, Dc))
+            G += (np.einsum("pq, rs -> pqrs", Dc, Da)
+                  + np.einsum("pq, rs -> pqrs", Da, Dc)
+                  - 0.5 * np.einsum("ps, rq -> pqrs", Dc, Da)
+                  - 0.5 * np.einsum("ps, rq -> pqrs", Da, Dc))
+            return jnp.asarray(D), jnp.asarray(G)
 
-        def energy(p):
-            K = np.zeros((n, n))
-            K[rows, cols] = p
+        @jax.jit
+        def e_kappa(p, Cj, D, G):
+            K = jnp.zeros((n, n)).at[rows, cols].set(p)
             K = K - K.T
-            C = C_full @ sla.expm(K)
-            return casci_energy(C)[0]
+            C = Cj @ jexpm(K)
+            h_mo = C.T @ h1 @ C
+            g_mo = jnp.einsum("pqrs, pi, qj, rk, sl -> ijkl", g, C, C,
+                              C, C, optimize=True)
+            return (jnp.einsum("pq, qp ->", h_mo, D)
+                    + 0.5 * jnp.einsum("pqrs, pqrs ->", g_mo, G) + H0)
 
-        if npar == 0:
-            res_x = np.zeros(0)
-            E_opt = E0
-        else:
-            res = sp_minimize(energy, np.zeros(npar), method="BFGS",
-                              options={"gtol": self.tol * 10,
-                                       "maxiter": self.max_cycle})
-            res_x, E_opt = res.x, float(res.fun)
-            self.converged = bool(res.success) or E_opt <= E0 + 1e-12
+        grad_fn = jax.jit(jax.grad(e_kappa))
 
-        K = np.zeros((n, n))
-        K[rows, cols] = res_x
-        K = K - K.T
-        C = C_full @ sla.expm(K)
-        E_fin, (C_cor, C_act, rdm_cas, dm_core) = casci_energy(C)
-        rdm1 = C_act @ np.asarray(rdm_cas[0]) @ C_act.T + 0.5 * dm_core
-        self.onepdm = rdm1[None]
-        self.e_tot = E_fin
-        self.mo_coeff = C
-        return self.onepdm, E_fin
+        self.converged = False
+        for macro in range(self.max_cycle):
+            D, G = mo_rdms()
+            Cj = jnp.asarray(C_full)
+            g0 = np.asarray(grad_fn(jnp.zeros(npar), Cj, D, G))
+            if npar == 0 or np.max(np.abs(g0)) < self.tol * 10:
+                self.converged = True
+                break
+
+            def fun_grad(p):
+                pj = jnp.asarray(p)
+                return (float(e_kappa(pj, Cj, D, G)),
+                        np.asarray(grad_fn(pj, Cj, D, G)))
+
+            def hvp(x, pvec):
+                return np.asarray(jax.jvp(
+                    lambda q: grad_fn(q, Cj, D, G),
+                    (jnp.asarray(x),), (jnp.asarray(pvec),))[1])
+
+            p_opt, _ = fit_minimize(fun_grad, np.zeros(npar),
+                                    method="NEWTON", max_iter=30,
+                                    hvp=hvp, gtol=self.tol,
+                                    trust_radius=0.4)
+            K = np.zeros((n, n))
+            K[rows, cols] = p_opt
+            K = K - K.T
+            C_full = C_full @ sla.expm(K)
+            # re-solve the CAS problem in the rotated orbitals
+            Ham_cas, info = project_active_space(
+                Ham, nelec, ncas, self.nelecas, mo_coeff=C_full)
+            rdm_cas, E = cas.fcisolver.run(Ham_cas,
+                                           nelec=self.nelecas)
+            cas._cas = (info["C_core"], info["C_cas"], Ham_cas)
+            cas.onepdm = (info["C_cas"] @ np.asarray(rdm_cas[0])
+                          @ info["C_cas"].T
+                          + 0.5 * info["dm_core"])[None]
+
+        C_cor = C_full[:, :ncore]
+        C_act = C_full[:, ncore:ncore + ncas]
+        rdm1 = cas.onepdm
+        self.onepdm = np.asarray(rdm1)
+        self.e_tot = float(E)
+        self.mo_coeff = C_full
+        self._cas = (C_cor, C_act, cas._cas[2])
+        self.fcisolver = cas.fcisolver
+        return self.onepdm, self.e_tot
 
     def cleanup(self):
         pass

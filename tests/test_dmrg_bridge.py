@@ -135,3 +135,42 @@ def test_pdm_binary_roundtrip(tmp_path):
                              for i in range(norb) for j in range(norb)]
     t.write_text("\n".join(lines))
     assert np.allclose(read1pdm(str(t)), m)
+
+
+def test_dmrgscf_composition_with_fake_executable(tmp_path):
+    """DMRG-SCF: CASCI with the Block-DMRG bridge as the active-space
+    solver (reference casscf.py:137 DMRGSCF wrapper role) via the fake
+    executable -- the CASCI(2,2) energy with the DMRG 'binary' equals
+    the CASCI(2,2) energy with the in-process FCI solver."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from libdmet_preview_tpu.solvers.dmrg import BlockDMRG, Schedule
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers.casci import CASCI
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exe = tmp_path / "fake_block2"
+    exe.write_text(FAKE % {"repo": repo})
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+
+    rng = np.random.RandomState(3)
+    n = 4
+    h1 = rng.randn(n, n) * 0.4
+    h1 = h1 + h1.T + np.diag([-2.0, -1.0, 0.5, 1.0])
+    eri = np.zeros((n,) * 4)
+    np.fill_diagonal(eri, 1.5)
+    Ham = Integral(n, True, False, 0.1, {"cd": h1[None]},
+                   {"ccdd": eri[None]})
+
+    dmrg = BlockDMRG([sys.executable, str(exe), "{conf}"], max_M=600,
+                     workdir=str(tmp_path / "wd"), twopdm=False)
+    sched = Schedule(sweep_tol=1e-7)
+    sched.gen_initial(100, 600)
+    dmrg.schedule = sched
+
+    mc_dmrg = CASCI(ncas=2, nelecas=2, fcisolver=dmrg)
+    rdm1_d, E_d = mc_dmrg.run(Ham, nelec=4)
+    mc_fci = CASCI(ncas=2, nelecas=2)
+    rdm1_f, E_f = mc_fci.run(Ham, nelec=4)
+    assert abs(E_d - E_f) < 1e-7
+    assert np.abs(np.asarray(rdm1_d) - np.asarray(rdm1_f)).max() < 1e-6
