@@ -729,7 +729,11 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
     myscf = SCF()
     myscf.set_system(cell.nelectron, 0, False, False)
     myscf.set_integral(Ham_mol)
-    E_hf, dm = myscf.HF(tol=1e-10, MaxIter=500, InitGuess=dm0)
+    # level shift + damping keep Roothaan+DIIS stable on the
+    # near-degenerate d manifold (the orbital-rotation fallback
+    # recompiles 60^4-constant programs and is far slower here)
+    E_hf, dm = myscf.HF(tol=1e-9, MaxIter=400, InitGuess=dm0,
+                        level_shift=0.3, damping=0.1)
 
     C = lowdin(S)
     h_lo = C.T @ hcore @ C
