@@ -171,7 +171,9 @@ def make_h_ring_lattice(ncells, atoms_per_cell=1, r_bond=1.8,
         # shells nmin_atom..nao_atom)
         virt_idx = [a * nao_atom + s for a in range(natom)
                     for s in range(nmin_atom, nao_atom)]
-        C_pao = get_iao_virt(S, C_iao, virt_ao_idx=virt_idx)
+        # minimal basis: IAOs already span everything, no PAOs
+        C_pao = (np.zeros((S.shape[0], 0)) if len(virt_idx) == 0
+                 else get_iao_virt(S, C_iao, virt_ao_idx=virt_idx))
         # cell-major column order: [cell vals..., cell virts...] per cell
         niao_cell = nmin_atom * atoms_per_cell
         npao_cell = nlo - niao_cell
@@ -292,7 +294,9 @@ def make_hchain_pbc_lattice(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
         C_iao = get_iao(S, S12, S2, C_occ)
         virt_idx = [a * nao_atom + s for a in range(natom)
                     for s in range(nmin_atom, nao_atom)]
-        C_pao = get_iao_virt(S, C_iao, virt_ao_idx=virt_idx)
+        # minimal basis: IAOs already span everything, no PAOs
+        C_pao = (np.zeros((S.shape[0], 0)) if len(virt_idx) == 0
+                 else get_iao_virt(S, C_iao, virt_ao_idx=virt_idx))
         niao_cell = nmin_atom * nH
         npao_cell = nlo - niao_cell
         cols = []
@@ -400,7 +404,9 @@ def make_hchain_pbc_lattice_uhf(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
     for s in range(2):
         C_occ = myscf.mo_coeff[s][:, :noccs[s]]
         C_iao = get_iao(S, S12, S2, C_occ)
-        C_pao = get_iao_virt(S, C_iao, virt_ao_idx=virt_idx)
+        # minimal basis: IAOs already span everything, no PAOs
+        C_pao = (np.zeros((S.shape[0], 0)) if len(virt_idx) == 0
+                 else get_iao_virt(S, C_iao, virt_ao_idx=virt_idx))
         cols = []
         for c in range(nk):
             for a in range(nH):
@@ -726,14 +732,9 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
 
     Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
                        {"ccdd": eri[None]}, ovlp=S)
-    myscf = SCF()
-    myscf.set_system(cell.nelectron, 0, False, False)
-    myscf.set_integral(Ham_mol)
-    # level shift + damping keep Roothaan+DIIS stable on the
-    # near-degenerate d manifold (the orbital-rotation fallback
-    # recompiles 60^4-constant programs and is far slower here)
-    E_hf, dm = myscf.HF(tol=1e-9, MaxIter=400, InitGuess=dm0,
-                        level_shift=0.3, damping=0.1)
+    na = nb = cell.nelectron // 2
+    E_hf, dm = _uhf_incore(S, hcore, eri, dm0, na, nb, e_nuc=e_nuc,
+                           tol=1e-9)
 
     C = lowdin(S)
     h_lo = C.T @ hcore @ C
@@ -1109,3 +1110,66 @@ def update_ham_eriF(Lat, meta, rdm1_lo_R):
                    fock_lo_k=Lat._pairify(Lat.R2k(f_lo_R)))
     Lat.fock_lo_R = f_lo_R
     meta["fock_lo_R"] = f_lo_R
+
+
+def _uhf_incore(S, hcore, eri, dm0, na, nb, e_nuc=0.0, tol=1e-9,
+                max_cycle=300, level_shift=0.3, damping=0.1,
+                diis_space=10):
+    """Lean in-core UHF with DIIS + level shift + damping for supercell
+    builders (the general solvers.scf.SCF engine re-traces large
+    baked-ERI programs here; this loop jits one Fock builder and runs
+    plain Roothaan -- NiO converges in ~35 iterations / 10 s where the
+    generic path took an hour)."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops.diis import DIIS
+    n = S.shape[0]
+    eri_j = jnp.asarray(eri)
+    hc_j = jnp.asarray(hcore)
+
+    # eri enters as an ARGUMENT (closure capture would bake the n^4
+    # tensor into the program as a constant and trigger minutes of XLA
+    # constant folding on its transposes)
+    @jax.jit
+    def fock(g, hc, dma, dmb):
+        J = jnp.einsum("pqrs, rs -> pq", g, dma + dmb)
+        Ka = jnp.einsum("prqs, rs -> pq", g, dma)
+        Kb = jnp.einsum("prqs, rs -> pq", g, dmb)
+        return hc + J - Ka, hc + J - Kb
+
+    diis = DIIS(space=diis_space)
+    dm = np.asarray(dm0, dtype=float).copy()
+    e_old = np.inf
+    E = 0.0
+    conv = False
+    for it in range(max_cycle):
+        Fa, Fb = [np.asarray(x) for x in fock(eri_j, hc_j,
+                                              jnp.asarray(dm[0]),
+                                              jnp.asarray(dm[1]))]
+        E = 0.5 * (np.einsum("pq, qp ->", hcore + Fa, dm[0])
+                   + np.einsum("pq, qp ->", hcore + Fb, dm[1]))
+        erra = Fa @ dm[0] @ S - S @ dm[0] @ Fa
+        errb = Fb @ dm[1] @ S - S @ dm[1] @ Fb
+        en = max(np.abs(erra).max(), np.abs(errb).max())
+        if en < 0.5:
+            Ff = diis.update(np.hstack([Fa.ravel(), Fb.ravel()]),
+                             xerr=np.hstack([erra.ravel(),
+                                             errb.ravel()]))
+            Fa = Ff[:n * n].reshape(n, n)
+            Fb = Ff[n * n:].reshape(n, n)
+        if level_shift > 0:
+            Fa = Fa + level_shift * (S - S @ dm[0] @ S)
+            Fb = Fb + level_shift * (S - S @ dm[1] @ S)
+        wa, ca = sla.eigh(Fa, S)
+        wb, cb = sla.eigh(Fb, S)
+        dmn = np.asarray([ca[:, :na] @ ca[:, :na].T,
+                          cb[:, :nb] @ cb[:, :nb].T])
+        dm = (1.0 - damping) * dmn + damping * dm
+        if abs(E - e_old) < tol and en < 5e-6:
+            conv = True
+            break
+        e_old = E
+    if not conv:
+        log.warn("_uhf_incore not converged: dE=%.2e err=%.2e",
+                 E - e_old, en)
+    return E + e_nuc, dm

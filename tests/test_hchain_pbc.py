@@ -193,6 +193,66 @@ def test_hchain_nib_uhf_anchor():
     assert abs(EnergyImp * nsc - (-1.238248899089)) < 5e-5
 
 
+def test_hchain_1h_fractional_imp_anchor(hchain_r):
+    """Self-consistent IB FCI DMET with a FRACTIONAL (1-H, half-cell)
+    impurity -- val orbital [0] (first H's IAO) + virt orbital [2] (its
+    PAO) -- == the reference anchor -0.623164674003
+    (test_1H_imp.py:240, 1e-4; measured diff 1.1e-5).  Exercises
+    imp_idx-restricted bath SVD, vcor idx_range, mu fit at Filling/2,
+    and democratic-partitioning energy scaling for imp != cell."""
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.models.abinitio import update_ham_dense
+    from libdmet_preview_tpu.ops.vcor import VcorLocal
+    from libdmet_preview_tpu.ops.fit import make_vcor_trace_unchanged
+    from libdmet_preview_tpu.solvers import FCI
+    Lat, meta = hchain_r
+    nsc = Lat.nscsites
+    val0, virt0 = list(Lat.val_idx), list(Lat.virt_idx)
+    try:
+        Lat.set_val_virt_core([0], [2], [])
+        Filling = 6 / (nsc * 2.0 * 3)
+        vcor = VcorLocal(True, False, nsc, idx_range=[0, 2])
+        vcor.assign(np.zeros((2, nsc, nsc)))
+        solver = FCI(restricted=True, tol=1e-12)
+        mu_solver = dmet.MuSolver(adaptive=True)
+        Mu, last_dmu, E_old = 0.0, 0.0, 0.0
+        E_frag = None
+        for it in range(6):
+            rho, Mu, res = dmet.RHartreeFock(Lat, vcor, Filling, Mu,
+                                             ires=True)
+            update_ham_dense(Lat, meta, np.asarray(rho)[0] * 2.0)
+            ImpHam, H1e, basis = dmet.ConstructImpHam(
+                Lat, rho, vcor, matching=True, int_bath=True)
+            ImpHam = dmet.apply_dmu(Lat, ImpHam, basis, last_dmu)
+            solver_args = {"nelec": min((Lat.ncore + Lat.nval) * 2, 6)}
+            rhoEmb, EnergyEmb, ImpHam, dmu = mu_solver(
+                Lat, Filling * 0.5, ImpHam, basis, solver, solver_args,
+                thrnelec=1e-5, delta=0.01, step=0.1)
+            last_dmu += dmu
+            _, EnergyImp, nelecImp = dmet.transformResults(
+                rhoEmb, EnergyEmb, basis, ImpHam, H1e, lattice=Lat,
+                last_dmu=last_dmu, int_bath=True, solver=solver,
+                solver_args=solver_args)
+            E_frag = EnergyImp * nsc
+            vcor_new, err = dmet.FitVcor(rhoEmb, Lat, basis, vcor,
+                                         np.inf, Filling, MaxIter1=500,
+                                         MaxIter2=0, ytol=1e-8,
+                                         gtol=1e-4)
+            if it >= 3:
+                vcor_new = make_vcor_trace_unchanged(vcor_new, vcor)
+            pvcor = np.hstack(vcor_new.param)
+            dV = np.linalg.norm(pvcor - vcor.param) / len(vcor.param)
+            vcor.update(pvcor)
+            dE, E_old = E_frag - E_old, E_frag
+            if dV < 1e-5 and abs(dE) < 1e-5 and it > 2:
+                break
+        # half-cell fragment: one electron, half the cell energy
+        assert abs(nelecImp * nsc - 1.0) < 1e-4
+        assert abs(E_frag - (-0.623164674003)) < 1e-4
+    finally:
+        Lat.set_val_virt_core(val0, virt0, [])
+
+
 def test_get_emb_eri_aft_streaming():
     """G-block-streamed AFT embedding-ERI driver == the embedding
     transform of the dense supercell ERI (the reference's AFT driver
