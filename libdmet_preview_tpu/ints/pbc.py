@@ -891,6 +891,100 @@ class PbcCell(object):
         return eri
 
     # ------------------------------------------------------------------
+    # FFT-DF: uniform-grid numerical density fitting (the reference's
+    # FFTDF driver role, eri_transform.py get_emb_eri_fft /
+    # pbc_helper FFT JK, which it delegates to PySCF's pbc.df.FFTDF;
+    # here: native periodic AO evaluation + FFT pair densities)
+    # ------------------------------------------------------------------
+
+    def grid_coords(self, mesh=None):
+        """Uniform real-space grid over the cell (fractional fftfreq
+        layout matching Gv ordering): (npts, 3) bohr, row-major."""
+        mesh = self.mesh if mesh is None else tuple(mesh)
+        fracs = [np.arange(n) / float(n) for n in mesh]
+        ns = np.array(list(it.product(*fracs)))
+        return ns @ self.a
+
+    def eval_ao_pbc(self, coords, rcut=None):
+        """Periodic AO values phi_I(r) = sum_T chi_I(r - T) on arbitrary
+        points (general l, image sum bounded by the cell rcut)."""
+        from libdmet_preview_tpu.utils.cubegen import eval_ao
+        coords = np.asarray(coords, float)
+        out = np.zeros((len(coords), self.nao))
+        for T in self.lattice_images(rcut):
+            out += eval_ao(self.mole, coords - T)
+        return out
+
+    def get_emb_eri_fft(self, C_emb, mesh=None, max_memory_mb=2048):
+        """Embedding-space ERI via FFT density fitting: AO products
+        sampled on the uniform cell grid, FFTed to rho_ij(G), then
+        (ij|kl) = (1/Omega) sum_G w(G) rho_ij(G)^* rho_kl(G).
+
+        Same contract as get_emb_eri_aft (chemist notation, real,
+        8-fold symmetrized); accuracy is set by the mesh resolving the
+        orbital-PAIR spectrum (exp(-G^2/(4(a_i+a_j)))) -- intended for
+        pseudopotential solids with soft valence bases, where it is the
+        memory-lean O(npts neo^2) scaling path.  mesh defaults to the
+        cell mesh; pass a denser one for hard bases."""
+        mesh = self.mesh if mesh is None else tuple(mesh)
+        C_emb = np.asarray(C_emb)
+        neo = C_emb.shape[1]
+        npts = int(np.prod(mesh))
+        pts = self.grid_coords(mesh)
+        mo = self.eval_ao_pbc(pts) @ C_emb            # (npts, neo)
+        dV = self.vol / npts
+        # Coulomb weights on THIS mesh
+        fracs = [np.fft.fftfreq(n, 1.0 / n) for n in mesh]
+        Gv = np.array(list(it.product(*fracs))) @ self.b
+        G2 = np.einsum("gi, gi -> g", Gv, Gv)
+        w = np.where(G2 > 1e-12, 4.0 * np.pi / np.maximum(G2, 1e-12), 0.0)
+        # pair FFTs in column blocks bounded by max_memory
+        blk = max(1, int(max_memory_mb * 1e6 / (16 * npts * neo)))
+        rho = np.empty((neo, neo, npts), dtype=np.complex128)
+        for j0 in range(0, neo, blk):
+            j1 = min(neo, j0 + blk)
+            pair = (mo[:, :, None] * mo[:, None, j0:j1])  # (npts, neo, b)
+            pair = pair.reshape(*mesh, neo * (j1 - j0))
+            ft = np.fft.fftn(pair, axes=(0, 1, 2)) * dV
+            rho[:, j0:j1] = ft.reshape(npts, neo, j1 - j0).transpose(1, 2, 0)
+        rho = rho.reshape(neo * neo, npts)
+        eri = (rho.conj() * w[None, :]) @ rho.T
+        eri = eri.real.reshape(neo, neo, neo, neo) / self.vol
+        eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
+        eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
+        eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
+        return eri
+
+    def get_emb_eri_fft_cross(self, C_a, C_b, mesh=None):
+        """Cross-spin FFT-DF embedding ERI (ij_a | kl_b): the two pair
+        densities share one grid; (1/Omega) sum_G w rho_a^* rho_b."""
+        mesh = self.mesh if mesh is None else tuple(mesh)
+        C_a, C_b = np.asarray(C_a), np.asarray(C_b)
+        na, nb = C_a.shape[1], C_b.shape[1]
+        npts = int(np.prod(mesh))
+        pts = self.grid_coords(mesh)
+        ao = self.eval_ao_pbc(pts)
+        dV = self.vol / npts
+        fracs = [np.fft.fftfreq(n, 1.0 / n) for n in mesh]
+        Gv = np.array(list(it.product(*fracs))) @ self.b
+        G2 = np.einsum("gi, gi -> g", Gv, Gv)
+        w = np.where(G2 > 1e-12, 4.0 * np.pi / np.maximum(G2, 1e-12), 0.0)
+
+        def pair_ft(C):
+            m = ao @ C
+            n = C.shape[1]
+            pair = (m[:, :, None] * m[:, None, :]).reshape(*mesh, n * n)
+            return (np.fft.fftn(pair, axes=(0, 1, 2)) * dV).reshape(
+                npts, n * n)
+
+        ra, rb = pair_ft(C_a), pair_ft(C_b)
+        eri = (ra.conj() * w[:, None]).T @ rb
+        eri = eri.real.reshape(na, na, nb, nb) / self.vol
+        eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
+        eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
+        return eri
+
+    # ------------------------------------------------------------------
     # Ewald nuclear energy (with neutralizing background)
     # ------------------------------------------------------------------
 

@@ -43,10 +43,14 @@ class AbInitioHam(object):
                     streamed from the cell's analytic pair FT
                     (PbcCell.get_emb_eri_aft) with the AO->EO
                     coefficients C_ao_lo @ basis; the scaling path for
-                    3D k-meshes (pass aft_cell + C_ao_lo)."""
+                    3D k-meshes (pass aft_cell + C_ao_lo).
+    df_mode selects the driver on the 'aft' path: 'aft' (analytic pair
+    FT, default) or 'fft' (uniform-grid FFT density fitting,
+    PbcCell.get_emb_eri_fft -- the reference's FFTDF role)."""
 
     def __init__(self, H1_R, fock_R, chol_L, eri_imp, H0,
-                 aft_cell=None, C_ao_lo=None):
+                 aft_cell=None, C_ao_lo=None, df_mode="aft"):
+        self.df_mode = df_mode
         self.H1_R = H1_R
         self.fock_R = fock_R
         self.chol_L = chol_L

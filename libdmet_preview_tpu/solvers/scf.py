@@ -135,14 +135,17 @@ class SCF(object):
             K = jnp.zeros((n, n)).at[tri].set(p)
             return K - K.T
 
-        def energy(params):
+        # the ERI tensors enter as ARGUMENTS: closing over them would
+        # bake n^4 constants into the traced program and trigger
+        # minutes of XLA constant folding at every re-trace
+        def energy(params, g_aa, g_bb, g_ab):
             Ka = unpack(params[:nrot])
             Kb = Ka if same_spin else unpack(params[nrot:])
             Ca = Ca0j @ expm(Ka)
             Cb = Cb0j @ expm(Kb)
             dma = Ca[:, :na] @ Ca[:, :na].T
             dmb = Cb[:, :nb] @ Cb[:, :nb].T
-            va, vb = _veff_uhf(dma, dmb, e_aa, e_bb, e_ab)
+            va, vb = _veff_uhf(dma, dmb, g_aa, g_bb, g_ab)
             E = 0.5 * (jnp.sum((2 * h1a + va) * dma)
                        + jnp.sum((2 * h1b + vb) * dmb))
             return E
@@ -150,7 +153,7 @@ class SCF(object):
         vg = jax.jit(jax.value_and_grad(energy))
 
         def fun(p):
-            v, g = vg(jnp.asarray(p))
+            v, g = vg(jnp.asarray(p), e_aa, e_bb, e_ab)
             return float(v), np.asarray(g)
 
         nparam = nrot if same_spin else 2 * nrot
