@@ -54,7 +54,7 @@ _, E_hfdmet, _ = dmet.transformResults(
 print("IB UHF-DMET    E/cell = %.8f  (identity dE = %.1e)"
       % (E_hfdmet * nsc, abs(E_hfdmet * nsc - meta["E_hf"] / 2)))
 
-cc = UCCSD(restricted=False, tol=1e-6)
+cc = UCCSD(restricted=False, tol=1e-6, level_shift=0.3)
 rhoCC, ECC = cc.run(ImpHam, nelec=nel, dm0=rho_mf, MaxIter=100)
 _, E_ccdmet, _ = dmet.transformResults(
     rhoCC, ECC, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,

@@ -205,7 +205,8 @@ class _AmpDIIS(object):
 
 
 def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
-                      freeze_t1=False, lambda_sweeps=None, ite_dtau=None):
+                      freeze_t1=False, lambda_sweeps=None, ite_dtau=None,
+                      level_shift=0.0):
     # lambda_sweeps is consumed by the ADJOINT solve (approximate-lambda
     # variants); it does not affect the amplitude fixed point
     """Preconditioned fixed point t <- t + R/D with DIIS.
@@ -214,8 +215,15 @@ def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
     ite_dtau: imaginary-time-evolution update t <- t + dtau * R instead of
     the quasi-Newton R/D step (reference uccsd_ite/gccsd_ite role) --
     unpreconditioned but robust for near-degenerate denominators;
-    converges for dtau < 2/|D|_max (DIIS accelerates either update)."""
+    converges for dtau < 2/|D|_max (DIIS accelerates either update).
+    level_shift: added to |D| (the reference cc.py level_shift role):
+    damps the quasi-Newton step where the update map's spectral radius
+    exceeds 1 (small-gap d manifolds); the FIXED POINT is unchanged
+    since the converged residual is zero."""
     D1, D2 = _denominators(h_so, W, nocc)
+    if level_shift:
+        D1 = D1 - level_shift
+        D2 = D2 - level_shift
     nvir = h_so.shape[0] - nocc
     t1 = jnp.zeros((nocc, nvir), h_so.dtype)
     t2 = W[:nocc, :nocc, nocc:, nocc:] / D2
@@ -247,9 +255,11 @@ def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
 
 def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
                    diis_space=8, freeze_t1=False, lambda_sweeps=None,
-                   ite_dtau=None):
+                   ite_dtau=None, level_shift=0.0):
     # ite_dtau only affects the amplitude iteration; the adjoint solve is
-    # a linear system independent of how the fixed point was reached
+    # a linear system independent of how the fixed point was reached;
+    # level_shift enters only the Jacobi preconditioner (same damping as
+    # the amplitude iteration -- the linear system itself is unshifted)
     """Solve (dR/dt)^T lam = -(w1, w2): the lambda equations as an adjoint
     linear system.  Krylov (LGMRES) on the Jacobi-preconditioned operator,
     with vjp products of the residual as the matvec -- robust even when the
@@ -262,6 +272,9 @@ def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
     given order in the fluctuation, RDMs cheaper and O(t^2)-approximate."""
     from scipy.sparse.linalg import LinearOperator, gmres
     D1, D2 = _denominators(h_so, W, nocc)
+    if level_shift:
+        D1 = D1 - level_shift
+        D2 = D2 - level_shift
     s1, s2 = w1.shape, w2.shape
     n1 = int(np.prod(s1))
     ntot = n1 + int(np.prod(s2))
@@ -612,12 +625,14 @@ class CCSD(object):
     freeze_t1 = False
 
     def __init__(self, restricted=False, Sz=0, tol=1e-9, max_cycle=200,
-                 scf_newton=False, diis_space=8, **kwargs):
+                 scf_newton=False, diis_space=8, level_shift=0.0,
+                 **kwargs):
         self.restricted = restricted
         self.Sz = Sz
         self.conv_tol = tol
         self.max_cycle = max_cycle
         self.diis_space = diis_space
+        self.level_shift = level_shift
         self.onepdm = None
         self.twopdm = None
         self.e_tot = None
@@ -636,6 +651,8 @@ class CCSD(object):
             opts = opts + (("lambda_sweeps", int(self.lambda_sweeps)),)
         if getattr(self, "ite_dtau", None) is not None:
             opts = opts + (("ite_dtau", float(self.ite_dtau)),)
+        if getattr(self, "level_shift", 0.0):
+            opts = opts + (("level_shift", float(self.level_shift)),)
         return opts
 
     # -- integral unpacking ------------------------------------------

@@ -71,8 +71,11 @@ def test_nio_afm_dmet():
         int_bath=True, solver=hf, solver_args={"nelec": nel})
     assert abs(E_hfdmet * nsc - meta["E_hf"] / 2) < 5e-4
 
-    # correlated one-shot: UCCSD on the embedding (30 LOs + 30 bath)
-    cc = UCCSD(restricted=False, tol=1e-6)
+    # correlated one-shot: UCCSD on the embedding (30 imp + 12 bath
+    # after truncation); the bare quasi-Newton amplitude iteration
+    # diverges on the near-degenerate d manifold -- level shift damps
+    # it (same fixed point, reference cc.py level_shift role)
+    cc = UCCSD(restricted=False, tol=1e-6, level_shift=0.3)
     rhoCC, ECC = cc.run(ImpHam, nelec=nel, dm0=rho_mf, MaxIter=100)
     _, E_ccdmet, _ = dmet.transformResults(
         rhoCC, ECC, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
