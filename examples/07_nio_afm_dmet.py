@@ -23,7 +23,7 @@ import libdmet_preview_tpu.dmet.hubbard as dmet
 from libdmet_preview_tpu.models.abinitio import make_nio_afm_lattice
 from libdmet_preview_tpu.ops import embham
 from libdmet_preview_tpu.ops.vcor import VcorLocal
-from libdmet_preview_tpu.solvers import SCFSolver, UCCSD
+from libdmet_preview_tpu.solvers import MP2, SCFSolver, UCCSD
 
 cache = os.path.join(os.path.dirname(__file__), os.pardir, ".cache")
 Lat, meta = make_nio_afm_lattice(nk=2, cache_file=cache)
@@ -54,10 +54,13 @@ _, E_hfdmet, _ = dmet.transformResults(
 print("IB UHF-DMET    E/cell = %.8f  (identity dE = %.1e)"
       % (E_hfdmet * nsc, abs(E_hfdmet * nsc - meta["E_hf"] / 2)))
 
-cc = UCCSD(restricted=False, tol=1e-6, level_shift=0.3)
-rhoCC, ECC = cc.run(ImpHam, nelec=nel, dm0=rho_mf, MaxIter=100)
-_, E_ccdmet, _ = dmet.transformResults(
-    rhoCC, ECC, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
-    int_bath=True, solver=cc, solver_args={"nelec": nel})
-print("IB UCCSD-DMET  E/cell = %.8f  (E_corr/cell = %.6f)"
-      % (E_ccdmet * nsc, (E_ccdmet - E_hfdmet) * nsc))
+mp = MP2(restricted=False)
+rhoMP, EMP = mp.run(ImpHam, nelec=nel, dm0=rho_mf)
+_, E_mpdmet, _ = dmet.transformResults(
+    rhoMP, EMP, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
+    int_bath=True, solver=mp, solver_args={"nelec": nel})
+print("IB UMP2-DMET   E/cell = %.8f  (E_corr/cell = %.6f)"
+      % (E_mpdmet * nsc, (E_mpdmet - E_hfdmet) * nsc))
+# UCCSD on this embedding needs level_shift >= 0.3 (the bare
+# amplitude iteration diverges on the near-degenerate d manifold):
+# cc = UCCSD(restricted=False, tol=1e-6, level_shift=0.3)
