@@ -103,11 +103,13 @@ def test_pdmet_idem():
 
 
 def test_pdmet_fock_update():
-    """Global-rdm fock self-consistency: internal fixed point
-    -0.87587837 near the reference -0.876942444093
-    (test_pdmet.py:300; residual 1.1e-3)."""
+    """Global-rdm fock self-consistency == the reference anchor
+    -0.876942444093 (test_pdmet.py:300; measured diff 4.1e-8).  The
+    round-3 cell-index fix in the global density matrix (commit
+    bb7a159) moved the fixed point from the old internal -0.87588
+    (1.1e-3 off) onto the reference value."""
     E = _pdmet_loop(idem=False, anchor=-0.876942444093)
-    assert abs(E - (-0.87587837)) < 2e-4
+    assert abs(E - (-0.876942444093)) < 1e-6
     assert abs(E - (-0.876942444093)) < 5e-3
 
 
