@@ -39,6 +39,7 @@ VALENCE_CONF = {
     "O": {0: [2], 1: [4]},
     "Si": {0: [2], 1: [2]},
     "Ni": {0: [2, 2], 1: [6], 2: [8]},
+    "Cu": {0: [1], 2: [10]},      # q11: 4s1 3d10 (semicore in the core)
 }
 
 # even-tempered ladders (alpha0, beta, n) per element and l; ranges are
@@ -53,6 +54,7 @@ _ET = {
     "O": {0: (0.14, 2.8, 7), 1: (0.14, 2.8, 7)},
     "Si": {0: (0.07, 2.8, 7), 1: (0.07, 2.8, 7)},
     "Ni": {0: (0.10, 3.0, 8), 1: (0.12, 3.0, 8), 2: (0.18, 2.9, 7)},
+    "Cu": {0: (0.06, 3.0, 8), 2: (0.15, 2.9, 7)},   # diffuse 4s, 3d
 }
 
 

@@ -102,6 +102,20 @@ GTH_PADE = {
            "nl": [(0, 0.24510489, _h_full(0, [12.16113071, 2.20784886])),
                   (1, 0.23474009, _h_full(1, [1.15869899])),
                   (2, 0.21494950, _h_full(2, [-13.39506212]))]},
+    # Cu q11 (3d10 4s1 valence, semicore in the core): the cuprate
+    # element.  Best-effort transcription like Ni -- no local C terms,
+    # two s / two p projectors (explicit h12, the PADE fit does not
+    # follow the HGH fixed off-diagonal relations here) + one d;
+    # re-verify digits against CP2K POTENTIAL before production use.
+    "Cu": {"zion": 11.0, "rloc": 0.53000000,
+           "cloc": [],
+           "nl": [(0, 0.42373410,
+                   np.asarray([[9.69205055, -6.46660500],
+                               [-6.46660500, 8.35050600]])),
+                  (1, 0.57217694,
+                   np.asarray([[2.53655610, -0.77900332],
+                               [-0.77900332, 0.92170620]])),
+                  (2, 0.26614300, _h_full(2, [-12.82861204]))]},
 }
 
 

@@ -734,11 +734,32 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
             dm0[1, p + i, p + i] = ob
         p += len(occs_a)
 
-    Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
-                       {"ccdd": eri[None]}, ovlp=S)
     na = nb = cell.nelectron // 2
     E_hf, dm = _uhf_incore(S, hcore, eri, dm0, na, nb, e_nuc=e_nuc,
                            tol=1e-9)
+
+    # staggered d magnetization slices (Lowdin populations): the Ni
+    # atoms of the first cell, shell order 3s,4s,p,d -> d = [5, 11)
+    mag_slices, p = [], 0
+    for sym, _ in atoms[:len(fracs)]:
+        if sym == "Ni":
+            mag_slices.append(slice(p + 5, p + 11))
+        p += nao_atom[sym]
+    Lat, meta = _afm_oxide_tail(cell, nk, nlo, S, hcore, eri, e_nuc,
+                                dm, E_hf, chol_tol, mag_slices)
+    meta["mag_ni"] = meta["mag_d"]
+    return Lat, meta
+
+
+def _afm_oxide_tail(cell, nk, nlo, S, hcore, eri, e_nuc, dm, E_hf,
+                    chol_tol, mag_slices):
+    """Shared AFM-oxide lattice assembly: Lowdin LOs, per-spin LO
+    operators, dense LO ERI + Cholesky factors, stripe symmetrization,
+    staggered d moments over `mag_slices` (LO index ranges of the
+    magnetic atoms in the first cell)."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.solvers.scf import _veff_uhf
 
     C = lowdin(S)
     h_lo = C.T @ hcore @ C
@@ -769,21 +790,127 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
     Ham = AbInitioHam(h_R, fock_R, chol_L, eri_imp, e_nuc / nk)
     Lat.set_Ham_abinitio(Ham, rdm1=rdm1_R)
     Lat.set_val_virt_core(nlo, 0, 0)
-    # staggered Ni d magnetization (AFM order parameter)
-    mag = []
-    p = 0
-    for sym, _ in atoms[:len(fracs)]:
-        n = nao_atom[sym]
-        if sym == "Ni":
-            dblk = slice(p + 5, p + 11)
-            mag.append(np.trace(rdm1_lo[0][dblk, dblk])
-                       - np.trace(rdm1_lo[1][dblk, dblk]))
-        p += n
+    mag = [np.trace(rdm1_lo[0][blk, blk])
+           - np.trace(rdm1_lo[1][blk, blk]) for blk in mag_slices]
     meta = {"cell": cell, "E_hf": E_hf, "E_hf_elec": E_hf - e_nuc,
             "e_nuc": e_nuc, "C_ao_lo": C, "eri_lo": eri_lo, "h_lo": h_lo,
             "fock_lo": fock_lo, "rdm1_lo": rdm1_lo, "nlo": nlo, "S": S,
-            "mag_ni": np.asarray(mag)}
+            "mag_d": np.asarray(mag)}
     return Lat, meta
+
+
+def make_cuo2_afm_lattice(nk=2, a_ang=3.80, vac_ang=8.0, gmax=None,
+                          chol_tol=1e-8, precision=1e-10,
+                          basis_variant="solid", cache_file=None):
+    """Ab initio DMET lattice for the ANTIFERROMAGNETIC CuO2 plane --
+    the cuprate parent compound's active layer, the system behind the
+    reference's 3-band order-parameter analysis
+    (/root/reference/libdmet/utils/get_order_param.py:18-576, ab initio
+    cuprates) and its Emery-model facades.
+
+    Geometry: square CuO2 plane (lattice constant a_ang), sqrt2 x sqrt2
+    AFM double cell (2 Cu + 4 O) with vacuum vac_ang along z, BvK torus
+    of nk cells along the first AFM vector.  Charge: the physical plane
+    is (CuO2)^2- per formula unit (Cu^2+ d9, O^2- closed shell); the
+    two extra electrons per formula come with a uniform compensating
+    background (the G=0 Coulomb terms are already dropped -- standard
+    jellium compensation for charged layers).  Cu carries the q11
+    GTH-PADE pseudopotential (4s/3d valence) and the generated tpu-szv
+    basis (ints/basisopt.py).
+
+    Spin-polarized supercell UHF with a staggered d9 AFM guess; rest of
+    the assembly shared with NiO (_afm_oxide_tail).  Returns (Lat, meta)
+    with meta['mag_d'] the staggered Cu d moments."""
+    from libdmet_preview_tpu.ints.pbc import PbcCell, BOHR_PER_ANGSTROM
+    from libdmet_preview_tpu.ints.basisopt import make_gth_valence_basis
+
+    a0 = a_ang * BOHR_PER_ANGSTROM
+    c0 = vac_ang * BOHR_PER_ANGSTROM
+    # sqrt2 x sqrt2 AFM cell: A1 = (a, a), A2 = (a, -a); Cu at (0,0) and
+    # (a,0) carry opposite spins; 4 bridging O at the half-integer sites
+    A = np.asarray([[a0, a0, 0.0], [a0, -a0, 0.0], [0.0, 0.0, c0]])
+    sites = [("Cu", (0.0, 0.0)), ("Cu", (1.0, 0.0)),
+             ("O", (0.5, 0.0)), ("O", (0.0, 0.5)),
+             ("O", (1.5, 0.0)), ("O", (1.0, 0.5))]
+    basis_data = {(sym, "tpu-szv"): make_gth_valence_basis(
+        sym, variant=basis_variant) for sym in ("Cu", "O")}
+    atoms = []
+    for ccell in range(nk):
+        for sym, (x, y) in sites:
+            atoms.append((sym, np.asarray([x * a0, y * a0, 0.0])
+                          + ccell * A[0]))
+    a_sc = np.asarray([nk * A[0], A[1], A[2]])
+    cell = PbcCell(atoms, a_sc, basis="tpu-szv", basis_data=basis_data,
+                   unit="B", pseudo="gth-pade", gmax=gmax,
+                   precision=precision)
+    cell.set_translations(nk, np.arange(nk)[:, None] * A[0][None, :])
+    # (CuO2)^2- per formula: 11 + 2*6 + 2 = 25 electrons; jellium
+    # compensates the net charge
+    cell.nelectron = 25 * 2 * nk
+    nlo = cell.nao // nk
+    nsite = cell.nao
+    log.result("CuO2 AFM plane: nao = %d (%d per cell), nelec = %d "
+               "(charged, jellium-compensated)", nsite, nlo,
+               cell.nelectron)
+
+    import os as _os
+    cfile = None
+    if cache_file is not None:
+        key = "cuo2_%d_%s_%s_%.0e.npz" % (nk, a_ang, basis_variant,
+                                          precision)
+        cfile = cache_file if cache_file.endswith(".npz") \
+            else _os.path.join(cache_file, key)
+    if cfile is not None and _os.path.exists(cfile):
+        log.result("CuO2: loading cached integrals %s", cfile)
+        dat = np.load(cfile)
+        S, hcore, eri, e_nuc = (dat["S"], dat["hcore"], dat["eri"],
+                                float(dat["e_nuc"]))
+    else:
+        S = cell.intor_ovlp()
+        hcore = cell.intor_hcore()
+        eri = cell.intor_eri()
+        e_nuc = cell.energy_nuc()
+        if cfile is not None:
+            _os.makedirs(_os.path.dirname(cfile) or ".", exist_ok=True)
+            tmp = cfile + ".tmp.npz"
+            np.savez(tmp, S=S, hcore=hcore, eri=eri, e_nuc=e_nuc)
+            _os.replace(tmp, cfile)
+
+    # AFM d9 guess: Cu sublattice A majority-alpha d, B majority-beta;
+    # O closed shell 2s2 2p6.  Cu tpu-szv shell order: 4s, d(x6)
+    nao_atom = {}
+    for sym in ("Cu", "O"):
+        nao_atom[sym] = sum({0: 1, 1: 3, 2: 6}[l]
+                            for l, _ in basis_data[(sym, "tpu-szv")])
+    dm0 = np.zeros((2, nsite, nsite))
+    p = 0
+    cu_seen = 0
+    for sym, _ in atoms:
+        if sym == "Cu":
+            up = cu_seen % 2 == 0
+            da, db = (0.88, 0.62) if up else (0.62, 0.88)
+            occs_a = [0.25] + [da] * 6
+            occs_b = [0.25] + [db] * 6
+            cu_seen += 1
+        else:
+            occs_a = occs_b = [1.0] * 4       # O^2-: 2s2 2p6
+        for i, (oa, ob) in enumerate(zip(occs_a, occs_b)):
+            dm0[0, p + i, p + i] = oa
+            dm0[1, p + i, p + i] = ob
+        p += len(occs_a)
+
+    na = nb = cell.nelectron // 2
+    E_hf, dm = _uhf_incore(S, hcore, eri, dm0, na, nb, e_nuc=e_nuc,
+                           tol=1e-9)
+
+    # Cu d blocks of the first cell (shell order 4s, d): [1, 7)
+    mag_slices, p = [], 0
+    for sym, _ in atoms[:len(sites)]:
+        if sym == "Cu":
+            mag_slices.append(slice(p + 1, p + 7))
+        p += nao_atom[sym]
+    return _afm_oxide_tail(cell, nk, nlo, S, hcore, eri, e_nuc, dm,
+                           E_hf, chol_tol, mag_slices)
 
 
 # ----------------------------------------------------------------------

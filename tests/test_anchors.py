@@ -166,11 +166,14 @@ def test_anchor_rhf_nib_321g_no_csc(hchain):
     the RHF==GHF spinless pair; its loop carries no update_Ham).  Our
     NIB H2 is the same unit2emb(unit-cell LO ERI) object the reference
     passes as H2_given (ops/embham.py:579-582)."""
-    from libdmet_preview_tpu.models.abinitio import update_ham_dense
+    from libdmet_preview_tpu.models.abinitio import (update_ham_dense,
+                                                     _stripe_symm)
     from libdmet_preview_tpu.solvers import FCI
     Lat, meta = hchain
-    # reset any charge-SC fock left by earlier tests in this module
-    update_ham_dense(Lat, meta, meta["rdm1_lo"])
+    # reset any charge-SC fock left by earlier tests in this module to
+    # the HF density (stripe form of the dense supercell rdm1)
+    update_ham_dense(Lat, meta,
+                     _stripe_symm(meta["rdm1_lo"], 3, Lat.nscsites))
     E = run_hchain_dmet(Lat, meta, FCI(restricted=True, tol=1e-12),
                         int_bath=False, charge_sc=False, max_iter=30,
                         u_tol=2e-5, e_tol=1e-6)
