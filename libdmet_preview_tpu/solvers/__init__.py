@@ -4,7 +4,7 @@ from libdmet_preview_tpu.solvers.scf import SCF, SCFSolver
 from libdmet_preview_tpu.solvers.cc import (LCCSD, LCCD, CCSD_ITE,
     CCSD, CCD, MP2, BCCSD, TCCSD, RCCSD, UCCSD, GCCSD, UCCD, GCCD,
     UTCCSD, GTCCSD)
-from libdmet_preview_tpu.solvers.casci import (CASCI, CASSCF,
+from libdmet_preview_tpu.solvers.casci import (CASCI, CASSCF, UCASCI,
                                                project_active_space)
 from libdmet_preview_tpu.solvers.external import (
     ExternalFCIDUMPSolver, Block2Solver, SHCISolver, AFQMCSolver,

@@ -153,6 +153,173 @@ class CASCI(object):
         pass
 
 
+class UCASCI(object):
+    """UNRESTRICTED CASCI: UHF reference, per-spin canonical orbitals,
+    an (ncas, nelecas) active window straddling the Fermi level in each
+    spin channel, spin-dependent FCI (direct_uhf-class kernel) in the
+    active space (reference UHF-orbital CAS stack:
+    /root/reference/libdmet/solver/dmrgci.py CASCI-with-UHF-orbitals and
+    the umc1step.py orbital frame).
+
+    This is the static-correlation solver for spin-polarized d-block
+    embeddings (NiO/cuprates) where single-reference UCCSD stalls on the
+    near-degenerate d manifold: the d-dominated frontier orbitals land
+    in the active window and are solved exactly."""
+
+    def __init__(self, ncas, nelecas, Sz=0, fcisolver=None, tol=1e-10,
+                 **kwargs):
+        self.ncas = ncas
+        if isinstance(nelecas, (tuple, list)):
+            self.na_cas, self.nb_cas = nelecas
+        else:
+            self.na_cas = (nelecas + Sz) // 2
+            self.nb_cas = nelecas - self.na_cas
+        self.Sz = Sz
+        self.tol = tol
+        self.fcisolver = fcisolver or FCI(
+            restricted=False, Sz=self.na_cas - self.nb_cas, tol=tol)
+        self.onepdm = None
+        self.twopdm = None
+        self.e_tot = None
+
+    @staticmethod
+    def _unpack(Ham):
+        n = Ham.norb
+        H1 = np.asarray(Ham.H1["cd"])
+        h1a = H1[0]
+        h1b = H1[1] if H1.shape[0] == 2 else H1[0]
+        H2 = Ham.H2["ccdd"]
+        if len(H2) == 1:
+            g = restore_eri(np.asarray(H2[0]), n, symmetry=1)
+            g_aa = g_bb = g_ab = g
+        else:
+            g_aa = restore_eri(np.asarray(H2[0]), n, symmetry=1)
+            g_bb = restore_eri(np.asarray(H2[1]), n, symmetry=1)
+            g_ab = restore_eri(np.asarray(H2[2]), n, symmetry=1)
+        return h1a, h1b, g_aa, g_bb, g_ab
+
+    def run(self, Ham, nelec=None, dm0=None, **kwargs):
+        from libdmet_preview_tpu.solvers.scf import _veff_uhf
+        if nelec is None:
+            raise ValueError("UCASCI.run requires nelec")
+        n = Ham.norb
+        na = (nelec + self.Sz) // 2
+        nb = nelec - na
+        ncas = self.ncas
+        nca, ncb = na - self.na_cas, nb - self.nb_cas
+        log.eassert(nca >= 0 and ncb >= 0 and max(nca, ncb) + ncas <= n,
+                    "active window (%d, (%d,%d)) incompatible with "
+                    "nelec=(%d,%d), norb=%d", ncas, self.na_cas,
+                    self.nb_cas, na, nb, n)
+
+        myscf = SCF()
+        myscf.set_system(nelec, self.Sz, False, False)
+        myscf.set_integral(Ham)
+        myscf.HF(tol=min(self.tol, 1e-10), MaxIter=500, InitGuess=dm0)
+        mo = myscf.mo_coeff
+        Ca = np.asarray(mo[0])
+        Cb = np.asarray(mo[1] if mo.shape[0] == 2 else mo[0])
+
+        h1a, h1b, g_aa, g_bb, g_ab = self._unpack(Ham)
+        Cca, Ccb = Ca[:, :nca], Cb[:, :ncb]
+        dmca, dmcb = Cca @ Cca.T, Ccb @ Ccb.T
+        va, vb = [np.asarray(x) for x in _veff_uhf(
+            jnp.asarray(dmca), jnp.asarray(dmcb), jnp.asarray(g_aa),
+            jnp.asarray(g_bb), jnp.asarray(g_ab))]
+        e_core = (np.sum((h1a + 0.5 * va) * dmca)
+                  + np.sum((h1b + 0.5 * vb) * dmcb) + float(Ham.H0))
+        Aa = Ca[:, nca:nca + ncas]
+        Ab = Cb[:, ncb:ncb + ncas]
+        h_a = Aa.T @ (h1a + va) @ Aa
+        h_b = Ab.T @ (h1b + vb) @ Ab
+        jAa, jAb = jnp.asarray(Aa), jnp.asarray(Ab)
+        g_cas_aa = np.asarray(jnp.einsum(
+            "pqrs, pi, qj, rk, sl -> ijkl", jnp.asarray(g_aa),
+            jAa, jAa, jAa, jAa, optimize=True))
+        g_cas_bb = np.asarray(jnp.einsum(
+            "pqrs, pi, qj, rk, sl -> ijkl", jnp.asarray(g_bb),
+            jAb, jAb, jAb, jAb, optimize=True))
+        g_cas_ab = np.asarray(jnp.einsum(
+            "pqrs, pi, qj, rk, sl -> ijkl", jnp.asarray(g_ab),
+            jAa, jAa, jAb, jAb, optimize=True))
+        Ham_cas = Integral(ncas, False, False, e_core,
+                           {"cd": np.array([h_a, h_b])},
+                           {"ccdd": np.array([g_cas_aa, g_cas_bb,
+                                              g_cas_ab])})
+        rdm_cas, E = self.fcisolver.run(
+            Ham_cas, nelec=self.na_cas + self.nb_cas)
+        rdm1_a = Aa @ np.asarray(rdm_cas[0]) @ Aa.T + dmca
+        rdm1_b = Ab @ np.asarray(rdm_cas[1]) @ Ab.T + dmcb
+        self.onepdm = np.asarray([rdm1_a, rdm1_b])
+        self.e_tot = E
+        self._cas = (Aa, Ab, dmca, dmcb, Ham_cas,
+                     np.asarray(rdm_cas[0]), np.asarray(rdm_cas[1]))
+        return self.onepdm, E
+
+    def make_rdm2(self, Ham=None):
+        """Spin-resolved full-space 2-RDM blocks [Gaa, Gbb, Gab]
+        (chemist, the unrestricted run_dmet_ham convention
+        E2 = 0.5 Gaa g_aa + 0.5 Gbb g_bb + Gab g_ab): active blocks
+        back-transformed + idempotent-core / core-active mean-field
+        terms (spin-resolved CAS decomposition; same algebra as the
+        restricted CASCI.make_rdm2 with the spin sum undone)."""
+        if self.onepdm is None:
+            raise RuntimeError("run UCASCI before make_rdm2")
+        Aa, Ab, dmca, dmcb, Ham_cas, da, db = self._cas
+        Gaa_c, Gbb_c, Gab_c = [np.asarray(x) for x in
+                               self.fcisolver.make_rdm2(Ham_cas)]
+        Daa = Aa @ da @ Aa.T
+        Dab = Ab @ db @ Ab.T
+
+        def back(G, C1, C2):
+            return np.array(jnp.einsum(
+                "pqrs, ip, jq, kr, ls -> ijkl", jnp.asarray(G),
+                jnp.asarray(C1), jnp.asarray(C1), jnp.asarray(C2),
+                jnp.asarray(C2), optimize=True))
+
+        def same_spin(G_act, Dc, Da_):
+            G = back(G_act, *([Aa if Dc is dmca else Ab] * 2))
+            G += (np.einsum("pq, rs -> pqrs", Dc, Dc)
+                  - np.einsum("ps, rq -> pqrs", Dc, Dc))
+            G += (np.einsum("pq, rs -> pqrs", Dc, Da_)
+                  + np.einsum("pq, rs -> pqrs", Da_, Dc)
+                  - np.einsum("ps, rq -> pqrs", Dc, Da_)
+                  - np.einsum("ps, rq -> pqrs", Da_, Dc))
+            return G
+
+        Gaa = same_spin(Gaa_c, dmca, Daa)
+        Gbb = same_spin(Gbb_c, dmcb, Dab)
+        Gab = back(Gab_c, Aa, Ab)
+        Gab += (np.einsum("pq, rs -> pqrs", dmca, dmcb)
+                + np.einsum("pq, rs -> pqrs", dmca, Dab)
+                + np.einsum("pq, rs -> pqrs", Daa, dmcb))
+        self.twopdm = np.asarray([Gaa, Gbb, Gab])
+        return self.twopdm
+
+    def run_dmet_ham(self, Ham, last_aabb=True, **kwargs):
+        """Scaled-DMET-Hamiltonian energy with the stored RDMs
+        (unrestricted solver contract, as cc.py run_dmet_ham)."""
+        if self.twopdm is None:
+            self.make_rdm2()
+        n = Ham.norb
+        H1 = np.asarray(Ham.H1["cd"])
+        h1b = H1[1] if H1.shape[0] == 2 else H1[0]
+        H2 = Ham.H2["ccdd"]
+        h2 = [np.asarray(x) for x in H2]
+        h2 = [restore_eri(x, n, 1) if x.ndim == 2 else x for x in h2]
+        if len(h2) == 1:
+            h2 = [h2[0]] * 3
+        r1, r2 = self.onepdm, self.twopdm
+        E1 = np.sum(H1[0] * r1[0]) + np.sum(h1b * r1[1])
+        E2 = (0.5 * np.einsum("pqrs, pqrs", h2[0], r2[0])
+              + 0.5 * np.einsum("pqrs, pqrs", h2[1], r2[1])
+              + np.einsum("pqrs, pqrs", h2[2], r2[2]))
+        return E1 + E2 + float(Ham.H0)
+
+    def cleanup(self):
+        pass
+
+
 def project_active_space(Ham, nelec, ncas, nelecas, mo_coeff=None):
     """Active-space projection of an embedding Integral (reference
     slater.py:2121-2277 active-space projectors): fold the HF core into

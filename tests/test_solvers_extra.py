@@ -196,3 +196,39 @@ def test_casci_make_rdm2_energy_consistency():
     E_full = (2.0 * np.einsum("pq, qp", h1, cas_full.onepdm[0])
               + 0.5 * np.einsum("pqrs, pqrs", g, G_full) + float(Ham.H0))
     assert abs(E_full - E_fci) < 1e-9
+
+
+def test_ucasci_full_space_equals_uhf_fci():
+    """UCASCI (unrestricted CASCI, reference UHF-orbital CAS stack
+    dmrgci.py/umc1step.py roles) on a staggered-field Hubbard chain:
+    full active space == spin-dependent FCI; partial window bracketed
+    by UHF and FCI; the spin-resolved CAS 2-RDM decomposition
+    reproduces the total energy through run_dmet_ham exactly."""
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers import FCI, SCFSolver, UCASCI
+
+    n, nelec, t, U, h = 6, 6, 1.0, 4.0, 0.4
+    h0 = np.zeros((n, n))
+    for i in range(n - 1):
+        h0[i, i + 1] = h0[i + 1, i] = -t
+    stag = np.diag([h * (-1) ** i for i in range(n)])
+    g = np.zeros((n, n, n, n))
+    for i in range(n):
+        g[i, i, i, i] = U
+    Ham = Integral(n, False, False, 0.3,
+                   {"cd": np.array([h0 + stag, h0 - stag])},
+                   {"ccdd": np.array([g, g, g])})
+
+    _, E_fci = FCI(restricted=False, Sz=0, tol=1e-12).run(Ham, nelec=nelec)
+    _, E_hf = SCFSolver(restricted=False).run(Ham, nelec=nelec)
+
+    cas_full = UCASCI(n, nelec)
+    _, E_full = cas_full.run(Ham, nelec=nelec)
+    assert abs(E_full - E_fci) < 1e-8
+    assert abs(cas_full.run_dmet_ham(Ham) - E_fci) < 1e-8
+
+    cas = UCASCI(4, 4)
+    rdm, E = cas.run(Ham, nelec=nelec)
+    assert E_fci - 1e-9 <= E <= E_hf + 1e-9
+    assert abs(np.trace(rdm[0]) + np.trace(rdm[1]) - nelec) < 1e-9
+    assert abs(cas.run_dmet_ham(Ham) - E) < 1e-8
