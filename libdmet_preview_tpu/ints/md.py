@@ -595,10 +595,19 @@ def nuc_block(sh1, sh2, charges, coords, shift=None, eta=None,
     return out
 
 
-def eri_block(sh1, sh2, sh3, sh4, shifts=(None, None, None)):
+def eri_block(sh1, sh2, sh3, sh4, shifts=(None, None, None), omega=None):
     """Chemist-notation ERI block (sh1 sh2 | sh3 sh4), shape
     (nc1, nc2, nc3, nc4).  shifts: optional translations of sh2, sh3, sh4
-    (lattice images)."""
+    (lattice images).
+
+    omega: None for the bare 1/r Coulomb kernel; a float for the
+    LONG-RANGE erf(omega r)/r attenuated kernel (range-separation /
+    MDF-class drivers; the complementary erfc short-range block is
+    eri_block(...) - eri_block(..., omega=omega)).  MD formalism: the
+    attenuated fundamental integral is the bare one with the Hermite
+    exponent alpha -> theta = alpha w^2/(alpha + w^2) inside R_table
+    ((-2 theta)^n carries the (theta/alpha)^n order scaling) times an
+    overall sqrt(theta/alpha)."""
     l12 = sh1.l + sh2.l
     l34 = sh3.l + sh4.l
     out = np.zeros((sh1.nc, sh2.nc, sh3.nc, sh4.nc))
@@ -608,9 +617,15 @@ def eri_block(sh1, sh2, sh3, sh4, shifts=(None, None, None)):
     for p, c12, P, (Ex, Ey, Ez) in pairs12:
         for q, c34, Q, (Fx, Fy, Fz) in pairs34:
             alpha = p * q / (p + q)
+            if omega is not None:
+                theta = alpha * omega ** 2 / (alpha + omega ** 2)
+                scale = np.sqrt(theta / alpha)
+                alpha = theta
+            else:
+                scale = 1.0
             R = R_table(l12 + l34, l12 + l34, l12 + l34, alpha,
                         (P - Q)[None, :])[..., 0]
-            fac = c12 * c34 * 2.0 * np.pi ** 2.5 \
+            fac = scale * c12 * c34 * 2.0 * np.pi ** 2.5 \
                 / (p * q * np.sqrt(p + q))
             # contract E(12) and E(34) with R
             for i, (l1, m1, n1) in enumerate(CART[sh1.l]):
@@ -653,6 +668,118 @@ def eri_block(sh1, sh2, sh3, sh4, shifts=(None, None, None)):
                                                 t + tau, u + nu, v + ph]
                             out[i, j, k, m] += fac * val
     return out
+
+
+def eri_block_erfc_tsum(sh1, sh2, sh3, sh4, shifts, Tks, omega,
+                        rcut=None, tol=1e-14):
+    """IMAGE-SUMMED short-range ERI block
+        sum_T (sh1 sh2 | erfc(w r)/r | sh3^{+T} sh4^{+T})
+    with T over `Tks` (lattice vectors), erfc = bare - erf evaluated as
+    a BATCHED R-table over all images at once (the scaling path for the
+    periodic range-separated driver -- one Hermite contraction per prim
+    pair instead of one eri_block call per image).
+
+    shifts = (s2, s3, s4) as eri_block; Tks shifts sh3 AND sh4 jointly.
+    rcut: screen images by Hermite-center distance (default from tol)."""
+    l12 = sh1.l + sh2.l
+    l34 = sh3.l + sh4.l
+    out = np.zeros((sh1.nc, sh2.nc, sh3.nc, sh4.nc))
+    pairs12 = _pair_E3(sh1, sh2, shifts[0])
+    sh3s = _shifted(sh3, shifts[1])
+    pairs34 = _pair_E3(sh3s, sh4, shifts[2])
+    Tks = np.asarray(Tks)
+    for p, c12, P, (Ex, Ey, Ez) in pairs12:
+        for q, c34, Q, (Fx, Fy, Fz) in pairs34:
+            alpha = p * q / (p + q)
+            theta = alpha * omega ** 2 / (alpha + omega ** 2)
+            PC = (P - Q)[None, :] - Tks             # (nT, 3)
+            d2 = np.einsum("ti, ti -> t", PC, PC)
+            if rcut is None:
+                # erfc(w r)/r < tol at w r ~ sqrt(-ln tol)
+                rc = np.sqrt(-np.log(tol)) / omega \
+                    + np.sqrt(-np.log(tol) / alpha)
+            else:
+                rc = rcut
+            keep = d2 < rc * rc
+            if not np.any(keep):
+                continue
+            Rb = R_table(l12 + l34, l12 + l34, l12 + l34, alpha,
+                         PC[keep]).sum(axis=-1)
+            Rl = R_table(l12 + l34, l12 + l34, l12 + l34, theta,
+                         PC[keep]).sum(axis=-1)
+            R = Rb - np.sqrt(theta / alpha) * Rl
+            fac = c12 * c34 * 2.0 * np.pi ** 2.5 \
+                / (p * q * np.sqrt(p + q))
+            for i, (l1, m1, n1) in enumerate(CART[sh1.l]):
+                for j, (l2, m2, n2) in enumerate(CART[sh2.l]):
+                    Etuv = []
+                    for t in range(l1 + l2 + 1):
+                        ex = Ex[l1, l2, t]
+                        if ex == 0.0:
+                            continue
+                        for u in range(m1 + m2 + 1):
+                            ey = Ey[m1, m2, u]
+                            if ey == 0.0:
+                                continue
+                            for v in range(n1 + n2 + 1):
+                                ez = Ez[n1, n2, v]
+                                if ez == 0.0:
+                                    continue
+                                Etuv.append((t, u, v, ex * ey * ez))
+                    if not Etuv:
+                        continue
+                    for k, (l3, m3, n3) in enumerate(CART[sh3.l]):
+                        for m, (l4, m4, n4) in enumerate(CART[sh4.l]):
+                            val = 0.0
+                            for tau in range(l3 + l4 + 1):
+                                fx = Fx[l3, l4, tau]
+                                if fx == 0.0:
+                                    continue
+                                for nu in range(m3 + m4 + 1):
+                                    fy = Fy[m3, m4, nu]
+                                    if fy == 0.0:
+                                        continue
+                                    for ph in range(n3 + n4 + 1):
+                                        fz = Fz[n3, n4, ph]
+                                        if fz == 0.0:
+                                            continue
+                                        ff = fx * fy * fz \
+                                            * (-1.0) ** (tau + nu + ph)
+                                        for t, u, v, ee in Etuv:
+                                            val += ee * ff * R[
+                                                t + tau, u + nu, v + ph]
+                            out[i, j, k, m] += fac * val
+    return out
+
+
+def pair_prim_dense(sh1, sh2, shift=None):
+    """Primitive-pair data for the NATIVE erfc-ERI kernel
+    (_sr_core.cpp erfc_eri_rows): per primitive pair the scalars
+    (p, c12, P) and the DENSE 3D Hermite E table
+
+        E[a, i*nc2+j, t*(l12+1)^2 + u*(l12+1) + v]
+            = Ex[l1,l2,t] Ey[m1,m2,u] Ez[n1,n2,v]
+
+    Returns (pc (np12, 6) [p, c, Px, Py, Pz, max|E|],
+    E (np12, nc12, h12)); max|E| feeds the kernel's magnitude-aware
+    image screen."""
+    l12 = sh1.l + sh2.l
+    nh = l12 + 1
+    prs = _pair_E3(sh1, sh2, shift)
+    nc12 = sh1.nc * sh2.nc
+    pc = np.empty((len(prs), 6))
+    E = np.zeros((len(prs), nc12, nh ** 3))
+    for a, (p, c12, P, (Ex, Ey, Ez)) in enumerate(prs):
+        pc[a, 0] = p
+        pc[a, 1] = c12
+        pc[a, 2:5] = P
+        for i, (l1, m1, n1) in enumerate(CART[sh1.l]):
+            for j, (l2, m2, n2) in enumerate(CART[sh2.l]):
+                blk = np.einsum("t, u, v -> tuv", Ex[l1, l2, :nh],
+                                Ey[m1, m2, :nh], Ez[n1, n2, :nh])
+                E[a, i * sh2.nc + j] = blk.ravel()
+        pc[a, 5] = np.abs(E[a]).max()
+    return pc, E
 
 
 # general-l basis data: {(symbol, basis): [(l, [(exp, coef), ...]), ...]}

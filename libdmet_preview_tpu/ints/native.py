@@ -144,6 +144,18 @@ def get_sr_lib():
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
     ]
     lib.sr_cand_sum.restype = None
+    _f8 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    _i8 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.erfc_eri_rows.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _f8, _f8, _f8, ctypes.c_double,
+        ctypes.c_int64, _i8, _f8, _f8, _f8,
+        _f8, _f8, _f8,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.erfc_eri_rows.restype = None
     _SR_LIB = lib
     return _SR_LIB
 

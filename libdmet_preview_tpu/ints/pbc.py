@@ -985,6 +985,230 @@ class PbcCell(object):
         return eri
 
     # ------------------------------------------------------------------
+    # Range-separated density fitting (the reference's MDF driver role,
+    # eri_transform.py:566-1087 get_emb_eri_fast_mdf: Gaussian-fitted
+    # compact part + planewave remainder.  Native redesign as modern
+    # RSDF: real-space erfc(w r)/r short range (exact, lattice-summed,
+    # overlap+range screened) + G-space erf long range (Gaussian-damped
+    # weights converge on a MUCH coarser mesh than bare AFT).
+    # ------------------------------------------------------------------
+
+    def coulG_rs(self, omega, gmax=None):
+        """Long-range Coulomb weights w(G) = 4pi/G^2 exp(-G^2/(4 w^2))
+        on a coarse mesh (G=0 dropped, background convention): the
+        Gaussian damping kills the kernel at G ~ 2 w sqrt(-ln prec),
+        independent of the basis spectrum."""
+        if gmax is None:
+            gmax = 2.0 * omega * np.sqrt(-np.log(self.precision))
+        mesh = self._mesh_from_gmax(gmax)
+        fracs = [np.fft.fftfreq(n, 1.0 / n) for n in mesh]
+        Gv = np.array(list(it.product(*fracs))) @ self.b
+        G2 = np.einsum("gi, gi -> g", Gv, Gv)
+        w = np.zeros_like(G2)
+        nz = G2 > 1e-12
+        w[nz] = 4.0 * np.pi / G2[nz] * np.exp(-G2[nz]
+                                              / (4.0 * omega ** 2))
+        return Gv, w
+
+    def _sr_emb_eri(self, C_emb, omega, pair_tol=None, C_ket=None):
+        """Short-range embedding ERI: torus lattice sum of real-space
+        erfc(w r)/r AO quadruples (erfc block = bare - erf via the MD
+        attenuated-kernel R table), bra first index pinned to cell 0 and
+        expanded by translation symmetry into the embedding contraction.
+        Includes the kernel's G=0 average (pi/w^2); get_emb_eri_rs
+        subtracts it to match the background-compensated convention."""
+        from libdmet_preview_tpu.ints.md import eri_block_erfc_tsum
+        import jax.numpy as _jnp
+        C_emb = np.asarray(C_emb)
+        nao, neo = C_emb.shape
+        prec = self.precision if pair_tol is None else pair_tol
+        rcut_k = np.sqrt(-np.log(prec)) / omega
+        shells = self.shells
+        nsh = len(shells)
+        N = getattr(self, "ncells_tr", None) or 1
+        nsh_bra = self.nshell_cell if N > 1 else nsh
+        m = self.nao_cell if N > 1 else nao
+
+        def ext(sh):
+            return np.sqrt(-np.log(prec) / sh.exps.min())
+
+        def pairs(row_shells):
+            out = []
+            for i in row_shells:
+                shi, (i0, i1) = shells[i], self.shell_slices[i]
+                for j in range(nsh):
+                    shj, (j0, j1) = shells[j], self.shell_slices[j]
+                    for T in self._pair_image_list(shi, shj):
+                        mid = 0.5 * (shi.center + shj.center + T)
+                        rad = (0.5 * np.linalg.norm(
+                            shi.center - shj.center - T)
+                            + max(ext(shi), ext(shj)))
+                        out.append((i, j, T, i0, i1, j0, j1, mid, rad))
+            return out
+
+        bras = pairs(range(nsh_bra))
+        kets = pairs(range(nsh))
+        Tks = np.ascontiguousarray(self.lattice_images(
+            rcut_k + 2.0 * max(ext(sh) for sh in shells)), dtype=float)
+        eri0 = np.zeros((m, nao, nao, nao))
+        from libdmet_preview_tpu.ints import native
+        lib = native.get_sr_lib()
+        if lib is not None and max(sh.l for sh in shells) <= 2 \
+                and len(Tks) <= 16384:
+            # native path: pack ket pairs once, one C call per bra pair
+            # (erfc_eri_rows in _sr_core.cpp)
+            import ctypes as _ct
+            from libdmet_preview_tpu.ints.md import pair_prim_dense
+            nkp = len(kets)
+            kmeta = np.empty((nkp, 7), dtype=np.int64)
+            kgeom = np.empty((nkp, 4))
+            pc_l, E_l = [], []
+            p_off = e_off = 0
+            for idx, (k, l, TL, k0, k1, l0, l1, Qm, Qr) in enumerate(kets):
+                pc, E = pair_prim_dense(shells[k], shells[l], TL)
+                kmeta[idx] = (shells[k].l + shells[l].l, shells[k].nc,
+                              shells[l].nc, p_off, len(pc), e_off,
+                              k0 * nao + l0)
+                kgeom[idx, :3] = Qm
+                kgeom[idx, 3] = Qr
+                pc_l.append(pc)
+                E_l.append(E.ravel())
+                p_off += len(pc)
+                e_off += E.size
+            pc34 = np.ascontiguousarray(np.concatenate(pc_l, axis=0))
+            E34 = np.ascontiguousarray(np.concatenate(E_l))
+            lntol = -np.log(prec)
+            s0, s1, s2 = nao ** 3, nao ** 2, nao
+            Amat = np.ascontiguousarray(self.a, dtype=float)
+            Ainv = np.ascontiguousarray(np.linalg.inv(Amat))
+            cnorm = np.ascontiguousarray(
+                np.linalg.norm(Ainv, axis=0))
+            for (i, j, TJ, i0, i1, j0, j1, Pm, Pr) in bras:
+                shi, shj = shells[i], shells[j]
+                pc12, E12 = pair_prim_dense(shi, shj, TJ)
+                lib.erfc_eri_rows(
+                    shi.l + shj.l, shi.nc, shj.nc, len(pc12),
+                    np.ascontiguousarray(pc12),
+                    np.ascontiguousarray(E12.reshape(len(pc12), -1)),
+                    np.ascontiguousarray(Pm, dtype=float), float(Pr),
+                    nkp, kmeta, kgeom, pc34, E34,
+                    Amat, Ainv, cnorm, float(omega), float(lntol),
+                    float(rcut_k), s0, s1, s2,
+                    _ct.c_void_p(eri0.ctypes.data
+                                 + 8 * (i0 * s0 + j0 * s1)))
+        else:
+            for (i, j, TJ, i0, i1, j0, j1, Pm, Pr) in bras:
+                shi, shj = shells[i], shells[j]
+                for (k, l, TL, k0, k1, l0, l1, Qm, Qr) in kets:
+                    shk, shl = shells[k], shells[l]
+                    d = Pm - Qm - Tks
+                    keep = np.einsum("ti, ti -> t", d, d) \
+                        < (rcut_k + Pr + Qr) ** 2
+                    if not np.any(keep):
+                        continue
+                    eri0[i0:i1, j0:j1, k0:k1, l0:l1] += \
+                        eri_block_erfc_tsum(
+                            shi, shj, shk, shl, (TJ, None, TL),
+                            Tks[keep], omega, tol=prec)
+        # translation-symmetric embedding contraction (as _emb_g_aft)
+        Ck = C_emb if C_ket is None else np.asarray(C_ket)
+        nk = Ck.shape[1]
+        if N > 1:
+            Cb = C_emb.reshape(N, m, neo)
+            Ckb = Ck.reshape(N, m, nk)
+            add = np.empty_like(self.tr_diff)
+            for c in range(N):
+                inv = np.empty(N, dtype=self.tr_diff.dtype)
+                inv[self.tr_diff[:, c]] = np.arange(N)
+                add[:, c] = inv
+        else:
+            Cb, Ckb = C_emb[None], Ck[None]
+            add = np.zeros((1, 1), dtype=int)
+        ej = _jnp.asarray(eri0)
+        out = _jnp.zeros((neo, neo, nk, nk))
+        for C in range(N):
+            Cp = _jnp.asarray(Cb[add[:, C]].reshape(nao, neo))
+            Cq = _jnp.asarray(Ckb[add[:, C]].reshape(nao, nk))
+            t = _jnp.einsum("pJKL, Jj, Kk, Ll -> pjkl", ej, Cp, Cq, Cq,
+                            optimize=True)
+            out = out + _jnp.einsum("pi, pjkl -> ijkl",
+                                    _jnp.asarray(Cb[C]), t)
+        return np.array(out)  # writable copy (callers accumulate)
+
+    def get_emb_eri_rs(self, C_emb, omega=0.5, gmax_lr=None,
+                       pair_tol=None):
+        """Embedding-space ERI by RANGE SEPARATION (MDF-class driver):
+
+            eri = SR(erfc, real space) + LR(erf, coarse G mesh)
+                  - (pi/(w^2 Omega)) S_emb x S_emb   [G=0 of the SR
+                    kernel, removed to match the G=0-dropped AFT/FFT
+                    convention]
+
+        Same contract as get_emb_eri_aft (chemist, real, 8-fold
+        symmetrized); oracle identity: == get_emb_eri_aft to the AFT
+        mesh accuracy for any omega.  omega trades the real-space image
+        range (~sqrt(-ln prec)/w) against the LR mesh radius
+        (~2 w sqrt(-ln prec))."""
+        import jax as _jax
+        import jax.numpy as _jnp
+        C_emb = np.asarray(C_emb)
+        neo = C_emb.shape[1]
+        eri = self._sr_emb_eri(C_emb, omega, pair_tol=pair_tol)
+        Gv, w = self.coulG_rs(omega, gmax=gmax_lr)
+        if getattr(self, "ncells_tr", None):
+            g = self._emb_g_aft(C_emb, Gv)
+            gf = g.reshape(-1, neo * neo)
+            eri_lr = (gf.conj() * w[:, None]).T.real @ gf.real \
+                + (gf.conj() * w[:, None]).T.imag @ (-gf.imag)
+            eri += eri_lr.reshape((neo,) * 4) / self.vol
+        else:
+            Cj = _jnp.asarray(C_emb)
+
+            @_jax.jit
+            def _acc(f_re, f_im, wb, C):
+                g_re = _jnp.einsum("gpq, pi, qj -> gij", f_re, C, C,
+                                   optimize=True).reshape(f_re.shape[0],
+                                                          -1)
+                g_im = _jnp.einsum("gpq, pi, qj -> gij", f_im, C, C,
+                                   optimize=True).reshape(f_im.shape[0],
+                                                          -1)
+                return (g_re * wb[:, None]).T @ g_re \
+                    + (g_im * wb[:, None]).T @ g_im
+            f = self._ft_aopair_impl(Gv)
+            eri += np.asarray(_acc(
+                _jnp.asarray(f.real), _jnp.asarray(f.imag),
+                _jnp.asarray(w), Cj)) .reshape((neo,) * 4) / self.vol
+        S_emb = C_emb.T @ self.intor_ovlp() @ C_emb
+        eri -= (np.pi / (omega ** 2 * self.vol)) \
+            * np.einsum("ij, kl -> ijkl", S_emb, S_emb)
+        eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
+        eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
+        eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
+        return eri
+
+    def get_emb_eri_rs_cross(self, C_a, C_b, omega=0.5, gmax_lr=None,
+                             pair_tol=None):
+        """Cross-spin range-separated embedding ERI (ij_a | kl_b); same
+        split as get_emb_eri_rs."""
+        assert getattr(self, "ncells_tr", None), "stripe cells only"
+        C_a, C_b = np.asarray(C_a), np.asarray(C_b)
+        na, nb = C_a.shape[1], C_b.shape[1]
+        eri = self._sr_emb_eri(C_a, omega, pair_tol=pair_tol, C_ket=C_b)
+        Gv, w = self.coulG_rs(omega, gmax=gmax_lr)
+        ga = self._emb_g_aft(C_a, Gv).reshape(-1, na * na)
+        gb = self._emb_g_aft(C_b, Gv).reshape(-1, nb * nb)
+        lr = (ga.conj() * w[:, None]).T.real @ gb.real \
+            + (ga.conj() * w[:, None]).T.imag @ (-gb.imag)
+        eri += lr.reshape(na, na, nb, nb) / self.vol
+        S = self.intor_ovlp()
+        Sa, Sb = C_a.T @ S @ C_a, C_b.T @ S @ C_b
+        eri -= (np.pi / (omega ** 2 * self.vol)) \
+            * np.einsum("ij, kl -> ijkl", Sa, Sb)
+        eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
+        eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
+        return eri
+
+    # ------------------------------------------------------------------
     # Ewald nuclear energy (with neutralizing background)
     # ------------------------------------------------------------------
 

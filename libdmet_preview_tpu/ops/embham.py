@@ -565,25 +565,25 @@ def _emb_H2(lattice, basis, vcor, int_bath=True, **kwargs):
                 # object is ever materialized (3D k-mesh scaling path)
                 Ham = lattice.Ham
                 C = np.asarray(Ham.C_ao_lo)
-                fft_mode = getattr(Ham, "df_mode", "aft") == "fft"
+                df_mode = getattr(Ham, "df_mode", "aft")
+                drv = {"aft": Ham.aft_cell.get_emb_eri_aft,
+                       # uniform-grid FFT-DF driver (reference FFTDF
+                       # role, eri_transform.py get_emb_eri_fft)
+                       "fft": Ham.aft_cell.get_emb_eri_fft,
+                       # range-separated driver (reference MDF role,
+                       # eri_transform.py:566-1087)
+                       "rs": Ham.aft_cell.get_emb_eri_rs}[df_mode]
+                drv_x = {"aft": Ham.aft_cell.get_emb_eri_aft_cross,
+                         "fft": Ham.aft_cell.get_emb_eri_fft_cross,
+                         "rs": Ham.aft_cell.get_emb_eri_rs_cross}[df_mode]
                 out = []
                 for s in range(spin):
                     B = np.asarray(basis[s]).reshape(-1, neo)
-                    if fft_mode:
-                        # uniform-grid FFT-DF driver (reference FFTDF
-                        # role, eri_transform.py get_emb_eri_fft)
-                        out.append(Ham.aft_cell.get_emb_eri_fft(C @ B))
-                    else:
-                        out.append(Ham.aft_cell.get_emb_eri_aft(C @ B))
+                    out.append(drv(C @ B))
                 if spin == 2:
                     Ba = np.asarray(basis[0]).reshape(-1, neo)
                     Bb = np.asarray(basis[1]).reshape(-1, neo)
-                    if fft_mode:
-                        out.append(Ham.aft_cell.get_emb_eri_fft_cross(
-                            C @ Ba, C @ Bb))
-                    else:
-                        out.append(Ham.aft_cell.get_emb_eri_aft_cross(
-                            C @ Ba, C @ Bb))
+                    out.append(drv_x(C @ Ba, C @ Bb))
                 return np.asarray(out)
             return get_emb_eri_chol(lattice.Ham.getH2(), basis)
         eri_imp = np.asarray(lattice.Ham.eri_imp)
