@@ -745,7 +745,64 @@ class PbcCell(object):
         eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
         return eri
 
-    def eri_trans_full(self, blksize=2048):
+    def intor_eri_rs(self, omega=None, gmax_lr=None, blksize=4096,
+                     pair_tol=None):
+        """Dense torus ERI by RANGE SEPARATION: real-space erfc short
+        range (native lattice-summed quadruples) + coarse-G-mesh erf
+        long range + G=0 correction.
+
+        This is the CONVERGED dense-ERI path for bases with sharp
+        exponents: the bare G-space sum (intor_eri) converges like
+        exp(-gmax^2/(2 p_max)) with the TIGHTEST pair exponent, so the
+        default basis-spectrum mesh underconverges sharp-sharp
+        quadruples (measured 1.9e-2 on an exp=5.4 s pair), while here
+        sharp pairs are summed exactly in real space and the G mesh
+        only has to carry the Gaussian-damped erf kernel
+        (gmax ~ 2 w sqrt(-ln prec), independent of the basis).
+        Reference role: PySCF RSGDF / the MDF compact+smooth split
+        behind eri_transform.py:566-1087."""
+        if omega is None:
+            # balance: SR image range ~ sqrt(lntol)/w vs LR mesh
+            # ~ 2 w sqrt(lntol); w ~ 1 is the sweet spot for cells a
+            # few bohr across
+            omega = 1.0
+        eri = self._sr_ao_eri_rows(omega, pair_tol=pair_tol)
+        N = getattr(self, "ncells_tr", None) or 1
+        nao = self.nao
+        if N > 1:
+            # expand first-block rows by translation symmetry:
+            # (Ci, Jq | Kr, Ls) = (0i, (J-C)q | (K-C)r, (L-C)s)
+            m = self.nao_cell
+            e0 = eri.reshape(m, N, m, N, m, N, m)
+            dense = np.empty((N, m, nao, nao, nao))
+            for C in range(N):
+                perm = self.tr_diff[:, C]
+                dense[C] = e0[:, perm][:, :, :, perm][:, :, :, :, :,
+                                                      perm].reshape(
+                    m, nao, nao, nao)
+            eri = dense.reshape(nao, nao, nao, nao)
+        # LR: Gaussian-damped Coulomb on the coarse mesh
+        Gv, w = self.coulG_rs(omega, gmax=gmax_lr)
+        f = self.ft_aopair(Gv)
+        F = f.reshape(f.shape[0], nao * nao)
+        lr = np.zeros((nao * nao, nao * nao))
+        for g0 in range(0, F.shape[0], blksize):
+            blk = F[g0:g0 + blksize]
+            wb = w[g0:g0 + blksize]
+            lr += (blk.conj() * wb[:, None]).T.real @ blk.real \
+                + (blk.conj() * wb[:, None]).T.imag @ (-blk.imag)
+        eri += lr.reshape((nao,) * 4) / self.vol
+        # G=0 of the SR kernel (pi/w^2), removed to match the
+        # G=0-dropped background convention
+        S = self.intor_ovlp()
+        eri -= (np.pi / (omega ** 2 * self.vol)) \
+            * np.einsum("ij, kl -> ijkl", S, S)
+        eri = 0.5 * (eri + eri.transpose(1, 0, 2, 3))
+        eri = 0.5 * (eri + eri.transpose(0, 1, 3, 2))
+        eri = 0.5 * (eri + eri.transpose(2, 3, 0, 1))
+        return eri
+
+    def eri_trans_full(self, blksize=2048, Gw=None):
         """Translation-symmetric supercell ERI in the 'full' H2 format
         (models/hamiltonian.py): eri_F[R1, R2, R3, p, q, r, s] =
         (0p R1q | R2r R3s), assembled from the FIRST FT BLOCK COLUMN
@@ -756,11 +813,14 @@ class PbcCell(object):
 
         O(ncells x GEMM(ncells nao_cell^2, nG)) -- the scaling path for
         3D k-meshes (north-star diamond 3x3x3: ncells=27, nao=216 keeps
-        ~650 MB instead of 17 GB)."""
+        ~650 MB instead of 17 GB).
+
+        Gw: optional (Gv, w) kernel override (the RS driver passes the
+        coarse damped-erf mesh here)."""
         assert getattr(self, "ncells_tr", None), "requires set_translations"
         N = self.ncells_tr
         m = self.nao_cell
-        Gv, w = self.coulG()
+        Gv, w = self.coulG() if Gw is None else Gw
         nG = Gv.shape[0]
         fcol = self.ft_aopair(Gv, expand=False)       # (nG, nao, m)
         # Bra[G, R1, p, q] = f[G, R1q, 0p];  Ket[G, D, r, s] = f[G, Ds, 0r]
@@ -781,6 +841,35 @@ class PbcCell(object):
             for R3 in range(N):
                 D = self.tr_diff[R3, R2]
                 out[:, R2, R3] = blk[:, :, :, D]
+        return out
+
+    def eri_trans_full_rs(self, omega=1.0, gmax_lr=None, blksize=2048,
+                          pair_tol=None):
+        """Translation-'full' supercell ERI by RANGE SEPARATION: the
+        native short-range rows (exact for sharp pairs, see
+        intor_eri_rs) reindexed into the full format + the erf long
+        range on the coarse damped mesh + the G=0 correction.  This is
+        the CONVERGED eri_trans_full for bases whose sharp pairs exceed
+        the default G mesh (north-star solids)."""
+        assert getattr(self, "ncells_tr", None), "requires set_translations"
+        N = self.ncells_tr
+        m = self.nao_cell
+        eri0 = self._sr_ao_eri_rows(omega, pair_tol=pair_tol)
+        # (0p, Jq | Kr, Ls) -> eri_F[J, K, L, p, q, r, s]
+        out = np.ascontiguousarray(
+            eri0.reshape(m, N, m, N, m, N, m).transpose(
+                1, 3, 5, 0, 2, 4, 6))
+        Gv, w = self.coulG_rs(omega, gmax=gmax_lr)
+        out += self.eri_trans_full(blksize=blksize, Gw=(Gv, w))
+        # G=0 of the SR kernel in the full format:
+        #   -(pi/(w^2 Omega)) S[0p, R1q] S[R2r, R3s]
+        S = self.intor_ovlp().reshape(N, m, N, m)
+        Scol = np.ascontiguousarray(S[0].transpose(1, 0, 2))  # (N, m, m)
+        c = np.pi / (omega ** 2 * self.vol)
+        for R2 in range(N):
+            D = self.tr_diff[:, R2]                 # D[R3] = R3 - R2
+            out[:, R2] -= c * np.einsum(
+                "Jpq, Lrs -> JLpqrs", Scol, Scol[D])
         return out
 
     def get_emb_eri_aft(self, C_emb, blksize=8192):
@@ -1010,17 +1099,17 @@ class PbcCell(object):
                                               / (4.0 * omega ** 2))
         return Gv, w
 
-    def _sr_emb_eri(self, C_emb, omega, pair_tol=None, C_ket=None):
-        """Short-range embedding ERI: torus lattice sum of real-space
-        erfc(w r)/r AO quadruples (erfc block = bare - erf via the MD
-        attenuated-kernel R table), bra first index pinned to cell 0 and
-        expanded by translation symmetry into the embedding contraction.
-        Includes the kernel's G=0 average (pi/w^2); get_emb_eri_rs
-        subtracts it to match the background-compensated convention."""
+    def _sr_ao_eri_rows(self, omega, pair_tol=None):
+        """SHORT-RANGE AO ERI first-block rows: the torus lattice sum of
+        real-space erfc(w r)/r AO quadruples (erfc block = bare - erf
+        via the MD attenuated-kernel R table), bra first index pinned to
+        cell 0: eri0[p, Jq, Kr, Ls] = (0p Jq | erfc | Kr Ls), shape
+        (nao_cell, nao, nao, nao) for stripe cells, (nao,)*4 otherwise.
+        Includes the kernel's G=0 average (pi/w^2); RS callers subtract
+        it to match the background-compensated convention.  Hot loop in
+        the C++ core (_sr_core.cpp erfc_eri_rows)."""
         from libdmet_preview_tpu.ints.md import eri_block_erfc_tsum
-        import jax.numpy as _jnp
-        C_emb = np.asarray(C_emb)
-        nao, neo = C_emb.shape
+        nao = self.nao
         prec = self.precision if pair_tol is None else pair_tol
         rcut_k = np.sqrt(-np.log(prec)) / omega
         shells = self.shells
@@ -1110,6 +1199,17 @@ class PbcCell(object):
                         eri_block_erfc_tsum(
                             shi, shj, shk, shl, (TJ, None, TL),
                             Tks[keep], omega, tol=prec)
+        return eri0
+
+    def _sr_emb_eri(self, C_emb, omega, pair_tol=None, C_ket=None):
+        """Short-range embedding ERI: _sr_ao_eri_rows expanded by
+        translation symmetry into the embedding contraction."""
+        import jax.numpy as _jnp
+        C_emb = np.asarray(C_emb)
+        nao, neo = C_emb.shape
+        N = getattr(self, "ncells_tr", None) or 1
+        m = self.nao_cell if N > 1 else nao
+        eri0 = self._sr_ao_eri_rows(omega, pair_tol=pair_tol)
         # translation-symmetric embedding contraction (as _emb_g_aft)
         Ck = C_emb if C_ket is None else np.asarray(C_ket)
         nk = Ck.shape[1]

@@ -277,7 +277,7 @@ def make_hchain_pbc_lattice(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
 
     S = cell.intor_ovlp()
     hcore = cell.intor_hcore()
-    eri = cell.intor_eri()
+    eri = cell.intor_eri_rs()   # converged for sharp pairs
     e_nuc = cell.energy_nuc()
 
     Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
@@ -376,7 +376,7 @@ def make_hchain_pbc_lattice_uhf(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
 
     S = cell.intor_ovlp()
     hcore = cell.intor_hcore()
-    eri = cell.intor_eri()
+    eri = cell.intor_eri_rs()   # converged for sharp pairs
     e_nuc = cell.energy_nuc()
 
     # AFM initial guess: alternate atoms alpha/beta (reference
@@ -549,7 +549,7 @@ def make_diamond_lattice(nk=2, a_ang=3.567, basis="gth-szv",
 
     S = cell.intor_ovlp()
     hcore = cell.intor_hcore()
-    eri = cell.intor_eri()
+    eri = cell.intor_eri_rs()   # converged for sharp pairs
     e_nuc = cell.energy_nuc()
 
     Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
@@ -690,8 +690,10 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
     import os as _os
     cfile = None
     if cache_file is not None:
-        key = "nio_%d_%s_%s_%.0e.npz" % (nk, a_ang, basis_variant,
-                                         precision)
+        # 'rs1': range-separated ERI (intor_eri_rs) -- the bare G-mesh
+        # ERI underconverges the sharp d-shell pairs (see intor_eri_rs)
+        key = "nio_rs1_%d_%s_%s_%.0e.npz" % (nk, a_ang, basis_variant,
+                                             precision)
         cfile = cache_file if cache_file.endswith(".npz") \
             else _os.path.join(cache_file, key)
     if cfile is not None and _os.path.exists(cfile):
@@ -702,7 +704,7 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
     else:
         S = cell.intor_ovlp()
         hcore = cell.intor_hcore()
-        eri = cell.intor_eri()
+        eri = cell.intor_eri_rs()
         e_nuc = cell.energy_nuc()
         if cfile is not None:
             _os.makedirs(_os.path.dirname(cfile) or ".", exist_ok=True)
@@ -856,8 +858,10 @@ def make_cuo2_afm_lattice(nk=2, a_ang=3.80, vac_ang=8.0, gmax=None,
     import os as _os
     cfile = None
     if cache_file is not None:
-        key = "cuo2_%d_%s_%s_%.0e.npz" % (nk, a_ang, basis_variant,
-                                          precision)
+        # 'rs1': range-separated ERI (see intor_eri_rs: the bare G-mesh
+        # underconverges the sharp Cu d/s pairs)
+        key = "cuo2_rs1_%d_%s_%s_%.0e.npz" % (nk, a_ang, basis_variant,
+                                              precision)
         cfile = cache_file if cache_file.endswith(".npz") \
             else _os.path.join(cache_file, key)
     if cfile is not None and _os.path.exists(cfile):
@@ -868,7 +872,7 @@ def make_cuo2_afm_lattice(nk=2, a_ang=3.80, vac_ang=8.0, gmax=None,
     else:
         S = cell.intor_ovlp()
         hcore = cell.intor_hcore()
-        eri = cell.intor_eri()
+        eri = cell.intor_eri_rs()
         e_nuc = cell.energy_nuc()
         if cfile is not None:
             _os.makedirs(_os.path.dirname(cfile) or ".", exist_ok=True)
@@ -1102,8 +1106,11 @@ def make_diamond_lattice3(kmesh=(3, 3, 3), a_ang=3.567, basis="gth-szv",
 
     import time as _time
     import os as _os
-    key = "diamond3_%s_%s_%s_%s_%.0e" % ("x".join(map(str, kmesh)),
-                                         a_ang, basis, pseudo, precision)
+    # 'rs1': range-separated ERI/embedding (eri_trans_full_rs): the
+    # bare G-mesh underconverges sharp pairs (see intor_eri_rs)
+    key = "diamond3_rs1_%s_%s_%s_%s_%.0e" % ("x".join(map(str, kmesh)),
+                                             a_ang, basis, pseudo,
+                                             precision)
     cfile = None
     if cache_file is not None:
         cfile = cache_file if cache_file.endswith(".npz") \
@@ -1127,8 +1134,8 @@ def make_diamond_lattice3(kmesh=(3, 3, 3), a_ang=3.567, basis="gth-szv",
         h_st = _stripe_symm_tr(h, cell.tr_diff, nlo)
         S_st = _stripe_symm_tr(S, cell.tr_diff, nlo)
         t0 = _time.time()
-        eriF = cell.eri_trans_full()
-        log.result("diamond3: translation ERI done (%.1f s)",
+        eriF = cell.eri_trans_full_rs()
+        log.result("diamond3: translation ERI (RS) done (%.1f s)",
                    _time.time() - t0)
         e_nuc = cell.energy_nuc()
         if cfile is not None:
@@ -1185,12 +1192,12 @@ def make_diamond_lattice3(kmesh=(3, 3, 3), a_ang=3.567, basis="gth-szv",
                 "C_ao_lo stripes imaginary")
     C_full = _expand_stripe_tr(C_R.real, cell.tr_diff)
     t0 = _time.time()
-    eri_imp = np.asarray(cell.get_emb_eri_aft(C_full[:, :nlo]))
+    eri_imp = np.asarray(cell.get_emb_eri_rs(C_full[:, :nlo]))
     log.result("diamond3: impurity ERI done (%.1f s)", _time.time() - t0)
 
     Lat = MeshLattice(kmesh, nlo)
     Ham = AbInitioHam(h_lo_R, f_lo_R, None, eri_imp, e_nuc / N,
-                      aft_cell=cell, C_ao_lo=C_full)
+                      aft_cell=cell, C_ao_lo=C_full, df_mode="rs")
     Lat.set_Ham_abinitio(Ham, rdm1=r_lo_R[None])
     Lat.set_val_virt_core(nlo, 0, 0)
     W, Y = make_jk_tables(eriF, cell.tr_diff)

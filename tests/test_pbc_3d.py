@@ -216,3 +216,37 @@ def test_emb_eri_rs_general_l():
     ref = cell.get_emb_eri_aft(C)
     got = cell.get_emb_eri_rs(C, omega=0.8)
     assert np.abs(got - ref).max() < 5e-6 * max(1.0, np.abs(ref).max())
+
+
+def test_eri_trans_full_rs():
+    """Range-separated translation-'full' ERI == the G-space
+    eri_trans_full on the soft-basis torus (both converged there); the
+    RS form is the converged path for sharp bases (intor_eri_rs)."""
+    km = (2, 2, 1)
+    cs = _h2_crystal(km, True)
+    ref = cs.eri_trans_full()
+    got = cs.eri_trans_full_rs(omega=1.0)
+    assert np.abs(got - ref).max() < 5e-7
+
+
+def test_intor_eri_rs_sharp_converged():
+    """intor_eri_rs is CONVERGED where the default G mesh is not: on a
+    sharp-exponent pair the bare-mesh intor_eri is off by ~1.9e-2
+    (pair-FT tail exp(-gmax^2/(2 p_max))), while the RS form matches a
+    5x-gmax converged G sum to ~1e-10 at a fraction of the cost."""
+    from libdmet_preview_tpu.ints.pbc import PbcCell
+    bd = {("H", "sharp"): [(0, [(5.4, 1.0)]), (0, [(0.2, 1.0)])]}
+    L = 12.0
+    cell = PbcCell([("H", (0, 0, 0)), ("H", (1.5, 0, 0))],
+                   np.eye(3) * L, basis="sharp", basis_data=bd,
+                   unit="B", precision=1e-8)
+    e_rs = cell.intor_eri_rs(omega=1.0)
+    e_bare = cell.intor_eri()
+    # the bare mesh really is underconverged on this fixture...
+    assert np.abs(e_rs - e_bare).max() > 1e-3
+    # ...and RS matches the expensive converged mesh
+    cell_hi = PbcCell([("H", (0, 0, 0)), ("H", (1.5, 0, 0))],
+                      np.eye(3) * L, basis="sharp", basis_data=bd,
+                      unit="B", precision=1e-8, gmax=3 * cell.gmax)
+    e_hi = cell_hi.intor_eri()
+    assert np.abs(e_rs - e_hi).max() < 1e-7
