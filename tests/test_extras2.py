@@ -123,9 +123,10 @@ def test_proj_wannier_isolated_band():
         assert (C_lo[i][:, 0].conj() @ guess[:, 0]).real > 0
     pair = get_C_ao_lo_wannier(None, C_mo, guess, band_idx=[0])
     assert pair[0].shape == (1, nk, 2, 1)
-    # W90 external stub is gated
+    # W90 is the native maxloc driver now (tests/test_wannier.py);
+    # mismatched num_wann is rejected with a pointer at disentanglement
     from libdmet_preview_tpu.lo.wannier import W90
-    with pytest.raises(ImportError):
+    with pytest.raises(TypeError):
         W90()
 
 
