@@ -898,13 +898,23 @@ class TCCSD(CCSD):
     """Tailored CCSD (reference solver/utccsd.py:898 + gtccsd.py roles):
     the CAS-sector T1/T2 are read out of a CAS-FCI wavefunction
     (solvers/ci_to_cc.py) and FROZEN; the external amplitudes relax by
-    CCSD.  CAS = the ncas canonical orbitals around the Fermi level.
-    RDMs are response densities at fixed CAS amplitudes."""
+    CCSD.  CAS = the ncas canonical orbitals around the Fermi level of
+    EACH spin channel (per-spin windows on unrestricted references, the
+    UCASCI frame), solved by spin-dependent FCI.  This is the
+    static-correlation-safe CC for spin-polarized d-block embeddings
+    (NiO/cuprates) where plain UCCSD stalls on the near-degenerate d
+    manifold.  RDMs are response densities at fixed CAS amplitudes."""
 
     def __init__(self, ncas, nelecas, restricted=True, Sz=0, **kwargs):
         super().__init__(restricted=restricted, Sz=Sz, **kwargs)
         self.ncas = ncas
-        self.nelecas = nelecas
+        if isinstance(nelecas, (tuple, list)):
+            self.na_cas, self.nb_cas = nelecas
+            self.nelecas = self.na_cas + self.nb_cas
+        else:
+            self.nelecas = nelecas
+            self.na_cas = nelecas // 2 + nelecas % 2
+            self.nb_cas = nelecas - self.na_cas
 
     def run(self, Ham, nelec=None, dm0=None, calc_rdm2=False, **kwargs):
         from libdmet_preview_tpu.solvers.fci import fci_kernel
@@ -924,30 +934,41 @@ class TCCSD(CCSD):
         mo = self.scfsolver.mo_coeff
         Ca = mo[0]
         Cb = mo[1] if mo.shape[0] == 2 else mo[0]
-        log.eassert(np.max(np.abs(Ca - Cb)) < 1e-8,
-                    "TCCSD implemented on spin-restricted references")
 
-        # --- CAS-FCI in the canonical MO basis, core-veff dressed
+        # --- CAS-FCI in the per-spin canonical MO bases, core-veff
+        # dressed (spin-dependent active Hamiltonian; restricted
+        # references reduce to the same equations with Ca == Cb)
         ncas = self.ncas
-        na_cas = self.nelecas // 2 + self.nelecas % 2
-        nb_cas = self.nelecas - na_cas
-        ncore = na - na_cas
-        assert ncore >= 0 and ncore + ncas <= n
+        na_cas, nb_cas = self.na_cas, self.nb_cas
+        nca, ncb = na - na_cas, nb - nb_cas
+        log.eassert(nca >= 0 and ncb >= 0 and max(nca, ncb) + ncas <= n,
+                    "TCCSD active window (%d, (%d,%d)) incompatible "
+                    "with nelec=(%d,%d), norb=%d", ncas, na_cas, nb_cas,
+                    na, nb, n)
         h1a, h1b, g_aa, g_bb, g_ab = self._unpack(Ham)
-        h_mo = Ca.T @ h1a @ Ca
-        g_mo = np.asarray(jnp.einsum(
+        Cca, Ccb = Ca[:, :nca], Cb[:, :ncb]
+        dmca, dmcb = Cca @ Cca.T, Ccb @ Ccb.T
+        va, vb = [np.asarray(x) for x in _veff_uhf(
+            jnp.asarray(dmca), jnp.asarray(dmcb), jnp.asarray(g_aa),
+            jnp.asarray(g_bb), jnp.asarray(g_ab))]
+        Aa = Ca[:, nca:nca + ncas]
+        Ab = Cb[:, ncb:ncb + ncas]
+        h_a = Aa.T @ (h1a + va) @ Aa
+        h_b = Ab.T @ (h1b + vb) @ Ab
+        jAa, jAb = jnp.asarray(Aa), jnp.asarray(Ab)
+        g_cas_aa = np.asarray(jnp.einsum(
             "pqrs, pi, qj, rk, sl -> ijkl", jnp.asarray(g_aa),
-            *([jnp.asarray(Ca)] * 4), optimize=True))
-        C_core = Ca[:, :ncore]
-        dm_core = 2.0 * C_core @ C_core.T
-        v_core = np.asarray(_veff_uhf(
-            jnp.asarray(dm_core * 0.5), jnp.asarray(dm_core * 0.5),
-            jnp.asarray(g_aa), jnp.asarray(g_aa), jnp.asarray(g_aa))[0])
-        act = slice(ncore, ncore + ncas)
-        h_cas = (Ca.T @ (h1a + v_core) @ Ca)[act, act]
-        g_cas = g_mo[act, act, act, act]
-        E_cas, ci = fci_kernel(h_cas, g_cas, ncas, (na_cas, nb_cas),
-                               ecore=0.0, tol=1e-12)
+            jAa, jAa, jAa, jAa, optimize=True))
+        g_cas_bb = np.asarray(jnp.einsum(
+            "pqrs, pi, qj, rk, sl -> ijkl", jnp.asarray(g_bb),
+            jAb, jAb, jAb, jAb, optimize=True))
+        g_cas_ab = np.asarray(jnp.einsum(
+            "pqrs, pi, qj, rk, sl -> ijkl", jnp.asarray(g_ab),
+            jAa, jAa, jAb, jAb, optimize=True))
+        E_cas, ci = fci_kernel((h_a, h_b),
+                               (g_cas_aa, g_cas_ab, g_cas_bb),
+                               ncas, (na_cas, nb_cas), ecore=0.0,
+                               tol=1e-12)
         t1_cas, t2_cas = ci_to_cc_so(ci, ncas, (na_cas, nb_cas))
 
         # --- embed CAS amplitudes into the full spin-orbital layout
