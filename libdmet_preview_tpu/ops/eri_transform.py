@@ -92,12 +92,21 @@ def get_emb_eri_chol(L, basis, outcore=None):
     C = basis.reshape(spin, ncells * nlo, neo)
     Lj = jnp.asarray(L)
     Ls = [_rotate_chol(Lj, jnp.asarray(C[s])) for s in range(spin)]
-    if spin == 1 and _use_pallas_syrk(np.shape(L)[0], neo):
+    if _use_pallas_syrk(np.shape(L)[0], neo):
         # flagship TPU kernel: split-fp32 Kahan syrk on the MXU
         # (ops/pallas_eri.py; ~1e-7 relative vs the f64 einsum,
-        # tests/test_pallas_eri.py + the on-chip bench in README)
+        # tests/test_pallas_eri.py + the on-chip bench in README);
+        # unrestricted runs two syrks (aa, bb) + the ab cross GEMM
+        # through the same kernel
         from libdmet_preview_tpu.ops.pallas_eri import eri_from_df_pallas
-        blocks = [jnp.asarray(eri_from_df_pallas(np.asarray(Ls[0])))]
+        La = np.asarray(Ls[0])
+        if spin == 1:
+            blocks = [jnp.asarray(eri_from_df_pallas(La))]
+        else:
+            Lb = np.asarray(Ls[1])
+            blocks = [jnp.asarray(eri_from_df_pallas(La)),
+                      jnp.asarray(eri_from_df_pallas(Lb)),
+                      jnp.asarray(eri_from_df_pallas(La, Lb))]
     elif spin == 1:
         blocks = [_syrk_eri(Ls[0], Ls[0])]
     else:

@@ -79,14 +79,17 @@ def _syrk_kernel(fhi_i, flo_i, fhi_j, flo_j, out_val, out_comp,
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def syrk_df(F, interpret=False):
-    """eri = F^T F for DF factors F (naux, npair), float64 in/out, via
-    the split-fp32 Kahan Pallas kernel.  naux and npair must be padded
-    to multiples of KB/TI by the caller (see eri_from_df_pallas)."""
+def syrk_df(F, F2=None, interpret=False):
+    """eri = F^T F2 for DF factors F/F2 (naux, npair), float64 in/out,
+    via the split-fp32 Kahan Pallas kernel (F2=None -> the syrk F^T F;
+    distinct F2 is the unrestricted ab cross block).  naux and npair
+    must be padded to multiples of KB/TI by the caller
+    (see eri_from_df_pallas)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     naux, npair = F.shape
     fhi, flo = split_f32(F)
+    fhi2, flo2 = (fhi, flo) if F2 is None else split_f32(F2)
     grid = (npair // TI, npair // TI, naux // KB)
     spec_i = pl.BlockSpec((KB, TI), lambda i, j, k: (k, i),
                           memory_space=pltpu.VMEM)
@@ -104,7 +107,7 @@ def syrk_df(F, interpret=False):
         scratch_shapes=[pltpu.VMEM((TI, TI), jnp.float32),
                         pltpu.VMEM((TI, TI), jnp.float32)],
         interpret=interpret,
-    )(fhi, flo, fhi, flo)
+    )(fhi, flo, fhi2, flo2)
     return val.astype(jnp.float64) + comp.astype(jnp.float64)
 
 
@@ -144,10 +147,12 @@ def unpack_s4(eri_s4, neo):
     return out
 
 
-def eri_from_df_pallas(Lemb, interpret=False):
+def eri_from_df_pallas(Lemb, Lemb2=None, interpret=False):
     """Full embedding ERI from embedded DF factors Lemb (naux, neo, neo)
     via the Pallas syrk: pack tril, pad to tile multiples, kernel,
-    unpack.  Returns (neo, neo, neo, neo) float64."""
+    unpack.  With Lemb2, computes the cross block
+    eri[ij, kl] = sum_x Lemb[x, ij] Lemb2[x, kl] (the unrestricted ab
+    channel).  Returns (neo, neo, neo, neo) float64."""
     Lemb = np.asarray(Lemb)
     naux, neo = Lemb.shape[0], Lemb.shape[-1]
     F = pack_tril(Lemb)
@@ -156,7 +161,14 @@ def eri_from_df_pallas(Lemb, interpret=False):
     naux_p = -(-naux // KB) * KB
     Fp = np.zeros((naux_p, npair_p))
     Fp[:naux, :npair] = F
-    eri_s4 = np.asarray(syrk_df(jnp.asarray(Fp), interpret=interpret))
+    F2p = None
+    if Lemb2 is not None:
+        F2 = pack_tril(Lemb2)
+        F2p = np.zeros((naux_p, npair_p))
+        F2p[:naux, :npair] = F2
+        F2p = jnp.asarray(F2p)
+    eri_s4 = np.asarray(syrk_df(jnp.asarray(Fp), F2p,
+                                interpret=interpret))
     return unpack_s4(eri_s4[:npair, :npair], neo)
 
 

@@ -23,6 +23,24 @@ def test_syrk_split_precision():
     assert rel < 1e-6, rel
 
 
+def test_cross_gemm_split_precision():
+    """Unrestricted ab channel: eri_ab = sum_x La (x) Lb through the same
+    kernel with distinct i/j operands, vs the fp64 einsum."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from libdmet_preview_tpu.ops.pallas_eri import eri_from_df_pallas
+    rng = np.random.RandomState(3)
+    naux, neo = 96, 18
+    La = rng.randn(naux, neo, neo)
+    La = 0.5 * (La + La.transpose(0, 2, 1)) * 0.3
+    Lb = rng.randn(naux, neo, neo)
+    Lb = 0.5 * (Lb + Lb.transpose(0, 2, 1)) * 0.3
+    eri_ref = np.einsum("xij, xkl -> ijkl", La, Lb, optimize=True)
+    eri = eri_from_df_pallas(La, Lb, interpret=True)
+    rel = np.abs(eri - eri_ref).max() / np.abs(eri_ref).max()
+    assert rel < 1e-6, rel
+
+
 def test_pallas_matches_library_chol_path():
     import jax
     jax.config.update("jax_platforms", "cpu")
