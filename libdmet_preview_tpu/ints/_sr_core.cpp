@@ -265,8 +265,15 @@ void sr_cand_sum(int64_t lsum, int64_t ncand, int64_t nimg_p,
 //   pc12/pc34: (nprim_pairs, 5) = p, c, Px, Py, Pz
 //   E12:  (np12, nc1*nc2, (l12+1)^3)  dense per-primitive E tables
 //   E34:  concatenation of (np34_kp, nc3*nc4, (l34+1)^3) blocks
-//   kmeta: (nkp, 7) int64 = l34, nc3, nc4, prim_off, prim_len,
-//          E34_off (doubles), out_off (= k0*s2 + l0)
+//   kmeta: (nkp, 8) int64 = l34, nc3, nc4, prim_off, prim_len,
+//          E34_off (doubles), out_off (= k0*s2 + l0), out_off_T
+//          (= l0*s2 + k0 for the (pq|sr) ket-swap partner block of a
+//          CANONICAL ket pair list, or -1 for a self pair: real
+//          orbitals give (0p Jq | Kr Ls) = (0p Jq | Ls Kr), so the
+//          caller enumerates only k<l (plus one of +/-T for k==l) and
+//          this kernel scatters both the block and its transpose --
+//          the expensive Boys/Hermite/GEMM work runs once per
+//          unordered ket pair)
 //   kgeom: (nkp, 4) = Qmx, Qmy, Qmz, Qr (Qr unused; kept for layout)
 //   A / cnorm: lattice row vectors (T = n . A) and the column norms of
 //          A^{-1} -- images are ENUMERATED per primitive pair as the
@@ -302,13 +309,14 @@ void erfc_eri_rows(int64_t l12, int64_t nc1, int64_t nc2, int64_t np12,
     double Fn[NERI + 1];
 
     for (int64_t kp = 0; kp < nkp; ++kp) {
-        const int64_t l34 = kmeta[7 * kp];
-        const int64_t nc3 = kmeta[7 * kp + 1];
-        const int64_t nc4 = kmeta[7 * kp + 2];
-        const int64_t p_off = kmeta[7 * kp + 3];
-        const int64_t p_len = kmeta[7 * kp + 4];
-        const int64_t e_off = kmeta[7 * kp + 5];
-        const int64_t out_off = kmeta[7 * kp + 6];
+        const int64_t l34 = kmeta[8 * kp];
+        const int64_t nc3 = kmeta[8 * kp + 1];
+        const int64_t nc4 = kmeta[8 * kp + 2];
+        const int64_t p_off = kmeta[8 * kp + 3];
+        const int64_t p_len = kmeta[8 * kp + 4];
+        const int64_t e_off = kmeta[8 * kp + 5];
+        const int64_t out_off = kmeta[8 * kp + 6];
+        const int64_t out_off_T = kmeta[8 * kp + 7];
         const int h34 = (int)((l34 + 1) * (l34 + 1) * (l34 + 1));
         const int nc34 = (int)(nc3 * nc4);
         const int lsum = (int)(l12 + l34);
@@ -439,6 +447,8 @@ void erfc_eri_rows(int64_t l12, int64_t nc1, int64_t nc2, int64_t np12,
                 for (int c = 0; c < nc12; ++c) {
                     const int i = c / (int)nc2, j = c % (int)nc2;
                     double* ob = out + i * s0 + j * s1 + out_off;
+                    double* obT = (out_off_T >= 0)
+                        ? out + i * s0 + j * s1 + out_off_T : nullptr;
                     const double* tr = tm + (int64_t)c * h34;
                     for (int d = 0; d < nc34; ++d) {
                         const double* eb = Eb + (int64_t)d * h34;
@@ -446,7 +456,9 @@ void erfc_eri_rows(int64_t l12, int64_t nc1, int64_t nc2, int64_t np12,
                         for (int g = 0; g < h34; ++g)
                             acc += tr[g] * eb[g];
                         const int k = d / (int)nc4, l = d % (int)nc4;
-                        ob[k * s2 + l] += fac * acc;
+                        const double v = fac * acc;
+                        ob[k * s2 + l] += v;
+                        if (obT) obT[l * s2 + k] += v;
                     }
                 }
             }

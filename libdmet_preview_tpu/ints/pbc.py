@@ -1121,22 +1121,37 @@ class PbcCell(object):
         def ext(sh):
             return np.sqrt(-np.log(prec) / sh.exps.min())
 
-        def pairs(row_shells):
+        def pairs(row_shells, canonical=False):
+            """Shell-pair/image list; canonical=True keeps one member of
+            each {(k,l,T), (l,k,-T)} orbit (real orbitals: the two give
+            transposed ket blocks, (pq|rs) = (pq|sr)) with dup=True,
+            self pairs (k==l, T==0, symmetric block) dup=False."""
             out = []
             for i in row_shells:
                 shi, (i0, i1) = shells[i], self.shell_slices[i]
                 for j in range(nsh):
+                    if canonical and j < i:
+                        continue
                     shj, (j0, j1) = shells[j], self.shell_slices[j]
                     for T in self._pair_image_list(shi, shj):
+                        dup = True
+                        if canonical and j == i:
+                            key = tuple(np.round(T, 8))
+                            mkey = tuple(np.round(-T, 8))
+                            if key < mkey:
+                                continue
+                            if key == mkey:      # T == 0 self pair
+                                dup = False
                         mid = 0.5 * (shi.center + shj.center + T)
                         rad = (0.5 * np.linalg.norm(
                             shi.center - shj.center - T)
                             + max(ext(shi), ext(shj)))
-                        out.append((i, j, T, i0, i1, j0, j1, mid, rad))
+                        out.append((i, j, T, i0, i1, j0, j1, mid, rad,
+                                    dup))
             return out
 
         bras = pairs(range(nsh_bra))
-        kets = pairs(range(nsh))
+        kets = pairs(range(nsh), canonical=True)
         Tks = np.ascontiguousarray(self.lattice_images(
             rcut_k + 2.0 * max(ext(sh) for sh in shells)), dtype=float)
         eri0 = np.zeros((m, nao, nao, nao))
@@ -1149,15 +1164,17 @@ class PbcCell(object):
             import ctypes as _ct
             from libdmet_preview_tpu.ints.md import pair_prim_dense
             nkp = len(kets)
-            kmeta = np.empty((nkp, 7), dtype=np.int64)
+            kmeta = np.empty((nkp, 8), dtype=np.int64)
             kgeom = np.empty((nkp, 4))
             pc_l, E_l = [], []
             p_off = e_off = 0
-            for idx, (k, l, TL, k0, k1, l0, l1, Qm, Qr) in enumerate(kets):
+            for idx, (k, l, TL, k0, k1, l0, l1, Qm, Qr,
+                      dup) in enumerate(kets):
                 pc, E = pair_prim_dense(shells[k], shells[l], TL)
                 kmeta[idx] = (shells[k].l + shells[l].l, shells[k].nc,
                               shells[l].nc, p_off, len(pc), e_off,
-                              k0 * nao + l0)
+                              k0 * nao + l0,
+                              l0 * nao + k0 if dup else -1)
                 kgeom[idx, :3] = Qm
                 kgeom[idx, 3] = Qr
                 pc_l.append(pc)
@@ -1172,7 +1189,7 @@ class PbcCell(object):
             Ainv = np.ascontiguousarray(np.linalg.inv(Amat))
             cnorm = np.ascontiguousarray(
                 np.linalg.norm(Ainv, axis=0))
-            for (i, j, TJ, i0, i1, j0, j1, Pm, Pr) in bras:
+            for (i, j, TJ, i0, i1, j0, j1, Pm, Pr, _dup) in bras:
                 shi, shj = shells[i], shells[j]
                 pc12, E12 = pair_prim_dense(shi, shj, TJ)
                 lib.erfc_eri_rows(
@@ -1186,19 +1203,22 @@ class PbcCell(object):
                     _ct.c_void_p(eri0.ctypes.data
                                  + 8 * (i0 * s0 + j0 * s1)))
         else:
-            for (i, j, TJ, i0, i1, j0, j1, Pm, Pr) in bras:
+            for (i, j, TJ, i0, i1, j0, j1, Pm, Pr, _dup) in bras:
                 shi, shj = shells[i], shells[j]
-                for (k, l, TL, k0, k1, l0, l1, Qm, Qr) in kets:
+                for (k, l, TL, k0, k1, l0, l1, Qm, Qr, dup) in kets:
                     shk, shl = shells[k], shells[l]
                     d = Pm - Qm - Tks
                     keep = np.einsum("ti, ti -> t", d, d) \
                         < (rcut_k + Pr + Qr) ** 2
                     if not np.any(keep):
                         continue
-                    eri0[i0:i1, j0:j1, k0:k1, l0:l1] += \
-                        eri_block_erfc_tsum(
-                            shi, shj, shk, shl, (TJ, None, TL),
-                            Tks[keep], omega, tol=prec)
+                    blk = eri_block_erfc_tsum(
+                        shi, shj, shk, shl, (TJ, None, TL),
+                        Tks[keep], omega, tol=prec)
+                    eri0[i0:i1, j0:j1, k0:k1, l0:l1] += blk
+                    if dup:   # (pq|rs) = (pq|sr): ket-swap partner
+                        eri0[i0:i1, j0:j1, l0:l1, k0:k1] += \
+                            blk.transpose(0, 1, 3, 2)
         return eri0
 
     def _sr_emb_eri(self, C_emb, omega, pair_tol=None, C_ket=None):
