@@ -10,6 +10,7 @@ ctypes.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -20,27 +21,49 @@ from libdmet_preview_tpu.utils import logger as log
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_gto_core.cpp")
 if os.access(_HERE, os.W_OK):
-    _SO = os.path.join(_HERE, "_gto_core.so")
+    _SO_DIR = _HERE
 else:  # read-only install: build under the user cache dir instead
-    _CACHE = os.path.join(
+    _SO_DIR = os.path.join(
         os.environ.get("XDG_CACHE_HOME",
                        os.path.join(os.path.expanduser("~"), ".cache")),
         "libdmet_preview_tpu")
-    os.makedirs(_CACHE, exist_ok=True)
-    _SO = os.path.join(_CACHE, "_gto_core.so")
+    os.makedirs(_SO_DIR, exist_ok=True)
+
+
+def _src_snapshot(src):
+    """(source bytes, hash-stamped .so path), captured at IMPORT time:
+    the lazy build later compiles THIS snapshot into a content-keyed
+    file, so a long-running process always loads a binary matching the
+    C source that shipped with its loaded Python code -- never a
+    silently ABI-mismatched rebuild (editing the .cpp while jobs ran
+    used to rebuild the shared mtime-keyed .so under them and segfault
+    on the changed struct layouts)."""
+    with open(src, "rb") as f:
+        data = f.read()
+    h = hashlib.md5(data).hexdigest()[:10]
+    base = os.path.splitext(os.path.basename(src))[0]
+    return data, os.path.join(_SO_DIR, "%s.%s.so" % (base, h))
+
+
+_GTO_SRC_DATA, _SO = _src_snapshot(_SRC)
 _LIB = None
 _TRIED = False
 
 
-def _build():
-    """Compile to a private temp file and os.rename into place: rename is
-    atomic on POSIX, so concurrent processes never observe a partially
-    written .so (they either load the old complete file or the new one)."""
-    tmp = "%s.tmp.%d" % (_SO, os.getpid())
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
+def _build_snapshot(src_data, so, timeout=120):
+    """Compile the import-time source snapshot to a private temp file
+    and os.rename into place: rename is atomic on POSIX, so concurrent
+    processes never observe a partially written .so (they either load
+    the old complete file or the new one)."""
+    tmp_src = "%s.tmp.%d.cpp" % (so, os.getpid())
+    tmp = "%s.tmp.%d" % (so, os.getpid())
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.rename(tmp, _SO)
+        with open(tmp_src, "wb") as f:
+            f.write(src_data)
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-x", "c++",
+                        "-o", tmp, tmp_src], check=True,
+                       capture_output=True, timeout=timeout)
+        os.rename(tmp, so)
         return True
     except Exception as e:  # compiler missing / sandboxed build dir
         log.warn("native integral core build failed (%s); "
@@ -51,6 +74,16 @@ def _build():
         except OSError:
             pass
         return False
+    finally:
+        try:
+            if os.path.exists(tmp_src):
+                os.remove(tmp_src)
+        except OSError:
+            pass
+
+
+def _build():
+    return _build_snapshot(_GTO_SRC_DATA, _SO)
 
 
 def get_lib():
@@ -61,8 +94,7 @@ def get_lib():
     _TRIED = True
     if os.environ.get("LIBDMET_TPU_NO_NATIVE"):
         return None
-    if not os.path.exists(_SO) or \
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    if not os.path.exists(_SO):        # content-keyed name: exists == current
         if not _build():
             return None
     try:
@@ -83,6 +115,7 @@ def get_lib():
     return _LIB
 
 
+_SR_SRC_DATA, _SR_SO = _src_snapshot(os.path.join(_HERE, "_sr_core.cpp"))
 _SR_LIB = None
 _SR_TRIED = False
 
@@ -97,23 +130,9 @@ def get_sr_lib():
     _SR_TRIED = True
     if os.environ.get("LIBDMET_TPU_NO_NATIVE"):
         return None
-    src = os.path.join(_HERE, "_sr_core.cpp")
-    so = os.path.join(os.path.dirname(_SO), "_sr_core.so")
-    if not os.path.exists(so) or \
-            os.path.getmtime(so) < os.path.getmtime(src):
-        tmp = "%s.tmp.%d" % (so, os.getpid())
-        try:
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", tmp,
-                            src], check=True, capture_output=True,
-                           timeout=180)
-            os.rename(tmp, so)
-        except Exception as e:
-            log.warn("native SR core build failed (%s); numpy path", e)
-            try:
-                if os.path.exists(tmp):
-                    os.remove(tmp)
-            except OSError:
-                pass
+    so = _SR_SO
+    if not os.path.exists(so):     # content-keyed name: exists == current
+        if not _build_snapshot(_SR_SRC_DATA, so, timeout=180):
             return None
     try:
         lib = ctypes.CDLL(so)
