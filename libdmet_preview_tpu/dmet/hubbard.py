@@ -26,7 +26,8 @@ from libdmet_preview_tpu.models.integral import Integral
 from libdmet_preview_tpu.ops import mfd, embham, fit as fit_mod
 from libdmet_preview_tpu.ops.vcor import (VcorLocal, VcorLocalPhSymm,
                                           VcorSymm, VcorSymmBogo,
-                                          VcorNonLocal, VcorKpoints)
+                                          VcorNonLocal, VcorKpoints,
+                                          VcorRestricted)
 from libdmet_preview_tpu.ops.diis import DIIS, FDiisContext
 from libdmet_preview_tpu.ops.fit import (addDiag, make_vcor_trace_unchanged,
                                          vcor_diag_average)
@@ -194,12 +195,13 @@ def transformResults(rhoEmb, E, basis, ImpHam, H1e=None, int_bath=False,
     if int_bath:
         solver = kwargs.get("solver", None)
         solver_args = kwargs.get("solver_args", {})
+        kwargs.setdefault("rdm1_emb", rhoEmb)  # reference Hubbard.py:63-64
         Efrag = get_E_dmet(basis, lattice, ImpHam, last_dmu, solver,
                            solver_args=solver_args,
                            imp_idx=list(imp_idx), **{
                                k: v for k, v in kwargs.items()
                                if k in ("add_vcor_to_E", "vcor", "E1",
-                                        "rdm1_emb")})
+                                        "rdm1_emb", "veff")})
     log.debug(0, "E0 = %20.12f, E1 = %20.12f, E2 = %20.12f, E = %20.12f",
               lattice.getH0(), E1, E2, Efrag)
     return rhoImp, Efrag / nscsites, nelec / nscsites
@@ -207,14 +209,21 @@ def transformResults(rhoEmb, E, basis, ImpHam, H1e=None, int_bath=False,
 
 def get_H_dmet(basis, lattice, ImpHam, last_dmu, imp_idx=None,
                add_vcor_to_E=False, vcor=None, E1=None, rdm1_emb=None,
-               **kwargs):
+               veff=None, **kwargs):
     """Scaled (democratic-partitioning) DMET Hamiltonian for the
     interacting-bath energy functional (reference slater.py:1957-2032).
 
     E1: optional externally evaluated one-body energy (hcore + J/K from
     the GLOBAL density matrix, the reference's E1-from-glob variant,
     slater.py:2015-2018): the scaled H1 then only removes the locally
-    double-counted veff of rdm1_emb and H0 absorbs E1."""
+    double-counted veff of rdm1_emb and H0 absorbs E1.
+
+    veff: optional lattice veff in the LO basis (stripe (spin, R, n, n)
+    or spin-batched R-matrix), typically rebuilt from the correlated
+    GLOBAL density matrix (charge self-consistency, reference
+    slater.py:1989-1997 / test_csc.py): the core JK term then becomes
+    transform_h1(veff) minus the locally double-counted veff of
+    rdm1_emb, instead of the mean-field lattice.JK_core."""
     spin = basis.shape[0]
     nbasis = basis.shape[-1]
     if imp_idx is None:
@@ -235,7 +244,21 @@ def get_H_dmet(basis, lattice, ImpHam, last_dmu, imp_idx=None,
                         {"cd": H1_scaled}, {"ccdd": H2_scaled})
     hcore_k = lattice.getH1(kspace=True)
     H1_scaled = np.array(embham.transform_h1(hcore_k, basis_k))
-    if lattice.JK_core is not None:
+    if veff is not None:
+        # charge self-consistency: JK_core from the provided lattice
+        # veff (built from the correlated global rdm1) minus the local
+        # double counting (reference slater.py:1989-1997)
+        veff = np.asarray(veff)
+        if veff.ndim == 3:
+            veff = veff[None]
+        veff_k = lattice._pairify(lattice.R2k(veff))
+        JK_core = np.array(embham.transform_h1(veff_k, basis_k))
+        JK_core -= np.asarray(embham.get_veff(
+            np.asarray(rdm1_emb) * (2.0 / spin),
+            jnp.asarray(ImpHam.H2["ccdd"])))
+        for s in range(spin):
+            H1_scaled[s] += 0.5 * JK_core[s]
+    elif lattice.JK_core is not None:
         for s in range(spin):
             H1_scaled[s] += 0.5 * lattice.JK_core[s]
     if add_vcor_to_E:

@@ -470,7 +470,9 @@ def get_veff_from_rdm1_emb(lattice, rdm1_emb, basis):
 def update_lattice_csc(lattice, rdm1_emb, basis):
     """One charge-self-consistency step: fock <- hcore + veff(rho_glob)
     (reference update_Ham/test_csc workflow).  Updates the lattice in
-    place and returns the max fock change."""
+    place and returns (max fock change, veff stripe) — the veff can be
+    fed to the DMET energy functional (get_H_dmet(veff=...),
+    reference test_csc.py:186-194)."""
     veff_stripe, rho_glob = get_veff_from_rdm1_emb(lattice, rdm1_emb, basis)
     spin = veff_stripe.shape[0]
     hcore = np.asarray(lattice.hcore_lo_R)
@@ -484,7 +486,7 @@ def update_lattice_csc(lattice, rdm1_emb, basis):
     lattice.fock_lo_k = lattice._pairify(lattice.R2k(fock_new))
     lattice.rdm1_lo_R = rho_glob * (2.0 if spin == 1 else 1.0)
     lattice.rdm1_lo_k = lattice._pairify(lattice.R2k(lattice.rdm1_lo_R))
-    return dfock
+    return dfock, veff_stripe
 
 
 def get_E1_from_glob(lattice, rdm1_emb, basis):

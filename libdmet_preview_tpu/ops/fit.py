@@ -376,7 +376,20 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
     if dd.size:
         mask[:, dd, dd] = 1.0
 
-    rho_target = np.asarray(rho) * mask
+    rho = np.asarray(rho)
+    if kwargs.get("idem_fit", False):
+        # fit against the idempotent part of the correlated rdm1:
+        # occupy its natural orbitals with assignocc (reference
+        # slater.py:975-978 / slater_helper.py:380 get_rdm1_idem)
+        from libdmet_preview_tpu.ops import mfd
+        rho_idem = np.empty_like(rho)
+        for s in range(spin):
+            ew, ev = np.linalg.eigh(rho[s])
+            ew, ev = -ew[::-1], ev[:, ::-1]
+            ewocc, _, _ = mfd.assignocc(ew, int(nelec[s]), beta, mu0=-0.5)
+            rho_idem[s] = (ev * ewocc) @ ev.T
+        rho = rho_idem
+    rho_target = rho * mask
 
     args = (jnp.asarray(embH1), jnp.asarray(dV), jnp.asarray(Li),
             jnp.asarray(mask), jnp.asarray(rho_target))

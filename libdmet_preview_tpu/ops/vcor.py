@@ -311,6 +311,85 @@ def VcorLocal(restricted, bogoliubov, nscsites, idx_range=None, bogo_res=False,
     return v
 
 
+def VcorRestricted(restricted, bogoliubov, active_sites, core_sites,
+                   bogo_res=False, nscsites=None):
+    """Full vcor block over active_sites + DIAGONAL-only potential over
+    core_sites (reference dmet/Hubbard.py:788-870; the det-fit protocol
+    of test_det.py uses active_sites=[], core_sites=range(nao)).
+
+    Parameter layout matches the reference: the active upper-triangle
+    pairs first (doubled for unrestricted: alpha block then beta), then
+    the core diagonals (doubled for unrestricted), then any bogoliubov
+    pairing params on the active block."""
+    active_sites = list(active_sites)
+    core_sites = list(core_sites)
+    nact, ncor = len(active_sites), len(core_sites)
+    if nscsites is None:
+        nscsites = nact + ncor
+    pairs = list(it.combinations_with_replacement(active_sites, 2))
+    npair = len(pairs)
+
+    entries = [[], [], [], [], []]
+
+    def add(p, s, i, j, c):
+        entries[0].append(p)
+        entries[1].append(s)
+        entries[2].append(i)
+        entries[3].append(j)
+        entries[4].append(c)
+
+    def add_sym(p, s, i, j, c):
+        add(p, s, i, j, c)
+        if i != j:
+            add(p, s, j, i, c)
+
+    if restricted:
+        nV0, nV = npair, npair + ncor
+        for idx, (i, j) in enumerate(pairs):
+            add_sym(idx, 0, i, j, 1.0)
+            add_sym(idx, 1, i, j, 1.0)
+        for idx, i in enumerate(core_sites):
+            add(nV0 + idx, 0, i, i, 1.0)
+            add(nV0 + idx, 1, i, i, 1.0)
+        diag_idx = [np.concatenate([
+            np.asarray([k for k, (i, j) in enumerate(pairs) if i == j],
+                       dtype=int),
+            np.arange(nV0, nV)])]
+    else:
+        nV0, nV = npair * 2, npair * 2 + ncor * 2
+        for idx, (i, j) in enumerate(pairs):
+            add_sym(idx, 0, i, j, 1.0)
+            add_sym(npair + idx, 1, i, j, 1.0)
+        for idx, i in enumerate(core_sites):
+            add(nV0 + idx, 0, i, i, 1.0)
+            add(nV0 + ncor + idx, 1, i, i, 1.0)
+        d = np.asarray([k for k, (i, j) in enumerate(pairs) if i == j],
+                       dtype=int)
+        diag_idx = [np.concatenate([d, np.arange(nV0, nV0 + ncor)]),
+                    np.concatenate([d + npair,
+                                    np.arange(nV0 + ncor, nV)])]
+
+    # pairing (bogoliubov) terms live on the active block only
+    # (reference: "no bogoliubov term on core sites")
+    nD = 0
+    spin_comp = 2
+    if bogoliubov:
+        spin_comp = 3
+        if restricted or bogo_res:
+            nD = npair
+            for idx, (i, j) in enumerate(pairs):
+                add_sym(nV + idx, 2, i, j, 1.0)
+        else:
+            prod = list(it.product(active_sites, repeat=2))
+            nD = len(prod)
+            for idx, (i, j) in enumerate(prod):
+                add(nV + idx, 2, i, j, 1.0)
+
+    return Vcor(nV + nD, spin_comp, nscsites, entries, diag_idx=diag_idx,
+                restricted=restricted, bogoliubov=bogoliubov,
+                idx_range=sorted(active_sites + core_sites))
+
+
 def VcorKpoints(restricted, bogoliubov, lattice, rcells=None):
     """k-resolved correlation potential (reference vcor.py:526-812
     VcorKpoints role).  Parametrized by real per-cell blocks over all

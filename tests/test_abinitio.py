@@ -302,7 +302,7 @@ def test_csc_hf_fixed_point(hring6):
     # CSC fixed point: the rebuilt fock equals the converged lattice fock
     fock_before = np.array(Lat.fock_lo_R, copy=True)
     rdm1_before = np.array(Lat.rdm1_lo_R, copy=True)
-    dfock = embham.update_lattice_csc(Lat, rhoEmb, basis)
+    dfock, _ = embham.update_lattice_csc(Lat, rhoEmb, basis)
     assert dfock < 1e-6
     # restore state for other tests sharing the fixture (the CSC update
     # also swaps in the democratic global rdm)
@@ -420,7 +420,7 @@ def test_csc_full_loop_fci():
             last_dmu=last_dmu, int_bath=True, solver=solver,
             solver_args=solver_args)
         E_hist.append(EnergyImp)
-        dfock = embham.update_lattice_csc(Lat, rhoEmb, basis)
+        dfock, _ = embham.update_lattice_csc(Lat, rhoEmb, basis)
         if dfock < 1e-7 and it > 0:
             break
     assert dfock < 1e-7, "CSC fock did not converge: dfock=%g" % dfock

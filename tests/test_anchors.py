@@ -23,7 +23,8 @@ def hchain():
 
 def run_hchain_dmet(Lat, meta, solver, int_bath=True, e1_from_glob=False,
                     max_iter=14, u_tol=5e-5, e_tol=5e-6, beta=np.inf,
-                    charge_sc=True, verbose=False):
+                    charge_sc=True, det=False, csc_glob=False,
+                    idem_fit=False, verbose=False):
     import libdmet_preview_tpu.dmet.hubbard as dmet
     from libdmet_preview_tpu.models.abinitio import update_ham_dense
     from libdmet_preview_tpu.ops import embham
@@ -32,8 +33,15 @@ def run_hchain_dmet(Lat, meta, solver, int_bath=True, e1_from_glob=False,
     from libdmet_preview_tpu.ops.fit import make_vcor_trace_unchanged
     nsc = Lat.nscsites
     Filling = 6 / (nsc * 2.0 * 3)
-    vcor = VcorLocal(True, False, nsc)
-    vcor.assign(np.zeros((2, nsc, nsc)))
+    if det:
+        # the reference det protocol fits a DIAGONAL-only restricted
+        # vcor (VcorRestricted(active=[], core=all), test_det.py:72-74)
+        from libdmet_preview_tpu.ops.vcor import VcorRestricted
+        vcor = VcorRestricted(True, False, [], range(nsc))
+        vcor.assign(np.zeros((2, nsc, nsc)))
+    else:
+        vcor = VcorLocal(True, False, nsc)
+        vcor.assign(np.zeros((2, nsc, nsc)))
     mu_solver = dmet.MuSolver(adaptive=True)
     adiis = DIIS(space=4)
     Mu, last_dmu, E_old = 0.0, 0.0, 0.0
@@ -53,6 +61,13 @@ def run_hchain_dmet(Lat, meta, solver, int_bath=True, e1_from_glob=False,
             thrnelec=1e-6, delta=0.01, step=0.1)
         last_dmu += dmu
         extra = {}
+        if csc_glob:
+            # charge self-consistency from the CORRELATED global RDM
+            # (reference test_csc.py:185-194): fock <- hcore +
+            # veff(rho_glob), and the same veff replaces JK_core in the
+            # DMET energy functional
+            _, veff_st = embham.update_lattice_csc(Lat, rhoEmb, basis)
+            extra["veff"] = veff_st
         if e1_from_glob:
             # E1 from the global (democratically partitioned) density
             # matrix (reference test_E1_from_glob.py:187-218)
@@ -77,7 +92,8 @@ def run_hchain_dmet(Lat, meta, solver, int_bath=True, e1_from_glob=False,
         E_cell = EnergyImp * nsc
         vcor_new, err = dmet.FitVcor(rhoEmb, Lat, basis, vcor, beta,
                                      Filling, MaxIter1=300, MaxIter2=0,
-                                     ytol=1e-8, gtol=1e-4)
+                                     ytol=1e-8, gtol=1e-4, det=det,
+                                     idem_fit=idem_fit)
         if it >= 3:
             vcor_new = make_vcor_trace_unchanged(vcor_new, vcor)
         if it >= 4:
@@ -178,3 +194,52 @@ def test_anchor_rhf_nib_321g_no_csc(hchain):
                         int_bath=False, charge_sc=False, max_iter=30,
                         u_tol=2e-5, e_tol=1e-6)
     assert abs(E - (-1.250922494778)) < 1e-4
+
+
+def _reset_hf_fock(Lat, meta):
+    """Undo any charge-SC fock left on the module-scoped lattice by
+    earlier tests: rebuild from the HF density."""
+    from libdmet_preview_tpu.models.abinitio import (update_ham_dense,
+                                                     _stripe_symm)
+    update_ham_dense(Lat, meta,
+                     _stripe_symm(meta["rdm1_lo"], 3, Lat.nscsites))
+
+
+def test_anchor_csc_glob(hchain):
+    """Converged IB FCI DMET with charge self-consistency from the
+    correlated GLOBAL density matrix (fock <- hcore + veff(rho_glob)
+    each iteration, and the same veff replacing JK_core in the energy
+    functional) == reference -1.242180528205 (test_csc.py:236, 1e-4)."""
+    from libdmet_preview_tpu.solvers import FCI
+    Lat, meta = hchain
+    _reset_hf_fock(Lat, meta)
+    E = run_hchain_dmet(Lat, meta, FCI(restricted=True, tol=1e-12),
+                        charge_sc=False, csc_glob=True)
+    assert abs(E - (-1.242180528205)) < 1e-4
+
+
+def test_anchor_idem_fit(hchain):
+    """Converged IB FCI DMET fitting against the IDEMPOTENT part of the
+    correlated rdm1 (natural-orbital occupation rounding, reference
+    slater.py:975-978) == reference -1.243085261466
+    (test_idem_fit.py:225, 1e-4 -- same fixed point as the plain
+    self-consistent run)."""
+    from libdmet_preview_tpu.solvers import FCI
+    Lat, meta = hchain
+    _reset_hf_fock(Lat, meta)
+    E = run_hchain_dmet(Lat, meta, FCI(restricted=True, tol=1e-12),
+                        idem_fit=True)
+    assert abs(E - (-1.243085261466)) < 1e-4
+
+
+def test_anchor_det_fit(hchain):
+    """Converged IB FCI DMET with DIAGONAL-ONLY vcor fitting (det=True:
+    the cost function matches only rho[i, i] on the impurity diagonal,
+    reference slater.py:993-995) == reference -1.243371414161
+    (test_det.py:234, 1e-4)."""
+    from libdmet_preview_tpu.solvers import FCI
+    Lat, meta = hchain
+    _reset_hf_fock(Lat, meta)
+    E = run_hchain_dmet(Lat, meta, FCI(restricted=True, tol=1e-12),
+                        det=True)
+    assert abs(E - (-1.243371414161)) < 1e-4
