@@ -293,3 +293,167 @@ def molecule_fragments(mol, atom_lists=None):
             idx.extend(range(p0, p1))
         out.append((list(atoms), idx))
     return out
+
+
+# ----------------------------------------------------------------------
+# ab initio order parameters (reference get_order_param.py:65-576)
+# ----------------------------------------------------------------------
+
+def get_bond_pairs(coords, cell=None, species=None, bond_type=None,
+                   length_range=(0.1, 3.0), nimgs=1, tol=1e-8):
+    """Species-filtered atom-pair bonds within a distance window,
+    periodic-image aware (reference Lat.get_bond_pairs role inside
+    get_order_param.py:349-352).
+
+    coords: Cartesian atom positions (natm, dim); cell: (dim, dim)
+    lattice-vector rows (None = open boundary); species: per-atom
+    labels; bond_type: iterable of (spec_a, spec_b) pairs to keep.
+
+    Returns a list of (i, j, vec, dist) with vec = r_j(+image) - r_i,
+    each physical bond counted once (canonical orientation)."""
+    coords = np.asarray(coords, dtype=float)
+    natm, dim = coords.shape
+    if cell is None:
+        shifts = [np.zeros(dim)]
+    else:
+        cell = np.asarray(cell, dtype=float)
+        rng = range(-nimgs, nimgs + 1)
+        import itertools as it
+        shifts = [np.asarray(n) @ cell for n in it.product(rng, repeat=dim)]
+    if bond_type is not None and species is not None:
+        allowed = set()
+        for a, b in bond_type:
+            allowed.add((a, b))
+            allowed.add((b, a))
+    else:
+        allowed = None
+    out = []
+    for i in range(natm):
+        for j in range(i, natm):
+            if allowed is not None and (species[i], species[j]) not in allowed:
+                continue
+            for s in shifts:
+                vec = coords[j] + s - coords[i]
+                d = float(np.linalg.norm(vec))
+                if not (length_range[0] <= d <= length_range[1]):
+                    continue
+                if i == j:
+                    # self-bonds through images come in +-s pairs; keep
+                    # the lexicographically positive one
+                    nz = vec[np.abs(vec) > tol]
+                    if nz.size == 0 or nz[0] < 0:
+                        continue
+                out.append((i, j, vec, d))
+    return out
+
+
+def _dwave_sign(vec, tol=1e-8):
+    """+1 for x-dominated bonds, -1 for y-dominated (reference
+    get_order_param.py:370-387 sign rule on the bond direction)."""
+    ax, ay = abs(vec[0]), abs(vec[1])
+    if ax > tol and ay <= tol:
+        return 1
+    if ay > tol and ax <= tol:
+        return -1
+    raise ValueError("bond %s is neither x- nor y-directed" % (vec,))
+
+
+def get_order_ab_initio(rdm1_d, coords, species, offsets, cell=None,
+                        bond_type=(("Cu", "Cu"),), length_range=(3.0, 4.5),
+                        s_wave=False, nimgs=1, tol=1e-8):
+    """Ab initio pairing order over species-filtered bonds (reference
+    get_order_param.py:289-576 essentials, array-first).
+
+    rdm1_d: anomalous LO-basis density block <c_a c_b> (nlo, nlo);
+    offsets: per-atom orbital index arrays (offsets[i] = LO indices of
+    atom i); bonds along x count +, along y - (d-wave rule) unless
+    s_wave.  Each bond contributes
+    (rdm1_d[oi, oj] + rdm1_d[oj, oi].T) / sqrt(2).
+
+    Returns dict: m (signed block sum over bonds), m_tot (element-abs
+    sum, the reference norm='abs'), pairs, signs, orders."""
+    rdm1_d = np.asarray(rdm1_d)
+    bonds = get_bond_pairs(coords, cell=cell, species=species,
+                           bond_type=bond_type, length_range=length_range,
+                           nimgs=nimgs, tol=tol)
+    factor = 0.5 ** 0.5
+    m_sum = 0.0
+    pairs, signs, orders = [], [], []
+    for (i, j, vec, d) in bonds:
+        oi = np.asarray(offsets[i], dtype=int)
+        oj = np.asarray(offsets[j], dtype=int)
+        sign = 1 if s_wave else _dwave_sign(vec, tol=tol)
+        order = (rdm1_d[np.ix_(oi, oj)]
+                 + rdm1_d[np.ix_(oj, oi)].T) * factor
+        m_sum = m_sum + order * sign
+        pairs.append((i, j))
+        signs.append(sign)
+        orders.append(order)
+        log.debug(1, "bond %s-%s  d=%.3f sign=%+d order=%.6g",
+                  species[i], species[j], d, sign, float(np.sum(order)))
+    m_sum = np.asarray(m_sum)
+    m_tot = float(np.sum(np.abs(m_sum)))
+    log.result("total pairing order (%s) = %.8g",
+               "s-wave" if s_wave else "d-wave", m_tot)
+    return {"m": m_sum, "m_tot": m_tot, "pairs": pairs,
+            "signs": np.asarray(signs), "orders": orders}
+
+
+def get_checkerboard_order(rdm1, coords, species, offsets, d_dd,
+                           magnetic="Cu", ligand="O", rdm1_d=None,
+                           cell=None, tol=1e-8):
+    """Checkerboard AFM + charge orders for CuO2-type cells, model or
+    ab initio (reference get_order_param.py:65-276).
+
+    rdm1: (2, nlo, nlo) per-spin LO density (or (1,...) restricted);
+    coords/species/offsets as in get_order_ab_initio; d_dd = magnetic
+    nearest-neighbor distance setting the checkerboard phase grid.
+
+    Returns dict with per-atom charge/spin, m_AFM_<magnetic> (staggered
+    average), m_AFM_<ligand>, m_FM, and (with rdm1_d) the d-wave m_SC
+    over magnetic-magnetic bonds."""
+    rdm1 = np.asarray(rdm1)
+    if rdm1.ndim == 2:
+        rdm1 = rdm1[None]
+    if rdm1.shape[0] == 1:
+        rdm1_a = rdm1_b = rdm1[0]
+    else:
+        rdm1_a, rdm1_b = rdm1
+    coords = np.asarray(coords, dtype=float)
+    natm = len(species)
+    charge = np.asarray([np.sum(rdm1_a[offsets[i], offsets[i]])
+                         + np.sum(rdm1_b[offsets[i], offsets[i]])
+                         for i in range(natm)])
+    sz = np.asarray([0.5 * (np.sum(rdm1_a[offsets[i], offsets[i]])
+                            - np.sum(rdm1_b[offsets[i], offsets[i]]))
+                     for i in range(natm)])
+    res = {"charge": charge, "spin_density": sz}
+
+    mag_idx = [i for i in range(natm) if species[i] == magnetic]
+    lig_idx = [i for i in range(natm) if species[i] == ligand]
+    mag_xy = coords[mag_idx]
+    mag_xy = mag_xy - mag_xy[int(np.argmin(np.linalg.norm(mag_xy, axis=1)))]
+    grid = np.rint(mag_xy / d_dd).astype(int)
+    phase = np.where(grid.sum(axis=1) % 2 == 1, -1, 1)
+    m_list = sz[mag_idx]
+    res["phase_AFM"] = phase
+    res["m_AFM_%s_list" % magnetic] = m_list
+    res["m_AFM_%s" % magnetic] = float(np.average(m_list * phase))
+    res["m_AFM"] = abs(res["m_AFM_%s" % magnetic])
+    res["m_FM_%s" % magnetic] = float(np.average(m_list))
+    res["charge_%s" % magnetic] = charge[mag_idx]
+    log.result("charge (%s): %s", magnetic, charge[mag_idx])
+    log.result("m_AFM  (%s): %s -> %.6f", magnetic, m_list, res["m_AFM"])
+    if lig_idx:
+        res["m_AFM_%s_list" % ligand] = sz[lig_idx]
+        res["m_AFM_%s" % ligand] = float(np.average(np.abs(sz[lig_idx])))
+        res["charge_%s" % ligand] = charge[lig_idx]
+        log.result("charge (%s): %s", ligand, charge[lig_idx])
+    if rdm1_d is not None:
+        sc = get_order_ab_initio(rdm1_d, coords, species, offsets,
+                                 cell=cell, bond_type=((magnetic, magnetic),),
+                                 length_range=(0.5 * d_dd, 1.5 * d_dd),
+                                 tol=tol)
+        res["m_SC"] = sc["m_tot"]
+        res["m_SC_detail"] = sc
+    return res
