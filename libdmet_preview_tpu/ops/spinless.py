@@ -91,6 +91,44 @@ def transform_H2_local(H2):
     return GV2, GV1, GV0
 
 
+def get_GV1_GV0_from_chol(L):
+    """Particle-hole normal-ordering of a DF-factorized FULL-lattice
+    interaction against the filled-beta sea (reference
+    pbc_helper.py:1344 get_GV1_GV0_from_df, specialized to orthonormal
+    LOs where the sea density is the identity).
+
+    L: (naux, nsites, nsites) Cholesky/GDF factors of the supercell ERI
+    in the LO basis.  Returns GV1 (3, nsites, nsites) = [on A, on B,
+    on D] supercell one-body corrections and the constant GV0 per
+    SUPERCELL:
+
+      vj = sum_x L_x tr(L_x),   vk = sum_x L_x @ L_x
+      GV1 = [vj, vk - vj, 0],   GV0 = (tr vj - tr vk) / 2
+    """
+    Lj = jnp.asarray(L)
+    trL = jnp.einsum("xpp -> x", Lj)
+    vj = np.asarray(jnp.einsum("x, xpq -> pq", trL, Lj))
+    vk = np.asarray(jnp.einsum("xpr, xrq -> pq", Lj, Lj))
+    GV1 = np.zeros((3,) + vj.shape)
+    GV1[0] = vj
+    GV1[1] = vk - vj
+    GV0 = 0.5 * float(np.trace(vj) - np.trace(vk))
+    return GV1, GV0
+
+
+def get_veff_ghf(GRho, g):
+    """GHF-frame veff J - K from a dense (chemist) ERI over the full
+    GSO index space (reference slater.get_veff(..., ghf=True) role).
+
+    GRho: (n, n) GSO density; g: (n, n, n, n) with g[p,q,r,s] = (pq|rs).
+    """
+    GRho_j = jnp.asarray(GRho)
+    gj = jnp.asarray(g)
+    vj = jnp.einsum("pqrs, sr -> pq", gj, GRho_j)
+    vk = jnp.einsum("prsq, rs -> pq", gj, GRho_j)
+    return np.asarray(vj - vk)
+
+
 def transform_rdm1_k(rdm1_k):
     """Physical k-space rdm1 (spin comps [rA, rB(, kBA)]) -> GSO compact
     [rho_A, I - rho_B, kappa_AB]."""
@@ -336,6 +374,90 @@ def get_emb_Ham(lattice, basis, GH1_k, GV2, GV1, H0, mu, last_dmu=0.0,
     return ImpHam
 
 
+def get_emb_Ham_ib(lattice, basis, GFock_k, GH1_full_k, chol_L, H0, mu,
+                   GRho_k_mf, vcor_gso=None):
+    """INTERACTING-BATH GSO embedding Hamiltonian (reference
+    spinless.py:560-726 __embHam1e int_bath branch + __embHam2e with
+    get_emb_eri_gso):
+
+      H2  = full ph-transformed lattice ERI in the embedding basis,
+            sum_x (La_x - Lb_x) (x) (La_x - Lb_x)
+      H1  = emb[GFock(k)] - (J-K)[GRho_emb_mf; H2] + local(mu)
+      JK_core = emb[GFock] - JK_emb - emb[GH1_full]   (for the energy
+            functional; GH1_full = ph hcore INCLUDING the GV1
+            normal-ordering term)
+
+    GFock_k / GH1_full_k: combined (nk, nso, nso) pairs; chol_L:
+    (naux, nsites, nsites) supercell DF factors; GRho_k_mf: mean-field
+    GSO density pair over k.  Returns (ImpHam, JK_core)."""
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.ops import embham
+    from libdmet_preview_tpu.ops.eri_transform import get_emb_eri_gso_chol
+    basis = np.asarray(basis)
+    nso, neo = basis.shape[2], basis.shape[3]
+    nao = nso // 2
+    basis_k = lattice.R2k_basis(basis)
+
+    g_emb = np.asarray(get_emb_eri_gso_chol(chol_L, basis))
+
+    fock_emb = np.array(embham.transform_h1(GFock_k, basis_k))[0]
+    hcore_emb = np.array(embham.transform_h1(GH1_full_k, basis_k))[0]
+    GRho_emb_mf = np.asarray(embham.foldRho_k(GRho_k_mf, basis_k))
+    if GRho_emb_mf.ndim == 3:
+        GRho_emb_mf = GRho_emb_mf[0]
+    JK_emb = get_veff_ghf(GRho_emb_mf, g_emb)
+
+    H1_emb = fock_emb - JK_emb
+    JK_core = H1_emb - hcore_emb
+
+    bR = basis[0]
+    H1_emb = H1_emb + np.asarray(embham.transform_local(
+        jnp.asarray(bR), jnp.asarray(mu_matrix(mu, nao))))
+    if vcor_gso is not None:
+        H1_emb += np.asarray(embham.transform_local(
+            jnp.asarray(bR), jnp.asarray(vcor_gso)))
+        H1_emb -= np.asarray(embham.transform_imp(
+            jnp.asarray(bR), jnp.asarray(vcor_gso)))
+
+    ImpHam = Integral(neo, True, False, H0, {"cd": H1_emb[None]},
+                      {"ccdd": g_emb[None]})
+    return ImpHam, JK_core
+
+
+def get_H_dmet_ib(lattice, basis, GH1_full_k, JK_core, ImpHam, H0):
+    """Democratically-scaled GSO Hamiltonian for the INTERACTING-BATH
+    energy functional (reference spinless.py:948-1040 get_H_dmet):
+
+      H1_scaled = emb[GH1_full(k)] + JK_core/2   -> democratic scaling
+      H2_scaled = democratic scaling of the full GSO embedding ERI
+      H0        = physical + ph-transform constants (caller supplies)
+
+    Evaluate with solver.run_dmet_ham (the stored GSO 1/2-RDMs)."""
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.ops import embham
+    from libdmet_preview_tpu.dmet.hubbard import (get_H1_scaled,
+                                                  get_H2_scaled)
+    basis = np.asarray(basis)
+    nso, neo = basis.shape[2], basis.shape[3]
+    basis_k = lattice.R2k_basis(basis)
+    hcore_emb = np.array(embham.transform_h1(GH1_full_k, basis_k))[0]
+    H1_scaled = hcore_emb + 0.5 * np.asarray(JK_core)
+    imp_idx = np.arange(nso)
+    env_idx = np.arange(nso, neo)
+    H1_scaled = get_H1_scaled(H1_scaled[None], imp_idx, env_idx)
+    H2_scaled = get_H2_scaled(np.asarray(ImpHam.H2["ccdd"]), imp_idx,
+                              env_idx)
+    return Integral(neo, True, False, H0, {"cd": H1_scaled},
+                    {"ccdd": H2_scaled})
+
+
+def get_E_dmet_ib(lattice, basis, GH1_full_k, JK_core, ImpHam, H0,
+                  solver, solver_args=None):
+    Ham_scaled = get_H_dmet_ib(lattice, basis, GH1_full_k, JK_core,
+                               ImpHam, H0)
+    return solver.run_dmet_ham(Ham_scaled, **(solver_args or {}))
+
+
 def apply_dmu(lattice, ImpHam, basis, dmu):
     """Add -dmu on the impurity-cell PHYSICAL electron count:
     -dmu*(n_a - n_b)_imp in the GSO rep (reference HubbardGSO.apply_dmu)."""
@@ -408,13 +530,15 @@ def FitVcorGSOEmb(GRhoEmb, lattice, basis, vcor, GH1_k, mu, MaxIter=300,
 
 
 def transform_results(GRhoEmb, E_emb, basis, ImpHam, lattice, mu,
-                      last_dmu=0.0, **kwargs):
+                      last_dmu=0.0, JK_core=None, **kwargs):
     """Embedded GSO results -> (GRhoImp, Efrag per cell, n_phys per cell)
-    with the reference's NIB fragment-energy convention
+    with the reference's fragment-energy convention
     (reference spinless.py transformResults):
 
       E2 = E_solver - tr(H1_emb GRho) - H0        (pure 2-body part)
-      H1_scaled = H1_emb + imp(cancel last_dmu) + local(cancel mu),
+      H1_scaled = H1_emb + imp(cancel last_dmu) + local(cancel mu)
+                  [- JK_core/2 in the interacting-bath flavor,
+                   reference spinless.py:834-836],
                   then democratic partitioning (imp-env x 0.5, env-env 0)
       Efrag = tr(H1_scaled GRho) + E2 + H0
     """
@@ -445,6 +569,11 @@ def transform_results(GRhoEmb, E_emb, basis, ImpHam, lattice, mu,
         jnp.asarray(basis[0]), jnp.asarray(mu_matrix(-last_dmu, nao))))
     H1_scaled += np.asarray(embham.transform_local(
         jnp.asarray(basis[0]), jnp.asarray(mu_matrix(-mu, nao))))
+
+    # interacting bath: the core JK potential is double-counted between
+    # H1 and the democratic 2-body partitioning; remove half
+    if JK_core is not None:
+        H1_scaled -= 0.5 * np.asarray(JK_core)
 
     # democratic partitioning: impurity = first nso embedding orbitals
     imp_idx = np.arange(nso)
