@@ -314,6 +314,82 @@ def minimize_cg(fun_grad, x0, max_iter=300, ytol=1e-7, gtol=1e-3, dx_tol=1e-7):
     return x, f, np.max(np.abs(g))
 
 
+def get_active_projector(act_idx, rdm1, tol=1e-9):
+    """Active-space projector from selected LOs (reference
+    slater.py:2121-2194 get_active_projector, orthonormal-LO supercell
+    form): span of the occupied and virtual components of the chosen
+    columns,
+
+      P_occ = rho[:, act],  P_virt = (I - rho)[:, act],
+
+    each orthonormalized after dropping singular directions.
+
+    act_idx: LO indices; rdm1: (spin, nsites, nsites) real supercell LO
+    density in the repo's PER-SPIN convention (restricted occupations
+    <= 1, as returned by mfd.HF — the reference's spin-traced input is
+    halved there; here no scaling is applied).
+    Returns (P (spin, nsites, nact'), nocc (spin,)) with nocc the number
+    of occupied-derived columns per spin."""
+    act_idx = np.asarray(act_idx, dtype=int)
+    rdm1 = np.asarray(rdm1)
+    if rdm1.ndim == 2:
+        rdm1 = rdm1[None]
+    spin = rdm1.shape[0]
+    nsites = rdm1.shape[-1]
+    Ps, nocc = [], []
+    for s in range(spin):
+        r = rdm1[s]
+        cols = []
+        for block in (r[:, act_idx], (np.eye(nsites) - r)[:, act_idx]):
+            g = block.T @ block
+            ew, ev = np.linalg.eigh(g)
+            keep = ew > tol
+            X = block @ ev[:, keep]
+            if X.shape[-1]:
+                # Lowdin orthonormalization
+                gs = X.T @ X
+                w, V = np.linalg.eigh(gs)
+                X = X @ (V / np.sqrt(w)) @ V.T
+            cols.append(X)
+        Ps.append(np.hstack(cols))
+        nocc.append(cols[0].shape[-1])
+    return np.asarray(Ps), np.asarray(nocc, dtype=int)
+
+
+def make_rdm1_P(fock, vcor_mat, P, nocc, project_back=True):
+    """Mean-field density of the ACTIVE-projected problem P^T (F + u) P
+    (reference slater.py:2226-2300 make_rdm1_P, supercell form).
+
+    fock: (spin, nsites, nsites); vcor_mat: (spin, nsites, nsites) or
+    None; P: (spin, nsites, nact); nocc: per-spin occupation counts.
+    Returns the PER-SPIN rdm1 (repo convention, matching mfd.HF),
+    projected back to the full LO space when project_back."""
+    fock = np.asarray(fock)
+    if fock.ndim == 2:
+        fock = fock[None]
+    spin = fock.shape[0]
+    out = []
+    for s in range(spin):
+        F = fock[s]
+        if vcor_mat is not None:
+            F = F + np.asarray(vcor_mat)[s]
+        Fa = P[s].T @ F @ P[s]
+        ew, ev = np.linalg.eigh(Fa)
+        C = ev[:, :int(nocc[s])]
+        r = C @ C.T
+        if project_back:
+            r = P[s] @ r @ P[s].T
+        out.append(r)
+    return np.asarray(out)
+
+
+def get_active_projector_full(P):
+    """Full-space projection operator P P^T per spin (orthonormal LOs;
+    reference slater.py:2195-2225)."""
+    P = np.asarray(P)
+    return np.einsum("spi, sqi -> spq", P, P)
+
+
 def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
                imp_idx=None, det=False, det_idx=None, CG_check=False,
                BFGS=False, **kwargs):
@@ -354,7 +430,23 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
         L = np.linalg.cholesky(ovlp_emb[s])
         Li[s] = np.linalg.inv(L)
 
-    dV = get_dV_dparam(vcor, basis, basis_k=basis_k, kmesh=lattice.kmesh)
+    P_act = kwargs.get("P_act", None)
+    if P_act is not None:
+        # restrict the vcor response to the active subspace: project the
+        # embedding basis by P P^T before building dV/dparam (reference
+        # slater.py:881 C_lo_eo = multiply_basis(P_act, basis_k))
+        P_full = get_active_projector_full(np.asarray(P_act))
+        if P_full.shape[0] == 1 and spin == 2:
+            P_full = np.broadcast_to(P_full, (2,) + P_full.shape[1:])
+        ncells, nlo = basis.shape[1], basis.shape[2]
+        bP = np.stack([
+            (P_full[s] @ basis[s].reshape(ncells * nlo, neo)
+             ).reshape(ncells, nlo, neo) for s in range(spin)])
+        dV = get_dV_dparam(vcor, bP, basis_k=lattice.R2k_basis(bP),
+                           kmesh=lattice.kmesh)
+    else:
+        dV = get_dV_dparam(vcor, basis, basis_k=basis_k,
+                           kmesh=lattice.kmesh)
 
     # fit index mask (imp_fit / det options; reference slater.py:986-1018)
     if imp_fit:
@@ -406,6 +498,19 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
         Li_j = jnp.asarray(Li)
         nelec2 = tuple(2 * int(x) for x in nelec)  # doubled spectrum
 
+        C_act = kwargs.get("C_act", None)
+        if C_act is not None:
+            # active-space residual: || C^T (rho1 - rho) C || over the
+            # active embedding columns (reference slater.py:1083-1088)
+            C_act = np.asarray(C_act)
+            if C_act.ndim == 2:
+                C_act = C_act[None]
+            if C_act.shape[0] == 1 and spin == 2:
+                C_act = np.broadcast_to(C_act, (2,) + C_act.shape[1:])
+            C_j = jnp.asarray(C_act)
+            tgt_act = jnp.einsum("spi, spq, sqj -> sij", C_j,
+                                 jnp.asarray(rho), C_j)
+
         def err_ft(p):
             Heff = embH1_j + jnp.einsum("P, Psij -> sij", p, dV_j)
             Horth = jnp.einsum("spq, sqr, skr -> spk", Li_j, Heff, Li_j)
@@ -414,8 +519,12 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
                 r_re, _, _ = zrho_fermi(Horth[s], jnp.zeros_like(Horth[s]),
                                         nelec2[s], float(beta))
                 rho1 = jnp.einsum("qp, qr, rk -> pk", Li_j[s], r_re,
-                                  Li_j[s]) * mask_j[s]
-                errs = errs + jnp.sum((rho1 - target_j[s]) ** 2)
+                                  Li_j[s])
+                if C_act is not None:
+                    d = C_j[s].T @ rho1 @ C_j[s] - tgt_act[s]
+                else:
+                    d = rho1 * mask_j[s] - target_j[s]
+                errs = errs + jnp.sum(d ** 2)
             return jnp.sqrt(errs / spin)
 
         err_vg = jax.value_and_grad(err_ft)
@@ -424,6 +533,10 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
             e, g = err_vg(jnp.asarray(p))
             return float(e), np.asarray(g)
     else:
+        if kwargs.get("C_act", None) is not None:
+            raise NotImplementedError(
+                "C_act active-space fitting needs finite beta")
+
         def fun_grad(p):
             e, g = _fit_err_grad(jnp.asarray(p), *args, nelec=nelec,
                                  thr_deg=thr_deg)
@@ -436,7 +549,14 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
     method = kwargs.get("method", "CG").upper()
     ytol = kwargs.get("ytol", 1e-7)
     gtol = kwargs.get("gtol", 1e-3)
-    if method == "CG":
+    if method == "CG" and kwargs.get("C_act", None) is not None:
+        # the fused lax.while_loop CG engine bakes in the mask residual;
+        # active-space residuals go through the host-driven CG instead
+        x, err_end, gnorm = minimize_cg(fun_grad, vcor.param,
+                                        max_iter=MaxIter, ytol=ytol,
+                                        gtol=gtol)
+        x, err_end, gnorm = np.asarray(x), float(err_end), float(gnorm)
+    elif method == "CG":
         # whole fit in ONE device dispatch (lax.while_loop CG); identical
         # math to minimize_cg below
         p0 = jnp.asarray(vcor.param)

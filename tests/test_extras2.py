@@ -485,3 +485,79 @@ def test_minimize_newton_hvp():
                                 MaxIter=50, method="AH")
     assert e_ah < e0_ah
     assert e_ah < e_cg * 1.2 + 1e-8
+
+
+def test_active_space_projector_and_fit():
+    """Active-space vcor fitting (reference slater.py:2121-2300 +
+    test_fit_active_space.py): projector math and the P_act/C_act hooks
+    of FitVcorEmb."""
+    import copy
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.ops import mfd, embham
+    from libdmet_preview_tpu.ops.fit import (
+        FitVcorEmb, get_active_projector, get_active_projector_full,
+        make_rdm1_P)
+
+    Lat = dmet.ChainLattice(8, 2)
+    Ham = dmet.Ham(Lat, 4.0)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    vcor = dmet.PMInitGuess((2,), 4.0, 0.0)
+    # filling 3/8 keeps the discrete chain spectrum gapped (half filling
+    # is degenerate at the Fermi level -> non-idempotent rho)
+    rho, mu, E = mfd.HF(Lat, vcor, 3.0 / 8.0, True)
+    rho_full = Lat.expand(rho)              # (1, nsites, nsites), per-spin
+    fock_full = Lat.expand(np.asarray(Lat.getH1(kspace=False)))[None]
+    nsites = rho_full.shape[-1]
+    nocc_exact = int(round(np.trace(rho_full[0])))
+
+    # 1. full active space: P spans everything, mean field is reproduced
+    P, nocc = get_active_projector(range(nsites), rho_full)
+    assert P.shape == (1, nsites, nsites)
+    assert nocc[0] == nocc_exact
+    assert np.allclose(P[0].T @ P[0], np.eye(nsites), atol=1e-10)
+    Pf = get_active_projector_full(P)
+    assert np.allclose(Pf[0], np.eye(nsites), atol=1e-10)
+    rho_P = make_rdm1_P(fock_full, None, P, nocc)
+    assert np.allclose(rho_P, rho_full, atol=1e-8)
+
+    # 2. subset: orthonormal columns, projected density idempotent with
+    #    the right electron count inside the subspace
+    act_idx = [0, 1, 2, 3]
+    P2, nocc2 = get_active_projector(act_idx, rho_full)
+    nact = P2.shape[-1]
+    assert nact < nsites
+    assert np.allclose(P2[0].T @ P2[0], np.eye(nact), atol=1e-10)
+    rho_P2 = make_rdm1_P(fock_full, None, P2, nocc2, project_back=False)
+    assert np.allclose(rho_P2[0] @ rho_P2[0], rho_P2[0], atol=1e-8)
+    assert abs(np.trace(rho_P2[0]) - nocc2[0]) < 1e-8
+
+    # 3. FitVcorEmb with full-space P_act/C_act == the plain fit
+    basis = embham.embBasis(Lat, rho)
+    neo = basis.shape[-1]
+    rng = np.random.RandomState(7)
+    t = rng.randn(1, neo, neo) * 0.05
+    target = np.eye(neo)[None] * 0.5 + 0.5 * (t + t.transpose(0, 2, 1))
+    beta = 400.0
+    v1, v2 = copy.deepcopy(vcor), copy.deepcopy(vcor)
+    _, e0_plain, e_plain = FitVcorEmb(target, Lat, basis, v1, beta,
+                                      MaxIter=80)
+    _, e0_act, e_act = FitVcorEmb(target, Lat, basis, v2, beta,
+                                  MaxIter=80, P_act=P,
+                                  C_act=np.eye(neo)[None])
+    assert abs(e0_act - e0_plain) < 1e-10
+    assert abs(e_act - e_plain) < 1e-6
+    assert np.allclose(v1.param, v2.param, atol=1e-4)
+
+    # 4. restricted subspace fit: error decreases, vcor moves
+    v3 = copy.deepcopy(vcor)
+    C_act = np.asarray(basis)[0].reshape(-1, neo).T @ (
+        get_active_projector_full(P2)[0] @
+        np.asarray(basis)[0].reshape(-1, neo))
+    # orthonormalize the active embedding columns (drop null directions)
+    w, V = np.linalg.eigh(C_act @ C_act.T)
+    C_cols = V[:, w > 1e-8]
+    _, e0_sub, e_sub = FitVcorEmb(target, Lat, basis, v3, beta,
+                                  MaxIter=60, P_act=P2,
+                                  C_act=C_cols[None])
+    assert e_sub < e0_sub
+    assert np.linalg.norm(v3.param - vcor.param) > 1e-8
