@@ -10,6 +10,7 @@ active-space solver.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from libdmet_preview_tpu.utils import logger as log
@@ -512,6 +513,160 @@ class CASSCF(object):
         self._cas = (C_cor, C_act, cas._cas[2])
         self.fcisolver = cas.fcisolver
         return self.onepdm, self.e_tot
+
+    def cleanup(self):
+        pass
+
+
+def _ghf_scf(h1, g, nelec, dm0=None, tol=1e-11, max_cycle=200):
+    """Generalized (single-species spin-orbital) HF on a dense Integral:
+    F = h + J(rho) - K(rho) with chemist (pq|rs) ERIs, aufbau occupation
+    of nelec spin orbitals, simple damping + Fock extrapolation.
+    Returns (E, rho, C, mo_energy)."""
+    n = h1.shape[0]
+    gj = jnp.asarray(g)
+    hj = jnp.asarray(h1)
+
+    @jax.jit
+    def fock(rho):
+        J = jnp.einsum("pqrs, sr -> pq", gj, rho)
+        K = jnp.einsum("psrq, sr -> pq", gj, rho)
+        return hj + J - K
+
+    if dm0 is None:
+        ew, ev = np.linalg.eigh(h1)
+        rho = ev[:, :nelec] @ ev[:, :nelec].T
+    else:
+        rho = np.asarray(dm0)
+    E_old, damp = np.inf, 0.3
+    for it in range(max_cycle):
+        F = np.asarray(fock(jnp.asarray(rho)))
+        ew, ev = np.linalg.eigh(F)
+        C = ev[:, :nelec]
+        rho_new = C @ C.T
+        E = float(np.sum(h1 * rho_new) + 0.5 * np.sum(
+            (F - h1) * rho_new))
+        if abs(E - E_old) < tol and np.abs(rho_new - rho).max() < 1e-8:
+            rho = rho_new
+            break
+        rho = (1 - damp) * rho_new + damp * rho
+        E_old = E
+    F = np.asarray(fock(jnp.asarray(rho)))
+    ew, ev = np.linalg.eigh(F)
+    rho = ev[:, :nelec] @ ev[:, :nelec].T
+    E = float(np.sum(h1 * rho) + 0.5 * np.sum(
+        (np.asarray(fock(jnp.asarray(rho))) - h1) * rho))
+    return E, rho, ev, ew
+
+
+class GCASCI(object):
+    """GSO-frame CASCI on generalized spin orbitals (reference
+    /root/reference/libdmet/solver/gcasci.py:1-711 `GCASCI` +
+    gso_dmrgci.py:1-141 `DmrgCI` composition; the BCS-frame variant
+    bcs_dmrgci.py:1-450 is subsumed by design -- this package runs BCS
+    DMET in the GSO frame after the particle-hole transform, so the
+    quasiparticle CASCI IS this class on the transformed Integral).
+
+    All orbital counts are SPIN-ORBITAL counts: an (ncas, nelecas)
+    window holds ncas spin orbitals and nelecas particles. The reference
+    GHF determinant comes from an in-module generalized HF; the active
+    window is chosen by canonical orbital energies around the Fermi
+    level, or (cas_from_1pdm role, reference gcasci.py:23-54) by natural
+    occupations of a supplied dm0. Any solver with the FCI-contract
+    (run/make_rdm2 on a restricted-storage spin-orbital Integral) drops
+    in as fcisolver -- FCI(ghf=True) in-process, or the Block bridge for
+    the DMRG-CI composition."""
+
+    def __init__(self, ncas, nelecas, fcisolver=None, tol=1e-10,
+                 nat_orb=False, **kwargs):
+        self.ncas = ncas
+        self.nelecas = nelecas
+        self.tol = tol
+        self.nat_orb = nat_orb
+        self.fcisolver = fcisolver or FCI(restricted=True, ghf=True,
+                                          tol=tol)
+        self.onepdm = None
+        self.twopdm = None
+        self.e_tot = None
+
+    def run(self, Ham, nelec=None, dm0=None, **kwargs):
+        if nelec is None:
+            raise ValueError("GCASCI.run requires nelec")
+        n = Ham.norb
+        ncas, nelecas = self.ncas, self.nelecas
+        ncore = nelec - nelecas
+        assert ncore >= 0 and ncore + ncas <= n
+
+        h1 = np.asarray(Ham.H1["cd"][0])
+        g = np.asarray(Ham.H2["ccdd"][0])
+        if g.ndim == 2:
+            g = restore_eri(g, n, 1)
+
+        e_hf, rho_hf, C, mo_e = _ghf_scf(h1, g, nelec, dm0=dm0,
+                                         tol=self.tol)
+        if self.nat_orb:
+            # natural orbitals of the mean-field density (dm0 if given):
+            # occupations descending, core = most occupied
+            src = np.asarray(dm0) if dm0 is not None else rho_hf
+            w, v = np.linalg.eigh(src)
+            C = v[:, ::-1]
+        C_core = C[:, :ncore]
+        C_cas = C[:, ncore:ncore + ncas]
+
+        rho_c = C_core @ C_core.T
+        gj, rj = jnp.asarray(g), jnp.asarray(rho_c)
+        v_core = np.asarray(jnp.einsum("pqrs, sr -> pq", gj, rj)
+                            - jnp.einsum("psrq, sr -> pq", gj, rj))
+        e_core = float(np.sum((h1 + 0.5 * v_core) * rho_c)) \
+            + float(Ham.H0)
+
+        h_cas = C_cas.T @ (h1 + v_core) @ C_cas
+        g_cas = np.asarray(jnp.einsum(
+            "pqrs, pi, qj, rk, sl -> ijkl", gj,
+            *([jnp.asarray(C_cas)] * 4), optimize=True))
+        Ham_cas = Integral(ncas, True, False, e_core,
+                           {"cd": h_cas[None]}, {"ccdd": g_cas[None]})
+        rdm_cas, E = self.fcisolver.run(Ham_cas, nelec=nelecas, **kwargs)
+        self.onepdm = (rho_c
+                       + C_cas @ np.asarray(rdm_cas[0]) @ C_cas.T)[None]
+        self.e_tot = float(E)
+        self._cas = (C_core, C_cas, Ham_cas)
+        return self.onepdm, self.e_tot
+
+    def make_rdm2(self, Ham=None):
+        """Full-space spin-orbital 2-RDM, chemist (pq|rs) pairing
+        (E2 = 0.5 sum G_pqrs (pq|rs)): embedded active twopdm + the
+        single-species HF core/cross terms (exchange coefficient 1, vs
+        0.5 in the spin-summed restricted CASCI above)."""
+        if self.onepdm is None:
+            raise RuntimeError("run GCASCI before make_rdm2")
+        C_core, C_cas, Ham_cas = self._cas
+        G_act_cas = np.asarray(self.fcisolver.make_rdm2(Ham_cas))[0]
+        G = np.array(jnp.einsum(
+            "pqrs, ip, jq, kr, ls -> ijkl", jnp.asarray(G_act_cas),
+            *([jnp.asarray(C_cas)] * 4), optimize=True))
+        Dc = C_core @ C_core.T
+        Da = C_cas @ np.asarray(self.fcisolver.onepdm[0]) @ C_cas.T
+        G += (np.einsum("pq, rs -> pqrs", Dc, Dc)
+              - np.einsum("ps, rq -> pqrs", Dc, Dc))
+        G += (np.einsum("pq, rs -> pqrs", Dc, Da)
+              + np.einsum("pq, rs -> pqrs", Da, Dc)
+              - np.einsum("ps, rq -> pqrs", Dc, Da)
+              - np.einsum("ps, rq -> pqrs", Da, Dc))
+        self.twopdm = G[None]
+        return self.twopdm
+
+    def run_dmet_ham(self, Ham, **kwargs):
+        """Scaled-Hamiltonian energy from the stored rdm1/rdm2 (single
+        species: E = sum h rho + 0.5 sum g G + H0)."""
+        self.make_rdm2()
+        h1 = np.asarray(Ham.H1["cd"][0])
+        h2 = np.asarray(Ham.H2["ccdd"][0])
+        if h2.ndim == 2:
+            h2 = restore_eri(h2, Ham.norb, 1)
+        E1 = np.einsum("pq, qp", h1, self.onepdm[0])
+        E2 = np.einsum("pqrs, pqrs", h2, self.twopdm[0]) * 0.5
+        return E1 + E2 + float(Ham.H0)
 
     def cleanup(self):
         pass

@@ -32,6 +32,7 @@ FAKE = textwrap.dedent("""\
     conf_path = sys.argv[-1]
     conf = open(conf_path).read()
     nelec = int(re.search(r"nelec (\\d+)", conf).group(1))
+    spin = int(re.search(r"spin (\\d+)", conf).group(1))
     assert "schedule" in conf and "sweep_tol" in conf
     assert "onepdm" in conf
     fcidump = re.search(r"orbitals (.*)", conf).group(1).strip()
@@ -41,7 +42,7 @@ FAKE = textwrap.dedent("""\
     eri = np.asarray(Ham.H2["ccdd"])[0]
     norb = Ham.norb
     from libdmet_preview_tpu.solvers.fci import make_rdm1s
-    na = nelec // 2
+    na = (nelec + spin) // 2
     e, ci = fci_kernel(h1, eri, norb, (na, nelec - na), ecore=Ham.H0,
                        tol=1e-11)
     rdm1_spat = np.asarray(make_rdm1s(ci, norb, (na, nelec - na)))
@@ -174,3 +175,58 @@ def test_dmrgscf_composition_with_fake_executable(tmp_path):
     rdm1_f, E_f = mc_fci.run(Ham, nelec=4)
     assert abs(E_d - E_f) < 1e-7
     assert np.abs(np.asarray(rdm1_d) - np.asarray(rdm1_f)).max() < 1e-6
+
+
+def test_gso_dmrgci_composition_with_fake_executable(tmp_path):
+    """GCASCI with the Block bridge as active-space solver (reference
+    gso_dmrgci.py DmrgCI role): the GSO spin-orbital CAS problem is
+    dumped as an all-alpha FCIDUMP (nelec particles, Sz=nelec -- the
+    Block2 GHF convention), solved by the fake binary, and the energy
+    matches the in-process GHF-FCI GCASCI."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers import FCI, GCASCI
+    from libdmet_preview_tpu.solvers.dmrg import BlockDMRG, Schedule
+    from libdmet_preview_tpu.ops import spinless
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exe = tmp_path / "fake_block2"
+    exe.write_text(FAKE % {"repo": repo})
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+
+    nao, U = 3, 2.0
+    h = np.zeros((nao, nao))
+    for i in range(nao):
+        h[i, (i + 1) % nao] = h[(i + 1) % nao, i] = -1.0
+    g = np.zeros((nao,) * 4)
+    for i in range(nao):
+        g[i, i, i, i] = U
+    GH1_c, GH0 = spinless.transform_H1_k(((h[None]),
+                                          (np.zeros_like(h)[None])))
+    GH1 = spinless.combine_H1_k(GH1_c)
+    GV2, GV1, GV0 = spinless.transform_H2_local(g)
+    nso = 2 * nao
+    H1_so = GH1[0][0].copy()
+    H1_so[:nao, :nao] += GV1[0]
+    H1_so[nao:, nao:] += GV1[1]
+    H1_so += spinless.mu_matrix(U / 2.0, nao)
+    eye_basis = np.eye(nso).reshape(1, nso, nso)
+    g_so = spinless.transform_eri_local_gso(eye_basis[:, :nao, :],
+                                            eye_basis[:, nao:, :], GV2)
+    GHam = Integral(nso, True, False, GH0 + GV0 - U / 2.0 * nao,
+                    {"cd": H1_so[None]}, {"ccdd": g_so[None]})
+
+    nelec, nelecas, ncas = nao, nao - 1, nso - 1
+    dmrg = BlockDMRG([sys.executable, str(exe), "{conf}"], max_M=400,
+                     workdir=str(tmp_path / "wd"), restricted=False,
+                     Sz=nelecas, spin_adapted=False, twopdm=False)
+    dmrg.schedule = Schedule(sweep_tol=1e-8).gen_initial(100, 400)
+    cas_dmrg = GCASCI(ncas=ncas, nelecas=nelecas, fcisolver=dmrg)
+    rdm_d, E_d = cas_dmrg.run(GHam, nelec=nelec)
+
+    cas_fci = GCASCI(ncas=ncas, nelecas=nelecas, tol=1e-12)
+    rdm_f, E_f = cas_fci.run(GHam, nelec=nelec)
+    assert abs(E_d - E_f) < 1e-7
+    assert np.abs(np.asarray(rdm_d) - np.asarray(rdm_f)).max() < 1e-6
+    assert abs(np.trace(rdm_d[0]) - nelec) < 1e-8

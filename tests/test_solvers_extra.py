@@ -232,3 +232,63 @@ def test_ucasci_full_space_equals_uhf_fci():
     assert E_fci - 1e-9 <= E <= E_hf + 1e-9
     assert abs(np.trace(rdm[0]) + np.trace(rdm[1]) - nelec) < 1e-9
     assert abs(cas.run_dmet_ham(Ham) - E) < 1e-8
+
+
+def test_gcasci_gso_frame():
+    """GSO-frame CASCI (reference gcasci.py / gso_dmrgci.py roles): on
+    the ph-transformed 4-site Hubbard ring, (i) a full active space
+    reproduces the spinless FCI energy and rdm1 exactly, (ii) the
+    frozen-core variant is variational and internally RDM-consistent
+    (run_dmet_ham == e_tot), (iii) the natural-orbital selection path
+    (cas_from_1pdm role) reproduces the full-CAS identity."""
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers import FCI, GCASCI
+    from libdmet_preview_tpu.ops import spinless
+
+    nao, U = 4, 3.0
+    h = np.zeros((nao, nao))
+    for i in range(nao):
+        h[i, (i + 1) % nao] = h[(i + 1) % nao, i] = -1.0
+    g = np.zeros((nao,) * 4)
+    for i in range(nao):
+        g[i, i, i, i] = U
+    mu = U / 2.0
+
+    GH1_c, GH0 = spinless.transform_H1_k(((h[None]),
+                                          (np.zeros_like(h)[None])))
+    GH1 = spinless.combine_H1_k(GH1_c)
+    GV2, GV1, GV0 = spinless.transform_H2_local(g)
+    nso = 2 * nao
+    H1_so = GH1[0][0].copy()
+    H1_so[:nao, :nao] += GV1[0]
+    H1_so[nao:, nao:] += GV1[1]
+    H1_so += spinless.mu_matrix(mu, nao)
+    eye_basis = np.eye(nso).reshape(1, nso, nso)
+    g_so = spinless.transform_eri_local_gso(eye_basis[:, :nao, :],
+                                            eye_basis[:, nao:, :], GV2)
+    H0 = GH0 + GV0 - mu * nao
+    GHam = Integral(nso, True, False, H0, {"cd": H1_so[None]},
+                    {"ccdd": g_so[None]})
+
+    fci = FCI(restricted=True, ghf=True, tol=1e-12)
+    rdm_fci, E_fci = fci.run(GHam, nelec=nao)
+
+    # (i) full CAS == FCI
+    cas_full = GCASCI(ncas=nso, nelecas=nao, tol=1e-12)
+    rdm_cas, E_cas = cas_full.run(GHam, nelec=nao)
+    assert abs(E_cas - E_fci) < 1e-9
+    assert np.abs(np.asarray(rdm_cas) - np.asarray(rdm_fci)).max() < 1e-7
+    assert abs(cas_full.run_dmet_ham(GHam) - E_fci) < 1e-8
+
+    # (ii) frozen core: variational + RDM-consistent
+    cas_fc = GCASCI(ncas=nso - 2, nelecas=nao - 2, tol=1e-12)
+    _, E_fc = cas_fc.run(GHam, nelec=nao)
+    assert E_fc >= E_fci - 1e-10
+    assert E_fc < E_fci + 0.5
+    assert abs(cas_fc.run_dmet_ham(GHam) - E_fc) < 1e-8
+    assert abs(np.trace(cas_fc.onepdm[0]) - nao) < 1e-8
+
+    # (iii) natural-orbital window from the FCI rdm1 (dm0 route)
+    cas_no = GCASCI(ncas=nso, nelecas=nao, tol=1e-12, nat_orb=True)
+    _, E_no = cas_no.run(GHam, nelec=nao, dm0=np.asarray(rdm_fci[0]))
+    assert abs(E_no - E_fci) < 1e-9
