@@ -1,6 +1,6 @@
 """Impurity solvers (reference facade analog: solver/impurity_solver.py)."""
 from libdmet_preview_tpu.solvers.fci import FCI
-from libdmet_preview_tpu.solvers.scf import SCF, SCFSolver
+from libdmet_preview_tpu.solvers.scf import SCF, SCFSolver, GGHF, GGHF_mu
 from libdmet_preview_tpu.solvers.cc import (LCCSD, LCCD, CCSD_ITE,
     CCSD, CCD, MP2, BCCSD, TCCSD, RCCSD, UCCSD, GCCSD, UCCD, GCCD,
     UTCCSD, GTCCSD)

@@ -518,47 +518,6 @@ class CASSCF(object):
         pass
 
 
-def _ghf_scf(h1, g, nelec, dm0=None, tol=1e-11, max_cycle=200):
-    """Generalized (single-species spin-orbital) HF on a dense Integral:
-    F = h + J(rho) - K(rho) with chemist (pq|rs) ERIs, aufbau occupation
-    of nelec spin orbitals, simple damping + Fock extrapolation.
-    Returns (E, rho, C, mo_energy)."""
-    n = h1.shape[0]
-    gj = jnp.asarray(g)
-    hj = jnp.asarray(h1)
-
-    @jax.jit
-    def fock(rho):
-        J = jnp.einsum("pqrs, sr -> pq", gj, rho)
-        K = jnp.einsum("psrq, sr -> pq", gj, rho)
-        return hj + J - K
-
-    if dm0 is None:
-        ew, ev = np.linalg.eigh(h1)
-        rho = ev[:, :nelec] @ ev[:, :nelec].T
-    else:
-        rho = np.asarray(dm0)
-    E_old, damp = np.inf, 0.3
-    for it in range(max_cycle):
-        F = np.asarray(fock(jnp.asarray(rho)))
-        ew, ev = np.linalg.eigh(F)
-        C = ev[:, :nelec]
-        rho_new = C @ C.T
-        E = float(np.sum(h1 * rho_new) + 0.5 * np.sum(
-            (F - h1) * rho_new))
-        if abs(E - E_old) < tol and np.abs(rho_new - rho).max() < 1e-8:
-            rho = rho_new
-            break
-        rho = (1 - damp) * rho_new + damp * rho
-        E_old = E
-    F = np.asarray(fock(jnp.asarray(rho)))
-    ew, ev = np.linalg.eigh(F)
-    rho = ev[:, :nelec] @ ev[:, :nelec].T
-    E = float(np.sum(h1 * rho) + 0.5 * np.sum(
-        (np.asarray(fock(jnp.asarray(rho))) - h1) * rho))
-    return E, rho, ev, ew
-
-
 class GCASCI(object):
     """GSO-frame CASCI on generalized spin orbitals (reference
     /root/reference/libdmet/solver/gcasci.py:1-711 `GCASCI` +
@@ -602,8 +561,8 @@ class GCASCI(object):
         if g.ndim == 2:
             g = restore_eri(g, n, 1)
 
-        e_hf, rho_hf, C, mo_e = _ghf_scf(h1, g, nelec, dm0=dm0,
-                                         tol=self.tol)
+        from libdmet_preview_tpu.solvers.scf import GGHF
+        e_hf, rho_hf, C, mo_e = GGHF(Ham, nelec, dm0=dm0, tol=self.tol)
         if self.nat_orb:
             # natural orbitals of the mean-field density (dm0 if given):
             # occupations descending, core = most occupied

@@ -445,3 +445,164 @@ def restore_Ham(Ham_mo, C, ovlp=None):
         return ao2mo_Ham(Ham_mo, (S @ C).T)
     return ao2mo_Ham(Ham_mo, np.asarray([(S @ C[s]).T
                                          for s in range(C.shape[0])]))
+
+
+@jax.jit
+def _veff_ghf(dm, eri):
+    """Single-species (generalized spin-orbital) veff: J - K with full
+    exchange (reference solver/scf.py:255-353 _get_veff_ghf role)."""
+    vj = jnp.einsum("pqrs, sr -> pq", eri, dm)
+    vk = jnp.einsum("psrq, sr -> pq", eri, dm)
+    return vj - vk
+
+
+def GGHF(Ham, nelec, dm0=None, tol=1e-11, max_cycle=200, diis_dim=8,
+         v_ext=None):
+    """Generalized HF on a dense spin-orbital Integral (reference
+    solver/scf.py:765 GGHF / :865 GIHF): one fermion species over all
+    norb spin orbitals, F = h + J(rho) - K(rho), aufbau occupation of
+    nelec orbitals, Pulay DIIS on the Fock commutator.
+
+    v_ext: optional static 1-body addition (e.g. a fitted -mu*Na+mu*Nb).
+    Returns (E, rho, C, mo_energy); E includes Ham.H0 and the v_ext
+    one-body contribution."""
+    n = Ham.norb
+    h1 = np.asarray(Ham.H1["cd"][0])
+    if v_ext is not None:
+        h1 = h1 + np.asarray(v_ext)
+    g = np.asarray(Ham.H2["ccdd"][0])
+    if g.ndim == 2:
+        g = restore_eri(g, n, 1)
+    gj = jnp.asarray(g)
+
+    if dm0 is None:
+        ew, ev = np.linalg.eigh(h1)
+        rho = ev[:, :nelec] @ ev[:, :nelec].T
+    else:
+        rho = np.asarray(dm0)
+    diis = DIIS(space=diis_dim)
+    E_old = np.inf
+    for it in range(max_cycle):
+        F = h1 + np.asarray(_veff_ghf(jnp.asarray(rho), gj))
+        err = F @ rho - rho @ F
+        if np.abs(err).max() < 1.0:
+            F = diis.update(F.ravel(), xerr=err.ravel()).reshape(n, n)
+        ew, ev = np.linalg.eigh(F)
+        rho = ev[:, :nelec] @ ev[:, :nelec].T
+        E = float(np.sum(h1 * rho)
+                  + 0.5 * np.sum(np.asarray(
+                      _veff_ghf(jnp.asarray(rho), gj)) * rho))
+        if abs(E - E_old) < tol and np.abs(err).max() < np.sqrt(tol):
+            E_old = E
+            break
+        E_old = E
+    return E_old + float(Ham.H0), rho, ev, ew
+
+
+def separate_basis(basis):
+    """Split a GSO embedding basis (ncells, nso, neo) into the particle
+    (alpha-LO) and hole (beta-LO) row blocks (reference
+    spinless_helper.separate_basis)."""
+    basis = np.asarray(basis)
+    nao = basis.shape[-2] // 2
+    return basis[..., :nao, :], basis[..., nao:, :]
+
+
+def GGHF_mu(Ham, nelec, nelec_target, mu0=0.0, basis=None, dm0=None,
+            tol=1e-11, tol_nelec=1e-8, max_cycle=200, mu_bracket=2.0):
+    """GSO HF with in-loop chemical-potential fitting (reference
+    solver/scf_mu.py:64-286 kernel): the determinant holds a FIXED
+    number of transformed particles (nelec spin orbitals occupied) while
+    the physical electron count
+
+        n_phys(rho) = tr_a(rho_LO) - tr_b(rho_LO) + nao * ncells
+
+    is driven to nelec_target by a monotone bisection over mu at every
+    SCF step, with v_mu = (-mu on particle rows, +mu on hole rows)
+    transformed to the embedding basis.
+
+    basis: GSO embedding basis (ncells, nso, neo) -- when None, the
+    Hamiltonian orbitals are themselves the particle/hole blocks
+    (reference trans_mu_2/_get_nelec_2 convention).
+    Returns (E, rho, C, mo_energy, mu)."""
+    n = Ham.norb
+    h1 = np.asarray(Ham.H1["cd"][0])
+    g = np.asarray(Ham.H2["ccdd"][0])
+    if g.ndim == 2:
+        g = restore_eri(g, n, 1)
+    gj = jnp.asarray(g)
+
+    if basis is None:
+        nao = n // 2
+        Na = np.zeros((n, n))
+        Nb = np.zeros((n, n))
+        Na[np.arange(nao), np.arange(nao)] = 1.0
+        Nb[np.arange(nao, n), np.arange(nao, n)] = 1.0
+        n_offset = float(nao)
+    else:
+        Ra, Rb = separate_basis(basis)
+        ncells, nao = Ra.shape[0], Ra.shape[1]
+        Na = np.einsum("rap, raq -> pq", Ra, Ra)
+        Nb = np.einsum("rap, raq -> pq", Rb, Rb)
+        n_offset = float(nao * ncells)
+    v_unit = -Na + Nb                      # dv/dmu
+
+    def n_phys(rho):
+        return float(np.sum(rho * Na) - np.sum(rho * Nb)) + n_offset
+
+    def fit_mu(F, mu_guess):
+        """Monotone bisection: n_phys of the aufbau density of
+        F + mu*v_unit is non-decreasing in mu."""
+        def n_of(mu):
+            ew, ev = np.linalg.eigh(F + mu * v_unit)
+            C = ev[:, :nelec]
+            return n_phys(C @ C.T)
+        lo, hi = mu_guess - mu_bracket, mu_guess + mu_bracket
+        k = 0
+        while n_of(lo) > nelec_target and k < 30:
+            lo -= mu_bracket * 2
+            k += 1
+        k = 0
+        while n_of(hi) < nelec_target and k < 30:
+            hi += mu_bracket * 2
+            k += 1
+        mu = mu_guess
+        for _ in range(100):
+            mu = 0.5 * (lo + hi)
+            nm = n_of(mu)
+            if abs(nm - nelec_target) < tol_nelec:
+                break
+            if nm < nelec_target:
+                lo = mu
+            else:
+                hi = mu
+        return mu
+
+    if dm0 is None:
+        mu = fit_mu(h1, mu0)
+        ew, ev = np.linalg.eigh(h1 + mu * v_unit)
+        rho = ev[:, :nelec] @ ev[:, :nelec].T
+    else:
+        rho, mu = np.asarray(dm0), mu0
+    diis = DIIS(space=8)
+    E_old = np.inf
+    for it in range(max_cycle):
+        veff = np.asarray(_veff_ghf(jnp.asarray(rho), gj))
+        F0 = h1 + veff
+        mu = fit_mu(F0, mu)
+        F = F0 + mu * v_unit
+        err = F @ rho - rho @ F
+        if np.abs(err).max() < 1.0:
+            F0 = diis.update(F0.ravel(), xerr=err.ravel()).reshape(n, n)
+            mu = fit_mu(F0, mu)
+            F = F0 + mu * v_unit
+        ew, ev = np.linalg.eigh(F)
+        rho = ev[:, :nelec] @ ev[:, :nelec].T
+        veff = np.asarray(_veff_ghf(jnp.asarray(rho), gj))
+        # energy of the mu-free Hamiltonian (mu is a constraint device)
+        E = float(np.sum(h1 * rho) + 0.5 * np.sum(veff * rho))
+        if abs(E - E_old) < tol and np.abs(err).max() < np.sqrt(tol):
+            E_old = E
+            break
+        E_old = E
+    return E_old + float(Ham.H0), rho, ev, ew, mu

@@ -292,3 +292,75 @@ def test_gcasci_gso_frame():
     cas_no = GCASCI(ncas=nso, nelecas=nao, tol=1e-12, nat_orb=True)
     _, E_no = cas_no.run(GHam, nelec=nao, dm0=np.asarray(rdm_fci[0]))
     assert abs(E_no - E_fci) < 1e-9
+
+
+def test_gghf_mu_scf():
+    """GSO HF with in-loop chemical-potential fitting (reference
+    solver/scf_mu.py role): on the ph-transformed 4-site Hubbard ring
+    (mu NOT folded into H1), the fit drives the physical electron count
+    to half filling while the determinant keeps the fixed transformed
+    particle number, and the converged energy equals the physical UHF
+    energy plus the exact transform constant (repulsive U: the HFB
+    minimum has zero pairing and reduces to UHF)."""
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers.scf import SCF, GGHF_mu
+    from libdmet_preview_tpu.ops import spinless
+
+    nao, U = 4, 3.0
+    h = np.zeros((nao, nao))
+    for i in range(nao):
+        h[i, (i + 1) % nao] = h[(i + 1) % nao, i] = -1.0
+    g = np.zeros((nao,) * 4)
+    for i in range(nao):
+        g[i, i, i, i] = U
+
+    # physical UHF at half filling with an AFM guess
+    Ham = Integral(nao, True, False, 0.0, {"cd": h[None]},
+                   {"ccdd": g[None]})
+    myscf = SCF()
+    myscf.set_system(nao, 0, False, False)
+    myscf.set_integral(Ham)
+    m = 0.5
+    dm0 = np.zeros((2, nao, nao))
+    for i in range(nao):
+        dm0[0, i, i] = 0.5 + m * (-1) ** i
+        dm0[1, i, i] = 0.5 - m * (-1) ** i
+    e_uhf, dm_uhf = myscf.HF(tol=1e-12, InitGuess=dm0)
+
+    # GSO Hamiltonian WITHOUT the physical mu (the solver must find it)
+    GH1_c, GH0 = spinless.transform_H1_k(((h[None]),
+                                          (np.zeros_like(h)[None])))
+    GH1 = spinless.combine_H1_k(GH1_c)
+    GV2, GV1, GV0 = spinless.transform_H2_local(g)
+    nso = 2 * nao
+    H1_so = GH1[0][0].copy()
+    H1_so[:nao, :nao] += GV1[0]
+    H1_so[nao:, nao:] += GV1[1]
+    eye_basis = np.eye(nso).reshape(1, nso, nso)
+    g_so = spinless.transform_eri_local_gso(eye_basis[:, :nao, :],
+                                            eye_basis[:, nao:, :], GV2)
+    GHam = Integral(nso, True, False, GH0 + GV0, {"cd": H1_so[None]},
+                    {"ccdd": g_so[None]})
+
+    # matched GSO initial density from the UHF AFM solution
+    GRho0 = np.zeros((nso, nso))
+    GRho0[:nao, :nao] = dm_uhf[0]
+    GRho0[nao:, nao:] = np.eye(nao) - dm_uhf[1].T
+
+    E_T, rho, C, mo_e, mu = GGHF_mu(GHam, nelec=nao, nelec_target=nao,
+                                    mu0=U / 2.0, dm0=GRho0, tol=1e-12)
+    # fixed transformed particle count
+    assert abs(np.trace(rho) - nao) < 1e-8
+    # physical electron count on target
+    n_phys = (np.trace(rho[:nao, :nao]) - np.trace(rho[nao:, nao:])
+              + nao)
+    assert abs(n_phys - nao) < 1e-6
+    # energy identity vs physical UHF (transform constant in GHam.H0)
+    assert abs(E_T - e_uhf) < 1e-7
+
+    # the explicit-basis route with the identity basis is the same fit
+    E_T2, rho2, _, _, mu2 = GGHF_mu(GHam, nelec=nao, nelec_target=nao,
+                                    mu0=U / 2.0, dm0=GRho0,
+                                    basis=eye_basis, tol=1e-12)
+    assert abs(E_T2 - E_T) < 1e-9
+    assert np.abs(rho2 - rho).max() < 1e-7
