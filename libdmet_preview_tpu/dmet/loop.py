@@ -136,7 +136,8 @@ def run_dmet(lattice, vcor, config=None, solver=None, mu0=None):
 def run_dmet_sc(lattice, vcor, filling, solver=None, max_iter=20,
                 mu0=0.0, diis_start=3, diis_dim=4, conv_tol_E=1e-6,
                 conv_tol_vcor=1e-5, thrnelec=1e-7, fit_max_iter=200,
-                mixing=1.0):
+                mixing=1.0, beta=np.inf, localize_bath=None,
+                trace_start=None):
     """One-call SUPERCONDUCTING (GSO-frame) DMET driver (packaging of the
     reference HubbardBCS/HubbardGSO example loops): HFB mean field with a
     physical-mu fit, spinless bath + embedding, FCI(ghf) with a dmu
@@ -162,9 +163,10 @@ def run_dmet_sc(lattice, vcor, filling, solver=None, max_iter=20,
     for it in range(max_iter):
         vmat = spinless.combine_vcor(np.asarray(vcor.get()))
         GRho, mu, res = bcs.GHartreeFock(gham, filling, mu0=mu,
-                                         vcor_mat=vmat)
+                                         vcor_mat=vmat, beta=beta)
         ImpHam, _, basis = bcs.ConstructImpHam(gham, GRho, mu,
-                                               vcor_mat=vmat)
+                                               vcor_mat=vmat,
+                                               localize_bath=localize_bath)
         # warm-start the secant dmu fit from the previous iteration's value
         rdm, E_emb, ImpHam_d, dmu = bcs.SolveImpHam_with_fitting(
             gham, filling, ImpHam, basis, solver, dmu0=last_dmu,
@@ -175,6 +177,11 @@ def run_dmet_sc(lattice, vcor, filling, solver=None, max_iter=20,
                                                  last_dmu=dmu)
         vcor_new, err = bcs.FitVcor(rdm, lattice, basis, vcor, gham, mu,
                                     MaxIter=fit_max_iter)
+        if trace_start is not None and it >= trace_start:
+            # remove the mu-absorbable diagonal drift so vcor and mu
+            # don't spiral together (reference keep_vcor_trace_fixed)
+            from libdmet_preview_tpu.ops.fit import keep_vcor_trace_fixed
+            vcor_new = keep_vcor_trace_fixed(vcor_new, vcor)
         # damped update (mixing < 1 stabilizes oscillatory Bogoliubov
         # fits, e.g. d-wave at repulsive U; DIIS on the damped sequence)
         p_next = (1.0 - mixing) * np.asarray(vcor.param) \

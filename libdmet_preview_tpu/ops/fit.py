@@ -47,6 +47,18 @@ def vcor_diag_average(v, idx_range=None):
     return np.average(rep[:, idx_range, idx_range], axis=1)
 
 
+def keep_vcor_trace_fixed(v_new, v_old):
+    """GSO/Bogoliubov trace fix (reference spinless.py:747): remove the
+    mu-absorbable drift -- an EQUAL diagonal shift on va and vb maps to
+    -mu_matrix in the combined GSO frame -- by subtracting
+    0.5*(avg diag dva - avg diag dvb) from both normal diagonals."""
+    dv = np.asarray(v_new.get()) - np.asarray(v_old.get())
+    d = 0.5 * (np.average(np.diagonal(dv[0]))
+               - np.average(np.diagonal(dv[1])))
+    addDiag(v_new, -d)
+    return v_new
+
+
 def make_vcor_trace_unchanged(v_new, v_old, idx_range=None):
     v_mat_old = v_old.get()
     v_mat_new = v_new.get()
@@ -605,22 +617,94 @@ def _test_grad(param0, fun_grad, dx=1e-5):
     return g_ana, g_num
 
 
-def FitVcorFull(rho, lattice, basis, vcor, beta, filling, MaxIter=20, **kwargs):
+def FitVcorFull(rho, lattice, basis, vcor, beta, filling, MaxIter=20,
+                imp_fit=False, **kwargs):
     """Whole-lattice fit stage (reference slater.py:1352-1683): re-solve the
-    lattice mean field at each step and match the folded rdm1."""
+    lattice mean field at each step and match the folded rdm1.
+    imp_fit restricts the residual to the impurity block (reference
+    slater.py:1454-1470 fit index handling)."""
     from libdmet_preview_tpu.ops import mfd
 
     basis = np.asarray(basis)
     spin = basis.shape[0]
+    neo = basis.shape[-1]
     basis_k = lattice.R2k_basis(basis)
     rho_target = np.asarray(rho)
     restricted = (spin == 1)
+    mask = np.ones((spin, neo, neo))
+    if imp_fit:
+        mask[:] = 0.0
+        ii = np.arange(lattice.nimp)
+        mask[np.ix_(range(spin), ii, ii)] = 1.0
+        rho_target = rho_target * mask
+
+    if beta < np.inf and vcor.islocal():
+        # gradient path: the WHOLE cost -- lattice Fock + vcor, one
+        # global-mu Fermi density over (spin x k) via the zrho_fermi
+        # custom-vjp op, embedding fold, masked residual -- is a single
+        # jitted value_and_grad program (replaces the reference's
+        # hand-derived full-fit gradient, slater.py:1456-1640)
+        from libdmet_preview_tpu.ops.zlinalg import zrho_fermi
+        from libdmet_preview_tpu.ops.mfd import check_nelec
+        from libdmet_preview_tpu.utils.misc import add_spin_dim
+
+        Fock_k = lattice.getFock(kspace=True)
+        f_re, f_im = np.asarray(Fock_k[0]), np.asarray(Fock_k[1])
+        if f_re.ndim == 3:
+            f_re, f_im = f_re[None], f_im[None]
+        f_re = add_spin_dim(f_re, spin, non_spin_dim=3)
+        f_im = add_spin_dim(f_im, spin, non_spin_dim=3)
+        nk, nlo = f_re.shape[1], f_re.shape[-1]
+        # single mu across spin channels and k (mfd.HF convention for
+        # scalar filling); electron count on the DOUBLED spectrum
+        nelec2 = check_nelec(spin * nk * 2 * nlo * float(filling))[0]
+        grad_tab = jnp.asarray(np.asarray(vcor.gradient())[:, :spin])
+        fr_j, fi_j = jnp.asarray(f_re), jnp.asarray(f_im)
+        br_j, bi_j = (jnp.asarray(x) for x in basis_k)
+        mask_j = jnp.asarray(mask)
+        tgt_j = jnp.asarray(rho_target)
+
+        def err_full(p):
+            F_re = fr_j + jnp.einsum("P, Psij -> sij", p,
+                                     grad_tab)[:, None]
+            r_re, r_im, _ = zrho_fermi(
+                F_re.reshape(spin * nk, nlo, nlo),
+                fi_j.reshape(spin * nk, nlo, nlo), nelec2, float(beta))
+            rk = (r_re.reshape(spin, nk, nlo, nlo),
+                  r_im.reshape(spin, nk, nlo, nlo))
+            remb = embham._trans_inv_k_pair(br_j, bi_j, rk[0], rk[1])
+            d = remb * mask_j - tgt_j
+            return jnp.linalg.norm(d) / jnp.sqrt(1.0 * spin)
+
+        err_vg = jax.value_and_grad(err_full)
+
+        def fun_grad(p):
+            e, g = err_vg(jnp.asarray(p))
+            return float(e), np.asarray(g)
+
+        p0 = vcor.param.copy()
+        err_begin = fun_grad(p0)[0]
+        x, err_end, gnorm = minimize_cg(fun_grad, p0, max_iter=MaxIter,
+                                        ytol=kwargs.get("ytol", 1e-8),
+                                        gtol=kwargs.get("gtol", 1e-4))
+        if kwargs.get("CG_check", False) or kwargs.get("BFGS", False) \
+                or gnorm > 1e-3:
+            from scipy import optimize as opt
+            r = opt.minimize(lambda p: fun_grad(p)[0], x,
+                             jac=lambda p: fun_grad(p)[1],
+                             method="BFGS" if kwargs.get("BFGS") else "CG",
+                             options={"maxiter": MaxIter,
+                                      "gtol": max(gnorm * 0.1, 5e-5)})
+            if r.fun < err_end:
+                x, err_end = r.x, float(r.fun)
+        vcor.update(np.asarray(x))
+        return vcor, err_begin, float(err_end)
 
     def cost(p):
         vcor.update(p)
         rhoT, mu, _, res = mfd.HF(lattice, vcor, filling, restricted,
                                   beta=beta, ires=True)
-        rho1 = np.asarray(embham.foldRho_k(res["rho_k"], basis_k))
+        rho1 = np.asarray(embham.foldRho_k(res["rho_k"], basis_k)) * mask
         return float(np.linalg.norm(rho1 - rho_target) / np.sqrt(spin))
 
     from scipy import optimize as opt

@@ -10,6 +10,8 @@ Oracles:
     the same check the reference asserts at test_spinless_model.py:117.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -427,3 +429,31 @@ def test_gso_abinitio_int_bath_equals_slater_ib():
     assert np.max(np.abs(rho_A + rho_B - rhoImp_phys)) < 5e-6
     assert abs(n_gso - 2 * filling) < 1e-6
     assert abs(E_gso - E_sl) < 1e-4
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="~10 min doped GSO loop; set RUN_SLOW=1")
+def test_spinless_doped_anchor():
+    """DOPED spinless DMET anchor (reference test_spinless_model.py:321
+    test_spinless_fci_08): 60x60 U=6 square lattice, 2x2 impurity,
+    filling 0.4, non-interacting bath, GHF-FCI, AFM+random-pairing init,
+    beta=1000 mean field, SCDM bath localization, mu-absorbable trace
+    fix; E/site = -1.001725641814 at 2e-4.  Exercises the physical-mu
+    fit and the dmu secant away from half filling in the GSO frame."""
+    import libdmet_preview_tpu.dmet.hubbard as sdmet
+    from libdmet_preview_tpu.dmet.loop import run_dmet_sc
+    from libdmet_preview_tpu.solvers import FCI
+
+    U, filling = 6.0, 0.4
+    Lat = sdmet.SquareLattice(60, 60, 2, 2)
+    Ham = sdmet.Ham(Lat, U)
+    Lat.set_Ham(Ham, use_hcore_as_emb_ham=True)
+    vcor = sdmet.AFInitGuess((2, 2), U, filling, rand=0.001,
+                             bogoliubov=True, bogo_res=True)
+    solver = FCI(restricted=True, ghf=True, tol=1e-10)
+    res = run_dmet_sc(Lat, vcor, filling, solver=solver, max_iter=30,
+                      mu0=U * filling, thrnelec=1e-6, beta=1000.0,
+                      localize_bath="scdm", trace_start=3,
+                      conv_tol_vcor=5e-5)
+    assert abs(res.nelec_imp - 2 * filling) < 1e-4
+    assert abs(res.e_per_site - (-1.001725641814)) < 2e-4
