@@ -626,8 +626,9 @@ class CCSD(object):
 
     def __init__(self, restricted=False, Sz=0, tol=1e-9, max_cycle=200,
                  scf_newton=False, diis_space=8, level_shift=0.0,
-                 **kwargs):
+                 ghf=False, **kwargs):
         self.restricted = restricted
+        self.ghf = ghf              # GSO: one species over all orbitals
         self.Sz = Sz
         self.conv_tol = tol
         self.max_cycle = max_cycle
@@ -675,10 +676,21 @@ class CCSD(object):
     def run(self, Ham, nelec=None, dm0=None, calc_rdm2=False, **kwargs):
         if nelec is None:
             raise ValueError("CCSD.run requires nelec")
-        na = (nelec + self.Sz) // 2
-        nb = nelec - na
-        self.scfsolver = SCF()
-        self.scfsolver.set_system(nelec, self.Sz, False, self.restricted)
+        if self.ghf:
+            # GSO / generalized spin orbitals (reference gccsd/gccd/gmp2
+            # roles): a single fermion species over all norb orbitals --
+            # run the spin-orbital machinery with (nelec, 0) electrons
+            # and return FULL (unhalved) single-species RDMs matching
+            # the FCI(ghf=True) solver contract
+            na, nb = nelec, 0
+            self.scfsolver = SCF()
+            self.scfsolver.set_system(nelec, nelec, False, False)
+        else:
+            na = (nelec + self.Sz) // 2
+            nb = nelec - na
+            self.scfsolver = SCF()
+            self.scfsolver.set_system(nelec, self.Sz, False,
+                                      self.restricted)
         self.scfsolver.set_integral(Ham)
         e_hf, dm_hf = self.scfsolver.HF(tol=min(self.conv_tol, 1e-10),
                                         MaxIter=200, InitGuess=dm0)
@@ -708,7 +720,10 @@ class CCSD(object):
         G_bb = 0.5 * (G_bb + G_bb.transpose(1, 0, 3, 2))
         G_ab = 0.5 * (G_ab + G_ab.transpose(1, 0, 3, 2))
 
-        if Ham.restricted:
+        if self.ghf:
+            self.onepdm = rdm1_a[None]
+            self.twopdm = G_aa[None]
+        elif Ham.restricted:
             self.onepdm = (0.5 * (rdm1_a + rdm1_b))[None]
             # combined restricted block: G_tot = G_aa + G_bb + G_ab + G_ba
             self.twopdm = (G_aa + G_bb + G_ab
@@ -730,7 +745,11 @@ class CCSD(object):
         H1 = np.asarray(Ham.H1["cd"])
         H2 = Ham.H2["ccdd"]
         n = Ham.norb
-        if Ham.restricted:
+        if self.ghf:
+            h2 = restore_eri(np.asarray(H2[0]), n, symmetry=1)
+            E1 = np.sum(H1[0] * r1[0])
+            E2 = 0.5 * np.einsum("pqrs, pqrs", h2, r2[0])
+        elif Ham.restricted:
             h2 = restore_eri(np.asarray(H2[0]), n, symmetry=1)
             E1 = 2.0 * np.sum(H1[0] * r1[0])
             E2 = 0.5 * np.einsum("pqrs, pqrs", h2, r2[0])

@@ -457,3 +457,50 @@ def test_spinless_doped_anchor():
                       conv_tol_vcor=5e-5)
     assert abs(res.nelec_imp - 2 * filling) < 1e-4
     assert abs(res.e_per_site - (-1.001725641814)) < 2e-4
+
+
+def test_gso_ccsd_ghf_mode():
+    """GSO-frame CC solvers (reference gccsd/gccd/gmp2 roles):
+    CCSD(ghf=True) on the ph-transformed 2-site Hubbard dimer (a
+    2-particle problem, where CCSD is exact) reproduces the spinless FCI
+    energy and FULL spin-orbital rdm1, and run_dmet_ham is
+    RDM-consistent; MP2(ghf=True) is variationally sane."""
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers import FCI, CCSD, MP2
+    from libdmet_preview_tpu.ops import spinless
+
+    nao, U = 2, 3.0
+    h = np.zeros((nao, nao))
+    h[0, 1] = h[1, 0] = -1.0
+    g = np.zeros((nao,) * 4)
+    for i in range(nao):
+        g[i, i, i, i] = U
+    GH1_c, GH0 = spinless.transform_H1_k(((h[None]),
+                                          (np.zeros_like(h)[None])))
+    GH1 = spinless.combine_H1_k(GH1_c)
+    GV2, GV1, GV0 = spinless.transform_H2_local(g)
+    nso = 2 * nao
+    H1_so = GH1[0][0].copy()
+    H1_so[:nao, :nao] += GV1[0]
+    H1_so[nao:, nao:] += GV1[1]
+    H1_so += spinless.mu_matrix(U / 2.0, nao)
+    eye = np.eye(nso).reshape(1, nso, nso)
+    g_so = spinless.transform_eri_local_gso(eye[:, :nao, :],
+                                            eye[:, nao:, :], GV2)
+    GHam = Integral(nso, True, False, GH0 + GV0 - U / 2.0 * nao,
+                    {"cd": H1_so[None]}, {"ccdd": g_so[None]})
+
+    rdm_f, E_f = FCI(restricted=True, ghf=True, tol=1e-12).run(
+        GHam, nelec=nao)
+    cc = CCSD(ghf=True, tol=1e-11)
+    rdm_c, E_c = cc.run(GHam, nelec=nao)
+    assert abs(E_c - E_f) < 1e-9
+    assert rdm_c.shape == (1, nso, nso)
+    assert abs(np.trace(rdm_c[0]) - nao) < 1e-9
+    assert np.abs(np.asarray(rdm_c)[0] - np.asarray(rdm_f)[0]).max() < 1e-7
+    assert abs(cc.run_dmet_ham(GHam) - E_f) < 1e-8
+
+    mp = MP2(ghf=True, tol=1e-11)
+    _, E_mp = mp.run(GHam, nelec=nao)
+    assert E_mp > E_f - 1e-10      # not below exact
+    assert E_mp < 0.0
