@@ -539,7 +539,7 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
                 errs = errs + jnp.sum(d ** 2)
             return jnp.sqrt(errs / spin)
 
-        err_vg = jax.value_and_grad(err_ft)
+        err_vg = jax.jit(jax.value_and_grad(err_ft))
 
         def fun_grad(p):
             e, g = err_vg(jnp.asarray(p))
@@ -676,7 +676,7 @@ def FitVcorFull(rho, lattice, basis, vcor, beta, filling, MaxIter=20,
             d = remb * mask_j - tgt_j
             return jnp.linalg.norm(d) / jnp.sqrt(1.0 * spin)
 
-        err_vg = jax.value_and_grad(err_full)
+        err_vg = jax.jit(jax.value_and_grad(err_full))
 
         def fun_grad(p):
             e, g = err_vg(jnp.asarray(p))
