@@ -244,6 +244,51 @@ def _stripe_symm(M, ncells, nlo):
     return out / ncells
 
 
+
+def _ints_src_hash():
+    """Content hash of the integral engine sources: cache keys embed it
+    so any change to ints/ auto-invalidates cached tensors."""
+    import hashlib
+    import os as _os
+    d = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "ints")
+    h = hashlib.sha1()
+    for f in sorted(_os.listdir(d)):
+        if f.endswith((".py", ".cpp")):
+            with open(_os.path.join(d, f), "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()[:10]
+
+
+def _cell_ints_cached(cell, tag, key_parts):
+    """(S, hcore, eri_rs, e_nuc) for a cell, disk-cached when the
+    LIBDMET_TPU_INT_CACHE env var names a directory (keyed by workload
+    tag + parameters + the ints/ source hash; tests set the env var to a
+    repo-local gitignored dir so repeated runs skip the ~1 min native
+    integral generation)."""
+    import os as _os
+    cdir = _os.environ.get("LIBDMET_TPU_INT_CACHE")
+    path = None
+    if cdir:
+        key = "%s_%s_%s.npz" % (tag, "_".join(str(x) for x in key_parts),
+                                _ints_src_hash())
+        path = _os.path.join(cdir, key)
+        if _os.path.exists(path):
+            dat = np.load(path)
+            return (dat["S"], dat["hcore"], dat["eri"],
+                    float(dat["e_nuc"]))
+    S = cell.intor_ovlp()
+    hcore = cell.intor_hcore()
+    eri = cell.intor_eri_rs()
+    e_nuc = cell.energy_nuc()
+    if path is not None:
+        _os.makedirs(cdir, exist_ok=True)
+        tmp = path + ".tmp.%d.npz" % _os.getpid()
+        np.savez(tmp, S=S, hcore=hcore, eri=eri, e_nuc=e_nuc)
+        _os.replace(tmp, path)
+    return S, hcore, eri, e_nuc
+
+
 def make_hchain_pbc_lattice(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
                             localization="iao", minao_ref="minao",
                             chol_tol=1e-9, gmax=None):
@@ -275,10 +320,8 @@ def make_hchain_pbc_lattice(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
     nlo = nao_atom * nH                   # LOs per unit cell
     nsite = cell.nao
 
-    S = cell.intor_ovlp()
-    hcore = cell.intor_hcore()
-    eri = cell.intor_eri_rs()   # converged for sharp pairs
-    e_nuc = cell.energy_nuc()
+    S, hcore, eri, e_nuc = _cell_ints_cached(
+        cell, "hchain", (nk, nH, R, vac, basis, gmax))
 
     Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
                        {"ccdd": eri[None]}, ovlp=S)
@@ -374,10 +417,8 @@ def make_hchain_pbc_lattice_uhf(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
     nlo = nao_atom * nH
     nsite = cell.nao
 
-    S = cell.intor_ovlp()
-    hcore = cell.intor_hcore()
-    eri = cell.intor_eri_rs()   # converged for sharp pairs
-    e_nuc = cell.energy_nuc()
+    S, hcore, eri, e_nuc = _cell_ints_cached(
+        cell, "hchain", (nk, nH, R, vac, basis, gmax))
 
     # AFM initial guess: alternate atoms alpha/beta (reference
     # test_non_int_bath_uhf.py:150-158 dm0)
@@ -547,10 +588,8 @@ def make_diamond_lattice(nk=2, a_ang=3.567, basis="gth-szv",
     nlo = cell.nao // nk
     nsite = cell.nao
 
-    S = cell.intor_ovlp()
-    hcore = cell.intor_hcore()
-    eri = cell.intor_eri_rs()   # converged for sharp pairs
-    e_nuc = cell.energy_nuc()
+    S, hcore, eri, e_nuc = _cell_ints_cached(
+        cell, "diamond", (nk, a_ang, basis, pseudo, gmax))
 
     Ham_mol = Integral(nsite, True, False, e_nuc, {"cd": hcore[None]},
                        {"ccdd": eri[None]}, ovlp=S)

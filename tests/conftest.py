@@ -22,3 +22,11 @@ try:
     jax.devices()
 except Exception:
     pass
+
+# disk-cache the native integral tensors (keyed by workload + the ints/
+# source hash, so integral-engine changes auto-invalidate): repeated
+# suite runs skip the ~1 min/builder host generation
+os.environ.setdefault(
+    "LIBDMET_TPU_INT_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".integral_cache"))

@@ -19,15 +19,12 @@ import pytest
 
 FAKE = textwrap.dedent("""\
     #!/usr/bin/env python
-    import sys, os, re
+    # Self-contained fake Block binary: parses dmrg.conf + FCIDUMP and
+    # solves the problem with an INDEPENDENT dense numpy FCI (no jax, no
+    # package import -- a genuine cross-check of the bridge, and ~10 s
+    # faster per call than importing the library stack).
+    import sys, os, re, itertools
     import numpy as np
-    sys.path.insert(0, %(repo)r)
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    import libdmet_preview_tpu
-    from libdmet_preview_tpu.models.integral import read_FCIDUMP
-    from libdmet_preview_tpu.solvers.fci import fci_kernel
 
     conf_path = sys.argv[-1]
     conf = open(conf_path).read()
@@ -37,19 +34,137 @@ FAKE = textwrap.dedent("""\
     assert "onepdm" in conf
     fcidump = re.search(r"orbitals (.*)", conf).group(1).strip()
     prefix = re.search(r"prefix (.*)", conf).group(1).strip()
-    Ham = read_FCIDUMP(fcidump)
-    h1 = np.asarray(Ham.H1["cd"])[0]
-    eri = np.asarray(Ham.H2["ccdd"])[0]
-    norb = Ham.norb
-    from libdmet_preview_tpu.solvers.fci import make_rdm1s
+
+    # --- minimal FCIDUMP reader (chemist notation, 8-fold symm) ---
+    txt = open(fcidump).read()
+    m = re.search(r"NORB\\s*=\\s*(\\d+)", txt)
+    norb = int(m.group(1))
+    body = txt[txt.upper().index("&END") + 4:].split()
+    h1 = np.zeros((norb, norb))
+    eri = np.zeros((norb,) * 4)
+    ecore = 0.0
+    for off in range(0, len(body), 5):
+        v, i, j, k, l = (float(body[off]),) + tuple(
+            int(x) for x in body[off + 1:off + 5])
+        if i == j == k == l == 0:
+            ecore = v
+        elif k == l == 0:
+            p, q = i - 1, j - 1
+            h1[p, q] = h1[q, p] = v
+        else:
+            p, q, r, s = i - 1, j - 1, k - 1, l - 1
+            for (a, b) in ((p, q), (q, p)):
+                for (c, d) in ((r, s), (s, r)):
+                    eri[a, b, c, d] = eri[c, d, a, b] = v
+
+    # --- dense FCI over (na, nb) determinants ---
     na = (nelec + spin) // 2
-    e, ci = fci_kernel(h1, eri, norb, (na, nelec - na), ecore=Ham.H0,
-                       tol=1e-11)
-    rdm1_spat = np.asarray(make_rdm1s(ci, norb, (na, nelec - na)))
-    # Block-style outputs: sweep energy + binary interleaved-spin 1-pdm
+    nb = nelec - na
+    def strings(n, k):
+        return [frozenset(c) for c in itertools.combinations(range(n), k)]
+    SA, SB = strings(norb, na), strings(norb, nb)
+    det = [(a, b) for a in SA for b in SB]
+    idx = {d: i for i, d in enumerate(det)}
+    nd = len(det)
+
+    def sign_excite(occ, p, q):
+        # remove q, add p in the SORTED occupation list; fermion sign
+        occ = sorted(occ)
+        iq = occ.index(q)
+        occ2 = occ[:iq] + occ[iq + 1:]
+        ip = sum(1 for x in occ2 if x < p)
+        return (-1) ** (iq + ip), frozenset(occ2 + [p])
+
+    H = np.zeros((nd, nd))
+    for I, (a, b) in enumerate(det):
+        # diagonal
+        e = sum(h1[p, p] for p in a) + sum(h1[p, p] for p in b)
+        occs = [(a, a), (b, b)]
+        for p in a:
+            for q in a:
+                e += 0.5 * (eri[p, p, q, q] - eri[p, q, q, p])
+            for q in b:
+                e += eri[p, p, q, q]
+        for p in b:
+            for q in b:
+                e += 0.5 * (eri[p, p, q, q] - eri[p, q, q, p])
+        H[I, I] = e
+        # single excitations (same spin channel)
+        for chan, occ, other in (("a", a, b), ("b", b, a)):
+            for q in occ:
+                for p in range(norb):
+                    if p in occ:
+                        continue
+                    sgn, occ2 = sign_excite(occ, p, q)
+                    d2 = (occ2, b) if chan == "a" else (a, occ2)
+                    J = idx[d2]
+                    val = h1[p, q]
+                    for r in occ:
+                        if r == q:
+                            continue
+                        val += eri[p, q, r, r] - eri[p, r, r, q]
+                    for r in other:
+                        val += eri[p, q, r, r]
+                    H[J, I] += sgn * val
+        # double excitations: same-spin (aa, bb)
+        for chan, occ in (("a", a), ("b", b)):
+            for q in occ:
+                for s in occ:
+                    if s <= q:
+                        continue
+                    for p in range(norb):
+                        if p in occ:
+                            continue
+                        for r in range(norb):
+                            if r in occ or r <= p:
+                                continue
+                            s1, o1 = sign_excite(occ, p, q)
+                            s2, o2 = sign_excite(o1, r, s)
+                            d2 = (o2, b) if chan == "a" else (a, o2)
+                            J = idx[d2]
+                            val = eri[p, q, r, s] - eri[r, q, p, s]
+                            H[J, I] += s1 * s2 * val
+        # opposite-spin doubles
+        for q in a:
+            for p in range(norb):
+                if p in a:
+                    continue
+                s1, a2 = sign_excite(a, p, q)
+                for s in b:
+                    for r in range(norb):
+                        if r in b:
+                            continue
+                        s2, b2 = sign_excite(b, r, s)
+                        J = idx[(a2, b2)]
+                        H[J, I] += s1 * s2 * eri[p, q, r, s]
+
+    ew, ev = np.linalg.eigh(H)
+    e = ew[0] + ecore
+    c = ev[:, 0]
+    # spin-resolved 1-pdm <p+ q>
+    rdm_a = np.zeros((norb, norb))
+    rdm_b = np.zeros((norb, norb))
+    for I, (a, b) in enumerate(det):
+        for p in a:
+            rdm_a[p, p] += c[I] * c[I]
+        for p in b:
+            rdm_b[p, p] += c[I] * c[I]
+        for chan, occ in (("a", a), ("b", b)):
+            for q in occ:
+                for p in range(norb):
+                    if p in occ:
+                        continue
+                    sgn, occ2 = sign_excite(occ, p, q)
+                    d2 = (occ2, b) if chan == "a" else (a, occ2)
+                    J = idx[d2]
+                    if chan == "a":
+                        rdm_a[p, q] += sgn * c[J] * c[I]
+                    else:
+                        rdm_b[p, q] += sgn * c[J] * c[I]
+
     so = np.zeros((2 * norb, 2 * norb))
-    so[::2, ::2] = rdm1_spat[0] if rdm1_spat.ndim == 3 else rdm1_spat / 2
-    so[1::2, 1::2] = rdm1_spat[-1] if rdm1_spat.ndim == 3 else rdm1_spat / 2
+    so[::2, ::2] = rdm_a
+    so[1::2, 1::2] = rdm_b
     os.makedirs(os.path.join(prefix, "node0"), exist_ok=True)
     with open(os.path.join(prefix, "node0", "onepdm.0.0.bin"), "wb") as f:
         f.write(b"HDR!")               # binary reader takes the TAIL
