@@ -176,31 +176,38 @@ def R_table(tmax, umax, vmax, alpha, PC, kernel="coulomb", poly=None):
         F = np.broadcast_to(F, (nmax + 1,) + batch).copy()
     else:
         F = np.broadcast_to(np.exp(-T), (nmax + 1,) + batch).copy()
-    # R^n accumulators
+    # R^n accumulators.  The downward recursion is vectorized per
+    # direction: for t >= 1 the t-axis rule applies uniformly over all
+    # (u, v) (and analogously u over v at t = 0, v alone at t = u = 0),
+    # so each n costs three strided array statements instead of a
+    # Python loop over every (t, u, v) (the former molecular-ERI
+    # hotspot).  Entries with t+u+v > nmax-n are computed from other
+    # such entries but never read by any valid one (valid entries only
+    # reference sums one or two lower at level n+1).
     Rn = np.zeros((nmax + 1, tmax + 1, umax + 1, vmax + 1) + batch,
                   dtype=F.dtype)
     for n in range(nmax + 1):
         Rn[n, 0, 0, 0] = (-2.0 * alpha) ** n * F[n]
     x, y, z = PC[..., 0], PC[..., 1], PC[..., 2]
+    tc = np.arange(2, tmax + 1, dtype=float) - 1.0
+    uc = np.arange(2, umax + 1, dtype=float) - 1.0
+    vc = np.arange(2, vmax + 1, dtype=float) - 1.0
+    tcb = tc.reshape((-1, 1, 1) + (1,) * len(batch))
+    ucb = uc.reshape((-1, 1) + (1,) * len(batch))
+    vcb = vc.reshape((-1,) + (1,) * len(batch))
     for n in range(nmax - 1, -1, -1):
-        for t in range(tmax + 1):
-            for u in range(umax + 1):
-                for v in range(vmax + 1):
-                    if t + u + v == 0 or t + u + v > nmax - n:
-                        continue
-                    if t > 0:
-                        val = x * Rn[n + 1, t - 1, u, v]
-                        if t > 1:
-                            val = val + (t - 1) * Rn[n + 1, t - 2, u, v]
-                    elif u > 0:
-                        val = y * Rn[n + 1, t, u - 1, v]
-                        if u > 1:
-                            val = val + (u - 1) * Rn[n + 1, t, u - 2, v]
-                    else:
-                        val = z * Rn[n + 1, t, u, v - 1]
-                        if v > 1:
-                            val = val + (v - 1) * Rn[n + 1, t, u, v - 2]
-                    Rn[n, t, u, v] = val
+        if tmax > 0:
+            Rn[n, 1:] = x * Rn[n + 1, :tmax]
+            if tmax > 1:
+                Rn[n, 2:] += tcb * Rn[n + 1, :tmax - 1]
+        if umax > 0:
+            Rn[n, 0, 1:] = y * Rn[n + 1, 0, :umax]
+            if umax > 1:
+                Rn[n, 0, 2:] += ucb * Rn[n + 1, 0, :umax - 1]
+        if vmax > 0:
+            Rn[n, 0, 0, 1:] = z * Rn[n + 1, 0, 0, :vmax]
+            if vmax > 1:
+                Rn[n, 0, 0, 2:] += vcb * Rn[n + 1, 0, 0, :vmax - 1]
     return Rn[0]
 
 
@@ -595,6 +602,40 @@ def nuc_block(sh1, sh2, charges, coords, shift=None, eta=None,
     return out
 
 
+def _stack_pair_E(pairs, l1, l2, sign=False):
+    """Stack _pair_E3 output into a dense Hermite-coefficient matrix:
+    (npair, nc1*nc2, (l1+l2+1)^3) with the contraction coefficient
+    folded in; entries with t > i+j vanish by E_table construction.
+    sign=True folds (-1)^(t+u+v) (the ket side of an ERI; _eri_quartet
+    applies the sign itself, so pair data cached for intor_eri is
+    bra/ket agnostic)."""
+    lmn1 = np.asarray(CART[l1])
+    lmn2 = np.asarray(CART[l2])
+    nc1, nc2 = len(lmn1), len(lmn2)
+    lt = l1 + l2
+    tg = np.arange(lt + 1)
+    i1 = lmn1[:, :, None, None]           # (nc1, 3dir, 1, 1)
+    j2 = lmn2.T[:, None, :, None]         # (3dir, 1, nc2, 1)
+    n = len(pairs)
+    Es = np.empty((n, nc1, nc2, lt + 1, lt + 1, lt + 1))
+    ps = np.empty(n)
+    cs = np.empty(n)
+    Ps = np.empty((n, 3))
+    for a, (p, c, P, (Ex, Ey, Ez)) in enumerate(pairs):
+        exm = Ex[i1[:, 0], j2[0], tg[None, None, :]]
+        eym = Ey[i1[:, 1], j2[1], tg[None, None, :]]
+        ezm = Ez[i1[:, 2], j2[2], tg[None, None, :]]
+        Es[a] = (exm[:, :, :, None, None] * eym[:, :, None, :, None]
+                 * ezm[:, :, None, None, :])
+        ps[a], cs[a], Ps[a] = p, c, P
+    Es = Es.reshape(n, nc1 * nc2, (lt + 1) ** 3)
+    if sign:
+        s = (-1.0) ** (tg[:, None, None] + tg[None, :, None]
+                       + tg[None, None, :])
+        Es = Es * s.reshape(1, 1, -1)
+    return Es * cs[:, None, None], ps, Ps
+
+
 def eri_block(sh1, sh2, sh3, sh4, shifts=(None, None, None), omega=None):
     """Chemist-notation ERI block (sh1 sh2 | sh3 sh4), shape
     (nc1, nc2, nc3, nc4).  shifts: optional translations of sh2, sh3, sh4
@@ -607,66 +648,80 @@ def eri_block(sh1, sh2, sh3, sh4, shifts=(None, None, None), omega=None):
     attenuated fundamental integral is the bare one with the Hermite
     exponent alpha -> theta = alpha w^2/(alpha + w^2) inside R_table
     ((-2 theta)^n carries the (theta/alpha)^n order scaling) times an
-    overall sqrt(theta/alpha)."""
+    overall sqrt(theta/alpha).
+
+    Vectorized over ALL primitive quartets: one unit-exponent R_table
+    call batched over the (pair12 x pair34) product via the scaling
+    identity R_tuv(alpha, PC) = alpha^{(t+u+v)/2} R_tuv(1, sqrt(alpha)
+    PC), a sliding-window view for the Hermite coupling matrix
+    R[t+T, u+U, v+V], and one einsum for the E(12) x R x E(34)
+    contraction (the former scalar Python loops were the molecular-ERI
+    bottleneck: 12 s for a (p6 p6|p6 p6) quartet, now ~10 ms)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
     l12 = sh1.l + sh2.l
     l34 = sh3.l + sh4.l
-    out = np.zeros((sh1.nc, sh2.nc, sh3.nc, sh4.nc))
     pairs12 = _pair_E3(sh1, sh2, shifts[0])
     sh3s = _shifted(sh3, shifts[1])
     pairs34 = _pair_E3(sh3s, sh4, shifts[2])
-    for p, c12, P, (Ex, Ey, Ez) in pairs12:
-        for q, c34, Q, (Fx, Fy, Fz) in pairs34:
-            alpha = p * q / (p + q)
-            if omega is not None:
-                theta = alpha * omega ** 2 / (alpha + omega ** 2)
-                scale = np.sqrt(theta / alpha)
-                alpha = theta
-            else:
-                scale = 1.0
-            R = R_table(l12 + l34, l12 + l34, l12 + l34, alpha,
-                        (P - Q)[None, :])[..., 0]
-            fac = scale * c12 * c34 * 2.0 * np.pi ** 2.5 \
-                / (p * q * np.sqrt(p + q))
-            # contract E(12) and E(34) with R
-            for i, (l1, m1, n1) in enumerate(CART[sh1.l]):
-                for j, (l2, m2, n2) in enumerate(CART[sh2.l]):
-                    Etuv = []
-                    for t in range(l1 + l2 + 1):
-                        ex = Ex[l1, l2, t]
-                        if ex == 0.0:
-                            continue
-                        for u in range(m1 + m2 + 1):
-                            ey = Ey[m1, m2, u]
-                            if ey == 0.0:
-                                continue
-                            for v in range(n1 + n2 + 1):
-                                ez = Ez[n1, n2, v]
-                                if ez == 0.0:
-                                    continue
-                                Etuv.append((t, u, v, ex * ey * ez))
-                    if not Etuv:
-                        continue
-                    for k, (l3, m3, n3) in enumerate(CART[sh3.l]):
-                        for m, (l4, m4, n4) in enumerate(CART[sh4.l]):
-                            val = 0.0
-                            for tau in range(l3 + l4 + 1):
-                                fx = Fx[l3, l4, tau]
-                                if fx == 0.0:
-                                    continue
-                                for nu in range(m3 + m4 + 1):
-                                    fy = Fy[m3, m4, nu]
-                                    if fy == 0.0:
-                                        continue
-                                    for ph in range(n3 + n4 + 1):
-                                        fz = Fz[n3, n4, ph]
-                                        if fz == 0.0:
-                                            continue
-                                        ff = fx * fy * fz \
-                                            * (-1.0) ** (tau + nu + ph)
-                                        for t, u, v, ee in Etuv:
-                                            val += ee * ff * R[
-                                                t + tau, u + nu, v + ph]
-                            out[i, j, k, m] += fac * val
+
+    data12 = _stack_pair_E(pairs12, sh1.l, sh2.l)
+    data34 = _stack_pair_E(pairs34, sh3s.l, sh4.l)
+    out = _eri_quartet(data12, data34, l12, l34, omega=omega)
+    return out.reshape(sh1.nc, sh2.nc, sh3.nc, sh4.nc)
+
+
+def _eri_quartet(data12, data34, l12, l34, omega=None):
+    """(nc1*nc2, nc3*nc4) ERI block from stacked pair data (the output
+    of _stack_pair_E, cacheable per shell pair)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    E12, p12, P12 = data12
+    F34, q34, Q34 = data34
+    n12, n34 = len(p12), len(q34)
+    nH12 = (l12 + 1) ** 3
+    nH34 = (l34 + 1) ** 3
+
+    p = p12[:, None]
+    q = q34[None, :]
+    alpha = p * q / (p + q)
+    fac = 2.0 * np.pi ** 2.5 / (p * q * np.sqrt(p + q))
+    if omega is not None:
+        theta = alpha * omega ** 2 / (alpha + omega ** 2)
+        fac = fac * np.sqrt(theta / alpha)
+        alpha = theta
+    sqa = np.sqrt(alpha).reshape(-1)                       # (nab,)
+    PQ = (P12[:, None, :] - Q34[None, :, :]).reshape(-1, 3)
+    L = l12 + l34
+    R = R_table(L, L, L, 1.0, sqa[:, None] * PQ)           # (L+1,)*3+(nab,)
+    R = np.moveaxis(R, -1, 0)
+    ng = np.arange(L + 1)
+    nsum = ng[:, None, None] + ng[None, :, None] + ng[None, None, :]
+    R *= sqa[:, None, None, None] ** nsum
+    R *= fac.reshape(-1, 1, 1, 1)
+
+    # ket-side parity (-1)^(T+U+V) over the window cube
+    tg = np.arange(l34 + 1)
+    ksign = ((-1.0) ** (tg[:, None, None] + tg[None, :, None]
+                        + tg[None, None, :])).reshape(-1)
+
+    # coupling matrix R[t+T, u+U, v+V] as a window view, contracted in
+    # bounded chunks over the primitive-quartet axis
+    out = np.zeros((E12.shape[1], F34.shape[1]))
+    nab = n12 * n34
+    chunk = max(1, min(nab, int(8e6) // max(nH12 * nH34, 1)))
+    for s0 in range(0, nab, chunk):
+        s1 = min(s0 + chunk, nab)
+        Rw = sliding_window_view(
+            R[s0:s1], (l34 + 1, l34 + 1, l34 + 1),
+            axis=(1, 2, 3)).reshape(s1 - s0, nH12, nH34)
+        if l34 > 0:
+            Rw = Rw * ksign
+        a_idx, b_idx = np.divmod(np.arange(s0, s1), n34)
+        # (c, nH12, nH34) @ (c, nH34, nc34) -> (c, nH12, nc34), then
+        # contract (c, nH12) against the bra coefficients
+        tmp = Rw @ F34[b_idx].transpose(0, 2, 1)
+        out += np.tensordot(E12[a_idx], tmp, axes=([0, 2], [0, 1]))
     return out
 
 
@@ -922,18 +977,30 @@ class MoleGeneral(object):
         n = self.nao
         eri = np.zeros((n, n, n, n))
         nsh = len(self.shells)
+        # pair data (Hermite E stacks) depends only on the shell pair:
+        # build each of the ~nsh^2/2 stacks once instead of per quartet
+        pair = {}
+        for i in range(nsh):
+            for j in range(i + 1):
+                pair[(i, j)] = _stack_pair_E(
+                    _pair_E3(self.shells[i], self.shells[j]),
+                    self.shells[i].l, self.shells[j].l)
         for i in range(nsh):
             i0, i1 = self.shell_slices[i]
             for j in range(i + 1):
                 j0, j1 = self.shell_slices[j]
+                l12 = self.shells[i].l + self.shells[j].l
                 for k in range(nsh):
                     k0, k1 = self.shell_slices[k]
                     for m in range(k + 1):
                         m0, m1 = self.shell_slices[m]
                         if (k, m) > (i, j):
                             continue
-                        blk = eri_block(self.shells[i], self.shells[j],
-                                        self.shells[k], self.shells[m])
+                        l34 = self.shells[k].l + self.shells[m].l
+                        blk = _eri_quartet(
+                            pair[(i, j)], pair[(k, m)], l12, l34).reshape(
+                                self.shells[i].nc, self.shells[j].nc,
+                                self.shells[k].nc, self.shells[m].nc)
                         for (a0, a1, b0, b1, B) in (
                                 (i0, i1, j0, j1, blk),
                                 (j0, j1, i0, i1, blk.transpose(1, 0, 2, 3))):
