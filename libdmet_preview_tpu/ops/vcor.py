@@ -410,8 +410,13 @@ def VcorSymm(restricted, bogoliubov, nscsites, perms, spin_swap=None,
     perms: list of length-nscsites index arrays (site i -> perm[i]);
     spin_swap: optional bools per perm -- True means the operation also
     exchanges alpha and beta (AFM-type symmetry, VcorSymmSpin).
+
+    bogoliubov=True delegates to VcorSymmBogo (normal orbits + singlet
+    pairing orbits).
     """
-    assert not bogoliubov, "symmetric Bogoliubov vcor: next round"
+    if bogoliubov:
+        return VcorSymmBogo(restricted, nscsites, perms,
+                            spin_swap=spin_swap, idx_range=idx_range)
     if idx_range is None:
         idx_range = list(range(nscsites))
     perms = [np.asarray(p, dtype=int) for p in perms]

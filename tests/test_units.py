@@ -268,6 +268,17 @@ def test_vcor_symm():
     # fewer parameters than the unconstrained vcor
     from libdmet_preview_tpu.ops.vcor import VcorLocal
     assert v.length() < VcorLocal(False, False, 4).length()
+    # bogoliubov=True delegates to VcorSymmBogo: 3 blocks, the pairing
+    # block symmetric under the generators too
+    vb = VcorSymm(False, True, 4, [rot, mir])
+    pb = rng.randn(vb.length())
+    vb.update(pb)
+    Vb = np.asarray(vb.get())
+    assert Vb.shape[0] == 3
+    for P in (rot, mir):
+        P = np.asarray(P)
+        for s in range(3):
+            assert np.max(np.abs(Vb[s][np.ix_(P, P)] - Vb[s])) < 1e-12
 
 
 def test_basis_matching():
