@@ -317,3 +317,54 @@ def get_emb_eri_gso_gdf(factors, basis_k, ncells, nao, tr_symm=False):
         eri = eri + w * (jnp.einsum("xij, xkl -> ijkl", G[0], H[0])
                          + jnp.einsum("xij, xkl -> ijkl", G[1], H[1]))
     return np.asarray(eri) / ncells ** 2
+
+
+def get_emb_eri(source, basis, df_type=None, **kwargs):
+    """Unified embedding-ERI dispatch by density-fitting type -- the
+    TPU-native analog of the reference's get_emb_eri entry point
+    (/root/reference/libdmet/basis_transform/eri_transform.py:44-94,
+    which routes on the PySCF DF object's class).  Here the routing key
+    is either inferred from `source` or named explicitly:
+
+      df_type      source                         driver
+      ---------    ----------------------------   -------------------------
+      "chol"       (naux, n, n) Cholesky/DF L      get_emb_eri_chol
+      "gdf"        {q: (F_re, F_im)} k-factors     get_emb_eri_gdf
+      "mol"        dense (n,)*4 chemist ERI        get_emb_eri_mol
+      "aft"        PbcCell                         cell.get_emb_eri_aft
+      "fft"        PbcCell                         cell.get_emb_eri_fft
+      "mdf"/"rs"   PbcCell                         cell.get_emb_eri_rs
+                   (the range-separated Gaussian-SR + plane-wave-LR
+                   driver fills the reference MDF role,
+                   eri_transform.py:566-1087; see ints/pbc.py)
+
+    For the cell drivers `basis` is the (nao, neo) AO->EO coefficient
+    matrix; for the array drivers it is the (spin, ncells, nlo, neo)
+    stripe embedding basis (get_emb_eri_gdf additionally needs
+    ncells/nlo via kwargs).  Extra kwargs pass through to the driver."""
+    if df_type is None:
+        if hasattr(source, "get_emb_eri_aft"):
+            df_type = "aft"
+        elif isinstance(source, dict):
+            df_type = "gdf"
+        else:
+            arr = np.asarray(source)
+            if arr.ndim == 3:
+                df_type = "chol"
+            elif arr.ndim >= 4:
+                df_type = "mol"
+            else:
+                raise ValueError("cannot infer df_type from source shape "
+                                 f"{arr.shape}")
+    df_type = df_type.lower()
+    if df_type == "chol":
+        return get_emb_eri_chol(source, basis, **kwargs)
+    if df_type == "gdf":
+        return get_emb_eri_gdf(source, basis, **kwargs)
+    if df_type in ("mol", "incore"):
+        return get_emb_eri_mol(source, basis)
+    if df_type in ("aft", "fft", "mdf", "rs"):
+        name = {"aft": "get_emb_eri_aft", "fft": "get_emb_eri_fft",
+                "mdf": "get_emb_eri_rs", "rs": "get_emb_eri_rs"}[df_type]
+        return getattr(source, name)(basis, **kwargs)
+    raise ValueError(f"unknown df_type {df_type!r}")

@@ -31,6 +31,28 @@ def test_eri_chol_vs_direct():
     assert np.max(np.abs(g1 - g2)) < 1e-8
 
 
+def test_get_emb_eri_dispatch():
+    """Unified df_type dispatch (reference eri_transform.py:44-94 role):
+    inferred routing on array rank agrees with the named drivers."""
+    from libdmet_preview_tpu.ops.eri_transform import (
+        cholesky_eri, get_emb_eri, get_emb_eri_chol, get_emb_eri_mol)
+    rng = np.random.RandomState(1)
+    n, neo = 6, 4
+    A = rng.randn(12, n, n)
+    A = A + A.transpose(0, 2, 1)
+    eri = np.einsum("xpq, xrs -> pqrs", A, A)
+    L = cholesky_eri(eri, tol=1e-12)
+    basis = rng.randn(1, 2, 3, neo)
+    ref_c = get_emb_eri_chol(L, basis)
+    ref_m = get_emb_eri_mol(eri, basis)
+    assert np.max(np.abs(get_emb_eri(L, basis) - ref_c)) == 0.0
+    assert np.max(np.abs(get_emb_eri(eri, basis) - ref_m)) == 0.0
+    assert np.max(np.abs(get_emb_eri(L, basis, df_type="chol")
+                         - ref_c)) == 0.0
+    with pytest.raises(ValueError):
+        get_emb_eri(np.zeros((3, 3)), basis)
+
+
 @pytest.fixture(scope="module")
 def hring6():
     from libdmet_preview_tpu.models.abinitio import make_h_ring_lattice
