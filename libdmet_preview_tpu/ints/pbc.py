@@ -1415,3 +1415,27 @@ def make_hchain_supercell(nk=3, nH=2, R=1.5, vac=10.0, basis="3-21g",
     t_vecs[:, 2] = np.arange(nk) * length * BOHR_PER_ANGSTROM
     cell.set_translations(nk, t_vecs)
     return cell
+
+
+def make_hplane_supercell(nkx=2, nky=2, nHx=1, nHy=1, Rx=2.0, Ry=2.0,
+                          vac=10.0, basis="sto-3g", **kwargs):
+    """BvK supercell of the reference HPlane cell
+    (/root/reference/libdmet/system/lattice.py:1284: nHx x nHy hydrogens
+    on a rectangular xy grid with spacings Rx/Ry, vacuum `vac` along z;
+    all Angstrom), tiled on the [nkx, nky, 1] k-mesh torus.  The 2D
+    translation group (nkx*nky cells, cell-major x-major ordering) drives
+    the same stripe fast paths as the 3D diamond builder."""
+    lx, ly = nHx * Rx, nHy * Ry
+    atoms, t_vecs = [], []
+    for cx in range(nkx):
+        for cy in range(nky):
+            t_vecs.append((cx * lx, cy * ly, 0.0))
+            for i in range(nHx):
+                for j in range(nHy):
+                    atoms.append(("H", (cx * lx + i * Rx,
+                                        cy * ly + j * Ry, 0.0)))
+    a = np.diag([nkx * lx, nky * ly, vac])
+    cell = PbcCell(atoms, a, basis=basis, unit="A", **kwargs)
+    cell.set_translations(nkx * nky,
+                          np.asarray(t_vecs) * BOHR_PER_ANGSTROM)
+    return cell
