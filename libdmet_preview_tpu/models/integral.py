@@ -68,6 +68,8 @@ def restore_eri(eri, norb, symmetry=1):
         return np.asarray([restore_eri(e, norb, symmetry) for e in eri])
     npair = norb * (norb + 1) // 2
     tril = np.tril_indices(norb)
+    if fmt == "s8" and symmetry == 8:
+        return eri
     if fmt == "s8":
         # unpack to s4 first
         s4 = np.zeros((npair, npair))
@@ -94,6 +96,9 @@ def restore_eri(eri, norb, symmetry=1):
         s4 = restore_eri(eri, norb, 4)
         tp = np.tril_indices(npair)
         return s4[tp]
+    if fmt == "s4" and symmetry == 8:
+        tp = np.tril_indices(npair)
+        return eri[tp]
     raise NotImplementedError("restore %s -> s%d" % (fmt, symmetry))
 
 

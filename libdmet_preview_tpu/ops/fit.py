@@ -498,6 +498,13 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
     args = (jnp.asarray(embH1), jnp.asarray(dV), jnp.asarray(Li),
             jnp.asarray(mask), jnp.asarray(rho_target))
 
+    if beta == np.inf and kwargs.get("C_act", None) is not None:
+        # zero-T active-space fit: the closed-form occ-virt rotation
+        # gradient of _fit_err_grad has no projected-residual variant;
+        # a large effective beta through the degenerate-safe Fermi op is
+        # exact for any gapped embedding spectrum (occupations within
+        # ~exp(-beta*gap) of the step function).
+        beta = 1e6
     if beta < np.inf:
         # finite temperature: differentiate straight through the
         # degenerate-safe Fermi-density op (zlinalg.zrho_fermi custom JVP
@@ -545,10 +552,6 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
             e, g = err_vg(jnp.asarray(p))
             return float(e), np.asarray(g)
     else:
-        if kwargs.get("C_act", None) is not None:
-            raise NotImplementedError(
-                "C_act active-space fitting needs finite beta")
-
         def fun_grad(p):
             e, g = _fit_err_grad(jnp.asarray(p), *args, nelec=nelec,
                                  thr_deg=thr_deg)

@@ -561,3 +561,13 @@ def test_active_space_projector_and_fit():
                                   C_act=C_cols[None])
     assert e_sub < e0_sub
     assert np.linalg.norm(v3.param - vcor.param) > 1e-8
+
+    # 5. zero-T C_act fit routes through the large-beta Fermi op and
+    #    agrees with the plain zero-T fit for a full-space projector
+    v4, v5 = copy.deepcopy(vcor), copy.deepcopy(vcor)
+    _, e0_zt, e_zt = FitVcorEmb(target, Lat, basis, v4, np.inf,
+                                MaxIter=80)
+    _, e0_zta, e_zta = FitVcorEmb(target, Lat, basis, v5, np.inf,
+                                  MaxIter=80, C_act=np.eye(neo)[None])
+    assert abs(e0_zta - e0_zt) < 1e-8
+    assert abs(e_zta - e_zt) < 1e-5

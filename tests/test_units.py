@@ -597,3 +597,26 @@ def test_bench_program_runs_on_cpu():
     p_fin, err = chained(jnp.asarray(p0), jnp.asarray(rho_t))
     assert np.isfinite(float(err))
     assert np.isfinite(np.asarray(p_fin)).all()
+
+
+def test_restore_eri_roundtrip_s8():
+    """s1/s4/s8 conversions round-trip an 8-fold-symmetric ERI exactly
+    (reference ao2mo.restore role, integral.py get_eri_format/restore)."""
+    import numpy as np
+    from libdmet_preview_tpu.models.integral import restore_eri
+
+    norb = 4
+    rng = np.random.RandomState(3)
+    g = rng.randn(norb, norb, norb, norb)
+    # symmetrize to full 8-fold
+    g = g + g.transpose(1, 0, 2, 3)
+    g = g + g.transpose(0, 1, 3, 2)
+    g = g + g.transpose(2, 3, 0, 1)
+
+    s8 = restore_eri(g, norb, 8)
+    s4 = restore_eri(g, norb, 4)
+    assert s8.ndim == 1 and s4.ndim == 2
+    np.testing.assert_allclose(restore_eri(s4, norb, 8), s8, atol=1e-14)
+    np.testing.assert_allclose(restore_eri(s8, norb, 8), s8, atol=1e-14)
+    np.testing.assert_allclose(restore_eri(s8, norb, 1), g, atol=1e-14)
+    np.testing.assert_allclose(restore_eri(s8, norb, 4), s4, atol=1e-14)
