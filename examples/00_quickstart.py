@@ -9,6 +9,8 @@ test value) in ~15 iterations.
 
 Run: python examples/00_quickstart.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax
 

@@ -6,6 +6,8 @@ for U/t = 4 at half filling with a 2-site impurity.
 
 Run: python examples/01_hubbard_1d_dmet.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax
 

@@ -6,6 +6,8 @@ HubbardBCS/HubbardGSO workflows).  Develops an s-wave order parameter.
 
 Run: python examples/02_sc_dmet_attractive_hubbard.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax
 

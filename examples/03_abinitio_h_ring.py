@@ -6,6 +6,8 @@ Interacting bath, IAO valence + PAO virtuals (3-21G), CCSD solver.
 
 Run: python examples/03_abinitio_h_ring.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax
 

@@ -7,6 +7,8 @@ native quadrature grid -- no libxc, no PySCF.
 
 Run: python examples/04_dft_in_dmet.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax
 

@@ -7,6 +7,8 @@ fit; prints the charge-transfer hole distribution.
 
 Run: python examples/05_threeband_cuprate.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax
 

@@ -12,6 +12,8 @@ validates the full embedding chain at ~1e-8.
 
 Runtime: ~90 s (one-time integral generation on the host).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -12,6 +12,8 @@ integral comes from the in-repo McMurchie-Davidson/Ewald engine.
 
 Integral generation is cached under .cache/ (first run ~10 min).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 
 import jax

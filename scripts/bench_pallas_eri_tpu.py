@@ -9,7 +9,11 @@ Times are honest: every measurement materializes a host scalar (the
 tunneled TPU returns from block_until_ready early).
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
