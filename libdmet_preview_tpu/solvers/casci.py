@@ -518,6 +518,26 @@ class CASSCF(object):
         pass
 
 
+def _gso_core_embed(h1, g, H0, C_core, C_cas):
+    """Freeze-core embedding for a SINGLE-SPECIES (generalized spin
+    orbital) Hamiltonian: closed-core mean field v_core = J - K with
+    exchange coefficient 1, core energy, and the active-window Integral
+    (shared by GCASCI and GCASSCF; reference gcasci.py h1e_for_cas /
+    gmc_ao2mo.py roles)."""
+    ncas = C_cas.shape[1]
+    rho_c = C_core @ C_core.T
+    gj, rj = jnp.asarray(g), jnp.asarray(rho_c)
+    v_core = np.asarray(jnp.einsum("pqrs, sr -> pq", gj, rj)
+                        - jnp.einsum("psrq, sr -> pq", gj, rj))
+    e_core = float(np.sum((h1 + 0.5 * v_core) * rho_c)) + float(H0)
+    h_cas = C_cas.T @ (h1 + v_core) @ C_cas
+    g_cas = np.asarray(jnp.einsum(
+        "pqrs, pi, qj, rk, sl -> ijkl", gj,
+        *([jnp.asarray(C_cas)] * 4), optimize=True))
+    return Integral(ncas, True, False, e_core,
+                    {"cd": h_cas[None]}, {"ccdd": g_cas[None]})
+
+
 class GCASCI(object):
     """GSO-frame CASCI on generalized spin orbitals (reference
     /root/reference/libdmet/solver/gcasci.py:1-711 `GCASCI` +
@@ -572,21 +592,9 @@ class GCASCI(object):
         C_core = C[:, :ncore]
         C_cas = C[:, ncore:ncore + ncas]
 
-        rho_c = C_core @ C_core.T
-        gj, rj = jnp.asarray(g), jnp.asarray(rho_c)
-        v_core = np.asarray(jnp.einsum("pqrs, sr -> pq", gj, rj)
-                            - jnp.einsum("psrq, sr -> pq", gj, rj))
-        e_core = float(np.sum((h1 + 0.5 * v_core) * rho_c)) \
-            + float(Ham.H0)
-
-        h_cas = C_cas.T @ (h1 + v_core) @ C_cas
-        g_cas = np.asarray(jnp.einsum(
-            "pqrs, pi, qj, rk, sl -> ijkl", gj,
-            *([jnp.asarray(C_cas)] * 4), optimize=True))
-        Ham_cas = Integral(ncas, True, False, e_core,
-                           {"cd": h_cas[None]}, {"ccdd": g_cas[None]})
+        Ham_cas = _gso_core_embed(h1, g, Ham.H0, C_core, C_cas)
         rdm_cas, E = self.fcisolver.run(Ham_cas, nelec=nelecas, **kwargs)
-        self.onepdm = (rho_c
+        self.onepdm = (C_core @ C_core.T
                        + C_cas @ np.asarray(rdm_cas[0]) @ C_cas.T)[None]
         self.e_tot = float(E)
         self._cas = (C_core, C_cas, Ham_cas)
@@ -626,6 +634,173 @@ class GCASCI(object):
         E1 = np.einsum("pq, qp", h1, self.onepdm[0])
         E2 = np.einsum("pqrs, pqrs", h2, self.twopdm[0]) * 0.5
         return E1 + E2 + float(Ham.H0)
+
+    def cleanup(self):
+        pass
+
+
+class GCASSCF(object):
+    """GSO-frame orbital-optimized CASCI with SECOND-ORDER orbital
+    steps on generalized spin orbitals (reference solver/gmc1step.py
+    `CASSCF` + gmc2step.py macro iteration; the BCS-frame
+    bcs_dmrgscf.py is subsumed by design -- BCS DMET here runs in the
+    GSO frame after the particle-hole transform, so the quasiparticle
+    CASSCF IS this class on the transformed Integral).
+
+    Macro-iterate: GCASCI solve -> exact fixed-CI orbital minimization
+
+        E(kappa) = Tr[h(kappa) D] + 1/2 sum G g(kappa),  C -> C e^kappa
+
+    over the nonredundant rotations (core-active, core-virtual,
+    active-virtual) of the SPIN-ORBITAL space, with gradients and
+    Hessian-vector products from jax autodiff through expm + the
+    integral rotations, minimized by trust-region Newton
+    (ops.fit.minimize(method='NEWTON'), Steihaug CG).  Any
+    FCI-contract solver drops in as fcisolver -- FCI(ghf=True)
+    in-process, or the Block bridge for GSO DMRG-SCF (reference
+    gso_dmrgci + gmc1step composition)."""
+
+    def __init__(self, ncas, nelecas, tol=1e-8, max_cycle=30,
+                 fcisolver=None, **kwargs):
+        self.ncas = ncas
+        self.nelecas = nelecas
+        self.tol = tol
+        self.max_cycle = max_cycle
+        self.fcisolver = fcisolver
+        self.onepdm = None
+        self.twopdm = None
+        self.e_tot = None
+        self.mo_coeff = None
+        self.converged = False
+
+    def run(self, Ham, nelec=None, dm0=None, **kwargs):
+        from jax.scipy.linalg import expm as jexpm
+        import scipy.linalg as sla
+        from libdmet_preview_tpu.ops.fit import minimize as fit_minimize
+        if nelec is None:
+            raise ValueError("GCASSCF.run requires nelec")
+        n = Ham.norb
+        ncas, nelecas = self.ncas, self.nelecas
+        ncore = nelec - nelecas
+        nvirt = n - ncore - ncas
+        assert ncore >= 0 and nvirt >= 0
+
+        cas = GCASCI(ncas, nelecas, fcisolver=self.fcisolver)
+        _, E = cas.run(Ham, nelec=nelec, dm0=dm0, **kwargs)
+        C_core, C_cas, _ = cas._cas
+        C0 = np.hstack([C_core, C_cas])
+        w, v = np.linalg.eigh(np.eye(n) - C0 @ C0.T)
+        C_virt = v[:, -nvirt:] if nvirt > 0 else np.zeros((n, 0))
+        C_full = np.hstack([C0, C_virt])
+
+        pairs = [(i, j) for i in range(ncore)
+                 for j in range(ncore, ncore + ncas)]
+        pairs += [(i, j) for i in range(ncore)
+                  for j in range(ncore + ncas, n)]
+        pairs += [(i, j) for i in range(ncore, ncore + ncas)
+                  for j in range(ncore + ncas, n)]
+        npar = len(pairs)
+        rows = np.array([p[0] for p in pairs], dtype=int)
+        cols = np.array([p[1] for p in pairs], dtype=int)
+
+        h1_np = np.asarray(Ham.H1["cd"][0])
+        g_np = np.asarray(Ham.H2["ccdd"][0])
+        if g_np.ndim == 2:
+            g_np = restore_eri(g_np, n, 1)
+        h1 = jnp.asarray(h1_np)
+        g = jnp.asarray(g_np)
+        H0 = float(Ham.H0)
+
+        def mo_rdms():
+            """Full-space spin-orbital (D, G) in the CURRENT MO basis
+            (core | act | virt); single species -> occupation 1 per
+            core orbital, exchange coefficient 1 (same decomposition
+            as GCASCI.make_rdm2)."""
+            G_act = np.asarray(cas.fcisolver.make_rdm2(cas._cas[2]))[0]
+            d_act = np.asarray(cas.fcisolver.onepdm[0])
+            D = np.zeros((n, n))
+            D[:ncore, :ncore] = np.eye(ncore)
+            a = slice(ncore, ncore + ncas)
+            D[a, a] = d_act
+            G = np.zeros((n, n, n, n))
+            G[a, a, a, a] = G_act
+            Dc = np.zeros((n, n))
+            Dc[:ncore, :ncore] = np.eye(ncore)
+            Da = np.zeros((n, n))
+            Da[a, a] = d_act
+            G += (np.einsum("pq, rs -> pqrs", Dc, Dc)
+                  - np.einsum("ps, rq -> pqrs", Dc, Dc))
+            G += (np.einsum("pq, rs -> pqrs", Dc, Da)
+                  + np.einsum("pq, rs -> pqrs", Da, Dc)
+                  - np.einsum("ps, rq -> pqrs", Dc, Da)
+                  - np.einsum("ps, rq -> pqrs", Da, Dc))
+            return jnp.asarray(D), jnp.asarray(G)
+
+        @jax.jit
+        def e_kappa(p, Cj, D, G):
+            K = jnp.zeros((n, n)).at[rows, cols].set(p)
+            K = K - K.T
+            C = Cj @ jexpm(K)
+            h_mo = C.T @ h1 @ C
+            g_mo = jnp.einsum("pqrs, pi, qj, rk, sl -> ijkl", g, C, C,
+                              C, C, optimize=True)
+            return (jnp.einsum("pq, qp ->", h_mo, D)
+                    + 0.5 * jnp.einsum("pqrs, pqrs ->", g_mo, G) + H0)
+
+        grad_fn = jax.jit(jax.grad(e_kappa))
+
+        self.converged = False
+        for macro in range(self.max_cycle):
+            D, G = mo_rdms()
+            Cj = jnp.asarray(C_full)
+            g0 = np.asarray(grad_fn(jnp.zeros(npar), Cj, D, G))
+            if npar == 0 or np.max(np.abs(g0)) < self.tol * 10:
+                self.converged = True
+                break
+
+            def fun_grad(p):
+                pj = jnp.asarray(p)
+                return (float(e_kappa(pj, Cj, D, G)),
+                        np.asarray(grad_fn(pj, Cj, D, G)))
+
+            def hvp(x, pvec):
+                return np.asarray(jax.jvp(
+                    lambda q: grad_fn(q, Cj, D, G),
+                    (jnp.asarray(x),), (jnp.asarray(pvec),))[1])
+
+            p_opt, _ = fit_minimize(fun_grad, np.zeros(npar),
+                                    method="NEWTON", max_iter=30,
+                                    hvp=hvp, gtol=self.tol,
+                                    trust_radius=0.4)
+            K = np.zeros((n, n))
+            K[rows, cols] = p_opt
+            K = K - K.T
+            C_full = C_full @ sla.expm(K)
+            # re-solve the active problem in the rotated orbitals
+            C_core = C_full[:, :ncore]
+            C_cas = C_full[:, ncore:ncore + ncas]
+            Ham_cas = _gso_core_embed(h1_np, g_np, H0, C_core, C_cas)
+            rdm_cas, E = cas.fcisolver.run(Ham_cas, nelec=nelecas)
+            cas._cas = (C_core, C_cas, Ham_cas)
+            cas.onepdm = (C_core @ C_core.T
+                          + C_cas @ np.asarray(rdm_cas[0])
+                          @ C_cas.T)[None]
+
+        cas.e_tot = float(E)
+        self._gcas = cas
+        self._cas = cas._cas
+        self.onepdm = np.asarray(cas.onepdm)
+        self.e_tot = float(E)
+        self.mo_coeff = C_full
+        self.fcisolver = cas.fcisolver
+        return self.onepdm, self.e_tot
+
+    def make_rdm2(self, Ham=None):
+        self.twopdm = self._gcas.make_rdm2(Ham)
+        return self.twopdm
+
+    def run_dmet_ham(self, Ham, **kwargs):
+        return self._gcas.run_dmet_ham(Ham, **kwargs)
 
     def cleanup(self):
         pass

@@ -294,6 +294,70 @@ def test_gcasci_gso_frame():
     assert abs(E_no - E_fci) < 1e-9
 
 
+def test_gcasscf_gso_frame():
+    """GSO-frame CASSCF (reference gmc1step.py/gmc2step.py, and
+    bcs_dmrgscf.py subsumed by the ph-transform design): on the
+    ph-transformed 4-site Hubbard ring, (i) a full active window makes
+    every orbital rotation redundant and reproduces the spinless FCI
+    energy exactly, (ii) the frozen-core window's second-order orbital
+    optimization converges, stays variational, strictly improves on the
+    fixed-orbital GCASCI, and is internally RDM-consistent.  Internal
+    anchors from the first completed run:
+      E_fci          = -8.42442890089805
+      E_gcasci(fc)   = -8.1859794445296
+      E_gcasscf(fc)  = -8.188240873805"""
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers import FCI, GCASCI, GCASSCF
+    from libdmet_preview_tpu.ops import spinless
+
+    nao, U = 4, 3.0
+    h = np.zeros((nao, nao))
+    for i in range(nao):
+        h[i, (i + 1) % nao] = h[(i + 1) % nao, i] = -1.0
+    g = np.zeros((nao,) * 4)
+    for i in range(nao):
+        g[i, i, i, i] = U
+    mu = U / 2.0
+    GH1_c, GH0 = spinless.transform_H1_k(((h[None]),
+                                          (np.zeros_like(h)[None])))
+    GH1 = spinless.combine_H1_k(GH1_c)
+    GV2, GV1, GV0 = spinless.transform_H2_local(g)
+    nso = 2 * nao
+    H1_so = GH1[0][0].copy()
+    H1_so[:nao, :nao] += GV1[0]
+    H1_so[nao:, nao:] += GV1[1]
+    H1_so += spinless.mu_matrix(mu, nao)
+    eye_basis = np.eye(nso).reshape(1, nso, nso)
+    g_so = spinless.transform_eri_local_gso(eye_basis[:, :nao, :],
+                                            eye_basis[:, nao:, :], GV2)
+    H0 = GH0 + GV0 - mu * nao
+    GHam = Integral(nso, True, False, H0, {"cd": H1_so[None]},
+                    {"ccdd": g_so[None]})
+
+    fci = FCI(restricted=True, ghf=True, tol=1e-12)
+    _, E_fci = fci.run(GHam, nelec=nao)
+    assert abs(E_fci - (-8.42442890089805)) < 1e-8
+
+    # (ii) frozen-core: converged, variational, improves on GCASCI,
+    # RDM-consistent, conserves the transformed particle number
+    cas_fc = GCASCI(ncas=nso - 2, nelecas=nao - 2, tol=1e-12)
+    _, E_fc = cas_fc.run(GHam, nelec=nao)
+    scf_fc = GCASSCF(ncas=nso - 2, nelecas=nao - 2, tol=1e-7,
+                     max_cycle=15)
+    _, E_scf = scf_fc.run(GHam, nelec=nao)
+    assert scf_fc.converged
+    assert E_scf <= E_fc - 1e-4            # strict orbital gain
+    assert E_scf >= E_fci - 1e-9           # variational
+    assert abs(E_scf - (-8.188240873805)) < 1e-6
+    assert abs(scf_fc.run_dmet_ham(GHam) - E_scf) < 1e-8
+    assert abs(np.trace(scf_fc.onepdm[0]) - nao) < 1e-8
+
+    # (i) full window: rotations redundant -> FCI exactly
+    scf_full = GCASSCF(ncas=nso, nelecas=nao, tol=1e-7)
+    _, E_full = scf_full.run(GHam, nelec=nao)
+    assert abs(E_full - E_fci) < 1e-9
+
+
 def test_gghf_mu_scf():
     """GSO HF with in-loop chemical-potential fitting (reference
     solver/scf_mu.py role): on the ph-transformed 4-site Hubbard ring
