@@ -169,6 +169,41 @@ FAKE = textwrap.dedent("""\
     with open(os.path.join(prefix, "node0", "onepdm.0.0.bin"), "wb") as f:
         f.write(b"HDR!")               # binary reader takes the TAIL
         f.write(so.astype(np.float64).tobytes())
+
+    if "twopdm" in conf:
+        # 2-pdm via dense operator matrices A_pq = p+ q per channel:
+        # same-spin chemist G[p,q,r,s] = <p+q r+s> - d_qr <p+s>,
+        # opposite-spin G_ab[p,q,r,s] = <p+q_a r+s_b> (channels commute)
+        def op_mats(chan):
+            A = np.zeros((norb, norb, nd, nd))
+            for I, (a, b) in enumerate(det):
+                occ = a if chan == "a" else b
+                for q in occ:
+                    A[q, q, I, I] += 1.0
+                    for p in range(norb):
+                        if p in occ:
+                            continue
+                        sgn, occ2 = sign_excite(occ, p, q)
+                        d2 = (occ2, b) if chan == "a" else (a, occ2)
+                        A[p, q, idx[d2], I] += sgn
+            return A
+        Aa, Ab = op_mats("a"), op_mats("b")
+        ca = np.einsum("pqJI, I -> pqJ", Aa, c)     # A_pq |c>
+        cb = np.einsum("pqJI, I -> pqJ", Ab, c)
+        caT = np.einsum("pqJI, J -> pqI", Aa, c)    # A_pq^T |c>
+        cbT = np.einsum("pqJI, J -> pqI", Ab, c)
+        r1a = np.einsum("J, pqJ -> pq", c, ca)
+        r1b = np.einsum("J, pqJ -> pq", c, cb)
+        Gaa = (np.einsum("pqJ, rsJ -> pqrs", caT, ca)
+               - np.einsum("qr, ps -> pqrs", np.eye(norb), r1a))
+        Gbb = (np.einsum("pqJ, rsJ -> pqrs", cbT, cb)
+               - np.einsum("qr, ps -> pqrs", np.eye(norb), r1b))
+        if nb == 0:
+            out2 = Gaa[None]           # single-species (GSO) block
+        else:
+            Gab = np.einsum("pqJ, rsJ -> pqrs", caT, cb)
+            out2 = np.stack([Gaa, Gbb, Gab])
+        np.save(os.path.join(prefix, "2pdm.npy"), out2)
     print("Sweep Energy = %%.12f" %% e)
 """)
 
@@ -345,3 +380,59 @@ def test_gso_dmrgci_composition_with_fake_executable(tmp_path):
     assert abs(E_d - E_f) < 1e-7
     assert np.abs(np.asarray(rdm_d) - np.asarray(rdm_f)).max() < 1e-6
     assert abs(np.trace(rdm_d[0]) - nelec) < 1e-8
+
+
+def test_gso_dmrgscf_composition_with_fake_executable(tmp_path):
+    """GCASSCF with the Block bridge as active-space solver (reference
+    gmc1step.py DMRG-SCF + bcs_dmrgscf.py roles): the orbital-optimized
+    GSO CAS problem re-dumps an all-alpha FCIDUMP each macro iteration,
+    the fake binary returns energy + 1/2-pdms, and the converged result
+    matches the in-process GHF-FCI GCASSCF."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers import GCASSCF
+    from libdmet_preview_tpu.solvers.dmrg import BlockDMRG, Schedule
+    from libdmet_preview_tpu.ops import spinless
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exe = tmp_path / "fake_block2"
+    exe.write_text(FAKE % {"repo": repo})
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+
+    nao, U = 3, 2.0
+    h = np.zeros((nao, nao))
+    for i in range(nao):
+        h[i, (i + 1) % nao] = h[(i + 1) % nao, i] = -1.0
+    g = np.zeros((nao,) * 4)
+    for i in range(nao):
+        g[i, i, i, i] = U
+    GH1_c, GH0 = spinless.transform_H1_k(((h[None]),
+                                          (np.zeros_like(h)[None])))
+    GH1 = spinless.combine_H1_k(GH1_c)
+    GV2, GV1, GV0 = spinless.transform_H2_local(g)
+    nso = 2 * nao
+    H1_so = GH1[0][0].copy()
+    H1_so[:nao, :nao] += GV1[0]
+    H1_so[nao:, nao:] += GV1[1]
+    H1_so += spinless.mu_matrix(U / 2.0, nao)
+    eye_basis = np.eye(nso).reshape(1, nso, nso)
+    g_so = spinless.transform_eri_local_gso(eye_basis[:, :nao, :],
+                                            eye_basis[:, nao:, :], GV2)
+    GHam = Integral(nso, True, False, GH0 + GV0 - U / 2.0 * nao,
+                    {"cd": H1_so[None]}, {"ccdd": g_so[None]})
+
+    nelec, nelecas, ncas = nao, nao - 1, nso - 2
+    dmrg = BlockDMRG([sys.executable, str(exe), "{conf}"], max_M=400,
+                     workdir=str(tmp_path / "wd"), restricted=False,
+                     Sz=nelecas, spin_adapted=False, twopdm=True)
+    dmrg.schedule = Schedule(sweep_tol=1e-8).gen_initial(100, 400)
+    scf_dmrg = GCASSCF(ncas=ncas, nelecas=nelecas, fcisolver=dmrg,
+                       tol=1e-6, max_cycle=8)
+    rdm_d, E_d = scf_dmrg.run(GHam, nelec=nelec)
+
+    scf_fci = GCASSCF(ncas=ncas, nelecas=nelecas, tol=1e-6, max_cycle=8)
+    rdm_f, E_f = scf_fci.run(GHam, nelec=nelec)
+    assert abs(E_d - E_f) < 1e-6
+    assert np.abs(np.asarray(rdm_d) - np.asarray(rdm_f)).max() < 1e-5
+    assert abs(np.trace(rdm_d[0]) - nelec) < 1e-7
