@@ -5,7 +5,7 @@ from libdmet_preview_tpu.solvers.cc import (LCCSD, LCCD, CCSD_ITE,
     CCSD, CCD, MP2, BCCSD, TCCSD, RCCSD, UCCSD, GCCSD, UCCD, GCCD,
     UTCCSD, GTCCSD)
 from libdmet_preview_tpu.solvers.casci import (CASCI, CASSCF, UCASCI,
-                                               GCASCI, GCASSCF,
+                                               UCASSCF, GCASCI, GCASSCF,
                                                project_active_space)
 from libdmet_preview_tpu.solvers.dmrg import BlockDMRG, Schedule
 from libdmet_preview_tpu.solvers.external import (

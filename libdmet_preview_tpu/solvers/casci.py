@@ -804,3 +804,249 @@ class GCASSCF(object):
 
     def cleanup(self):
         pass
+
+
+class UCASSCF(object):
+    """UNRESTRICTED orbital-optimized CASCI with SECOND-ORDER orbital
+    steps (reference solver/umc1step.py `CASSCF` + umc2step.py macro
+    iteration -- the reference's main CASSCF for UHF-frame embeddings):
+    macro-iterate UCASCI solve -> exact fixed-CI orbital minimization
+    over PER-SPIN nonredundant rotations (core-active, core-virtual,
+    active-virtual in each spin channel),
+
+        E(ka, kb) = sum_s Tr[h_s(k) D_s] + 1/2 Gaa.g_aa(k)
+                    + 1/2 Gbb.g_bb(k) + Gab.g_ab(k),
+        C_s -> C_s e^{k_s},
+
+    with the UCASCI full-space spin-resolved RDMs held fixed; gradients
+    and Hessian-vector products from jax autodiff through expm + the
+    integral rotations, minimized by trust-region Newton
+    (ops.fit.minimize(method='NEWTON'), Steihaug CG).  This is the
+    static-correlation refinement for spin-polarized d-block embeddings
+    (NiO/cuprate d manifolds) where the UHF orbital window is not
+    optimal."""
+
+    def __init__(self, ncas, nelecas, Sz=0, tol=1e-8, max_cycle=30,
+                 fcisolver=None, **kwargs):
+        self.ncas = ncas
+        self.nelecas = nelecas
+        self.Sz = Sz
+        self.tol = tol
+        self.max_cycle = max_cycle
+        self.fcisolver = fcisolver
+        self.onepdm = None
+        self.twopdm = None
+        self.e_tot = None
+        self.mo_coeff = None
+        self.converged = False
+
+    @staticmethod
+    def _core_cols(dm, nc):
+        """Recover core orbital columns from the idempotent per-spin
+        core density (occupied eigenvectors)."""
+        if nc == 0:
+            return np.zeros((dm.shape[0], 0))
+        w, v = np.linalg.eigh(dm)
+        return v[:, -nc:]
+
+    def run(self, Ham, nelec=None, dm0=None, **kwargs):
+        from jax.scipy.linalg import expm as jexpm
+        import scipy.linalg as sla
+        from libdmet_preview_tpu.ops.fit import minimize as fit_minimize
+        from libdmet_preview_tpu.solvers.scf import _veff_uhf
+        if nelec is None:
+            raise ValueError("UCASSCF.run requires nelec")
+        n = Ham.norb
+        ncas = self.ncas
+        cas = UCASCI(ncas, self.nelecas, Sz=self.Sz,
+                     fcisolver=self.fcisolver)
+        _, E = cas.run(Ham, nelec=nelec, dm0=dm0, **kwargs)
+        na = (nelec + self.Sz) // 2
+        nb = nelec - na
+        nca, ncb = na - cas.na_cas, nb - cas.nb_cas
+        Aa, Ab, dmca, dmcb, _, _, _ = cas._cas
+        h1a, h1b, g_aa, g_bb, g_ab = UCASCI._unpack(Ham)
+
+        def full_C(C_core, C_act):
+            C0 = np.hstack([C_core, C_act])
+            w, v = np.linalg.eigh(np.eye(n) - C0 @ C0.T)
+            nvirt = n - C0.shape[1]
+            C_virt = v[:, -nvirt:] if nvirt > 0 else np.zeros((n, 0))
+            return np.hstack([C0, C_virt])
+
+        C_full = [full_C(self._core_cols(dmca, nca), Aa),
+                  full_C(self._core_cols(dmcb, ncb), Ab)]
+        ncs = (nca, ncb)
+
+        def rot_pairs(nc):
+            pairs = [(i, j) for i in range(nc)
+                     for j in range(nc, nc + ncas)]
+            pairs += [(i, j) for i in range(nc)
+                      for j in range(nc + ncas, n)]
+            pairs += [(i, j) for i in range(nc, nc + ncas)
+                      for j in range(nc + ncas, n)]
+            rows = np.array([p[0] for p in pairs], dtype=int)
+            cols = np.array([p[1] for p in pairs], dtype=int)
+            return rows, cols
+
+        rows_a, cols_a = rot_pairs(nca)
+        rows_b, cols_b = rot_pairs(ncb)
+        npa, npb = len(rows_a), len(rows_b)
+        npar = npa + npb
+
+        jh1a, jh1b = jnp.asarray(h1a), jnp.asarray(h1b)
+        jgaa, jgbb, jgab = (jnp.asarray(g_aa), jnp.asarray(g_bb),
+                            jnp.asarray(g_ab))
+        H0 = float(Ham.H0)
+
+        def mo_rdms():
+            """Full-space spin-resolved (Da, Db, Gaa, Gbb, Gab) in the
+            CURRENT per-spin MO bases (core | act | virt); same CAS
+            decomposition as UCASCI.make_rdm2 in the MO frame."""
+            Gaa_c, Gbb_c, Gab_c = [np.asarray(x) for x in
+                                   cas.fcisolver.make_rdm2(cas._cas[4])]
+            da = np.asarray(cas._cas[5])
+            db = np.asarray(cas._cas[6])
+            out_D, out_G = [], []
+            for (nc, d_act, G_act) in ((nca, da, Gaa_c),
+                                       (ncb, db, Gbb_c)):
+                D = np.zeros((n, n))
+                D[:nc, :nc] = np.eye(nc)
+                a = slice(nc, nc + ncas)
+                D[a, a] = d_act
+                Dc = np.zeros((n, n))
+                Dc[:nc, :nc] = np.eye(nc)
+                Da_ = np.zeros((n, n))
+                Da_[a, a] = d_act
+                G = np.zeros((n, n, n, n))
+                G[a, a, a, a] = G_act
+                G += (np.einsum("pq, rs -> pqrs", Dc, Dc)
+                      - np.einsum("ps, rq -> pqrs", Dc, Dc))
+                G += (np.einsum("pq, rs -> pqrs", Dc, Da_)
+                      + np.einsum("pq, rs -> pqrs", Da_, Dc)
+                      - np.einsum("ps, rq -> pqrs", Dc, Da_)
+                      - np.einsum("ps, rq -> pqrs", Da_, Dc))
+                out_D.append(D)
+                out_G.append(G)
+            # opposite-spin block: no exchange across species
+            aA = slice(nca, nca + ncas)
+            aB = slice(ncb, ncb + ncas)
+            DcA = np.zeros((n, n)); DcA[:nca, :nca] = np.eye(nca)
+            DcB = np.zeros((n, n)); DcB[:ncb, :ncb] = np.eye(ncb)
+            DaA = np.zeros((n, n)); DaA[aA, aA] = da
+            DaB = np.zeros((n, n)); DaB[aB, aB] = db
+            Gab = np.zeros((n, n, n, n))
+            Gab[aA, aA, aB, aB] = Gab_c
+            Gab += (np.einsum("pq, rs -> pqrs", DcA, DcB)
+                    + np.einsum("pq, rs -> pqrs", DcA, DaB)
+                    + np.einsum("pq, rs -> pqrs", DaA, DcB))
+            return (jnp.asarray(out_D[0]), jnp.asarray(out_D[1]),
+                    jnp.asarray(out_G[0]), jnp.asarray(out_G[1]),
+                    jnp.asarray(Gab))
+
+        @jax.jit
+        def e_kappa(p, Cja, Cjb, Da, Db, Gaa, Gbb, Gab):
+            Ka = jnp.zeros((n, n)).at[rows_a, cols_a].set(p[:npa])
+            Kb = jnp.zeros((n, n)).at[rows_b, cols_b].set(p[npa:])
+            Ca = Cja @ jexpm(Ka - Ka.T)
+            Cb = Cjb @ jexpm(Kb - Kb.T)
+            h_a = Ca.T @ jh1a @ Ca
+            h_b = Cb.T @ jh1b @ Cb
+            gaa = jnp.einsum("pqrs, pi, qj, rk, sl -> ijkl", jgaa,
+                             Ca, Ca, Ca, Ca, optimize=True)
+            gbb = jnp.einsum("pqrs, pi, qj, rk, sl -> ijkl", jgbb,
+                             Cb, Cb, Cb, Cb, optimize=True)
+            gab = jnp.einsum("pqrs, pi, qj, rk, sl -> ijkl", jgab,
+                             Ca, Ca, Cb, Cb, optimize=True)
+            return (jnp.einsum("pq, qp ->", h_a, Da)
+                    + jnp.einsum("pq, qp ->", h_b, Db)
+                    + 0.5 * jnp.einsum("pqrs, pqrs ->", gaa, Gaa)
+                    + 0.5 * jnp.einsum("pqrs, pqrs ->", gbb, Gbb)
+                    + jnp.einsum("pqrs, pqrs ->", gab, Gab) + H0)
+
+        grad_fn = jax.jit(jax.grad(e_kappa))
+
+        self.converged = False
+        for macro in range(self.max_cycle):
+            Da, Db, Gaa, Gbb, Gab = mo_rdms()
+            Cja = jnp.asarray(C_full[0])
+            Cjb = jnp.asarray(C_full[1])
+            g0 = np.asarray(grad_fn(jnp.zeros(npar), Cja, Cjb, Da, Db,
+                                    Gaa, Gbb, Gab))
+            if npar == 0 or np.max(np.abs(g0)) < self.tol * 10:
+                self.converged = True
+                break
+
+            def fun_grad(p):
+                pj = jnp.asarray(p)
+                return (float(e_kappa(pj, Cja, Cjb, Da, Db, Gaa, Gbb,
+                                      Gab)),
+                        np.asarray(grad_fn(pj, Cja, Cjb, Da, Db, Gaa,
+                                           Gbb, Gab)))
+
+            def hvp(x, pvec):
+                return np.asarray(jax.jvp(
+                    lambda q: grad_fn(q, Cja, Cjb, Da, Db, Gaa, Gbb,
+                                      Gab),
+                    (jnp.asarray(x),), (jnp.asarray(pvec),))[1])
+
+            p_opt, _ = fit_minimize(fun_grad, np.zeros(npar),
+                                    method="NEWTON", max_iter=30,
+                                    hvp=hvp, gtol=self.tol,
+                                    trust_radius=0.4)
+            Ka = np.zeros((n, n)); Ka[rows_a, cols_a] = p_opt[:npa]
+            Kb = np.zeros((n, n)); Kb[rows_b, cols_b] = p_opt[npa:]
+            C_full[0] = C_full[0] @ sla.expm(Ka - Ka.T)
+            C_full[1] = C_full[1] @ sla.expm(Kb - Kb.T)
+            # re-solve the active problem in the rotated orbitals
+            Cca = C_full[0][:, :nca]
+            Ccb = C_full[1][:, :ncb]
+            Aa = C_full[0][:, nca:nca + ncas]
+            Ab = C_full[1][:, ncb:ncb + ncas]
+            dmca, dmcb = Cca @ Cca.T, Ccb @ Ccb.T
+            va, vb = [np.asarray(x) for x in _veff_uhf(
+                jnp.asarray(dmca), jnp.asarray(dmcb), jgaa, jgbb,
+                jgab)]
+            e_core = (np.sum((h1a + 0.5 * va) * dmca)
+                      + np.sum((h1b + 0.5 * vb) * dmcb) + H0)
+            jAa, jAb = jnp.asarray(Aa), jnp.asarray(Ab)
+            g_cas_aa = np.asarray(jnp.einsum(
+                "pqrs, pi, qj, rk, sl -> ijkl", jgaa, jAa, jAa, jAa,
+                jAa, optimize=True))
+            g_cas_bb = np.asarray(jnp.einsum(
+                "pqrs, pi, qj, rk, sl -> ijkl", jgbb, jAb, jAb, jAb,
+                jAb, optimize=True))
+            g_cas_ab = np.asarray(jnp.einsum(
+                "pqrs, pi, qj, rk, sl -> ijkl", jgab, jAa, jAa, jAb,
+                jAb, optimize=True))
+            Ham_cas = Integral(
+                ncas, False, False, e_core,
+                {"cd": np.array([Aa.T @ (h1a + va) @ Aa,
+                                 Ab.T @ (h1b + vb) @ Ab])},
+                {"ccdd": np.array([g_cas_aa, g_cas_bb, g_cas_ab])})
+            rdm_cas, E = cas.fcisolver.run(
+                Ham_cas, nelec=cas.na_cas + cas.nb_cas)
+            cas._cas = (Aa, Ab, dmca, dmcb, Ham_cas,
+                        np.asarray(rdm_cas[0]), np.asarray(rdm_cas[1]))
+            cas.onepdm = np.asarray(
+                [Aa @ np.asarray(rdm_cas[0]) @ Aa.T + dmca,
+                 Ab @ np.asarray(rdm_cas[1]) @ Ab.T + dmcb])
+
+        cas.e_tot = float(E)
+        self._ucas = cas
+        self._cas = cas._cas
+        self.onepdm = np.asarray(cas.onepdm)
+        self.e_tot = float(E)
+        self.mo_coeff = np.asarray(C_full)
+        self.fcisolver = cas.fcisolver
+        return self.onepdm, self.e_tot
+
+    def make_rdm2(self, Ham=None):
+        self.twopdm = self._ucas.make_rdm2(Ham)
+        return self.twopdm
+
+    def run_dmet_ham(self, Ham, **kwargs):
+        return self._ucas.run_dmet_ham(Ham, **kwargs)
+
+    def cleanup(self):
+        pass

@@ -358,6 +358,54 @@ def test_gcasscf_gso_frame():
     assert abs(E_full - E_fci) < 1e-9
 
 
+def test_ucasscf_orbital_optimization():
+    """UNRESTRICTED CASSCF (reference umc1step.py/umc2step.py -- the
+    reference's main CASSCF for UHF-frame embeddings): on a
+    site-symmetry-broken 4-site Hubbard ring at U=4, (i) a full active
+    window makes every per-spin rotation redundant and reproduces the
+    UHF-FCI energy exactly, (ii) the (3,2) window's second-order
+    orbital optimization converges, strictly improves on the
+    fixed-UHF-orbital UCASCI, stays variational, and is internally
+    RDM-consistent.  Internal anchors from the first completed run:
+      E_fci           = -2.1477353252387
+      E_ucasci(3,2)   = -1.8179222376292
+      E_ucasscf(3,2)  = -1.8841957321182  (orbital gain 0.0663)"""
+    from libdmet_preview_tpu.models.integral import Integral
+    from libdmet_preview_tpu.solvers import FCI, UCASCI, UCASSCF
+
+    nao, U = 4, 4.0
+    h = np.zeros((nao, nao))
+    for i in range(nao):
+        h[i, (i + 1) % nao] = h[(i + 1) % nao, i] = -1.0
+    h += np.diag([-0.8, 0.3, -0.1, 0.6])
+    g = np.zeros((nao,) * 4)
+    for i in range(nao):
+        g[i, i, i, i] = U
+    Ham = Integral(nao, True, False, 0.0, {"cd": h[None]},
+                   {"ccdd": g[None]})
+
+    fci = FCI(restricted=False, Sz=0, tol=1e-12)
+    _, E_fci = fci.run(Ham, nelec=nao)
+    assert abs(E_fci - (-2.1477353252387)) < 1e-8
+
+    cas = UCASCI(ncas=3, nelecas=2, Sz=0, tol=1e-12)
+    _, E_ci = cas.run(Ham, nelec=nao)
+    scf = UCASSCF(ncas=3, nelecas=2, Sz=0, tol=1e-7, max_cycle=20)
+    _, E_scf = scf.run(Ham, nelec=nao)
+    assert scf.converged
+    assert E_scf <= E_ci - 1e-2             # strict orbital gain
+    assert E_scf >= E_fci - 1e-9            # variational
+    assert abs(E_scf - (-1.8841957321182)) < 1e-6
+    assert abs(scf.run_dmet_ham(Ham) - E_scf) < 1e-8
+    assert abs(np.trace(scf.onepdm[0]) - 2.0) < 1e-8
+    assert abs(np.trace(scf.onepdm[1]) - 2.0) < 1e-8
+
+    # (i) full window: per-spin rotations redundant -> FCI exactly
+    scf_full = UCASSCF(ncas=nao, nelecas=nao, Sz=0, tol=1e-7)
+    _, E_full = scf_full.run(Ham, nelec=nao)
+    assert abs(E_full - E_fci) < 1e-9
+
+
 def test_gghf_mu_scf():
     """GSO HF with in-loop chemical-potential fitting (reference
     solver/scf_mu.py role): on the ph-transformed 4-site Hubbard ring
