@@ -795,10 +795,13 @@ def minimize(fun_grad, x0, method="CG", max_iter=300, **kwargs):
                 g0 = fun_grad(np.asarray(x))[1]
                 return (np.asarray(g1) - np.asarray(g0)) / eps
             extra["hessp"] = hessp
+        options = {"maxiter": max_iter}
+        if "gtol" in kwargs:
+            options["gtol"] = kwargs["gtol"]
         res = opt.minimize(lambda x: [np.asarray(v) for v in fun_grad(x)][0],
                            np.asarray(x0), jac=lambda x: np.asarray(
                                fun_grad(x)[1]),
-                           method=name, options={"maxiter": max_iter},
+                           method=name, options=options,
                            **extra)
         return np.asarray(res.x), float(res.fun)
     if method in ("AH", "NEWTON", "NEWTON-CG"):

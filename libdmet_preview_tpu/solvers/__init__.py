@@ -4,6 +4,7 @@ from libdmet_preview_tpu.solvers.scf import SCF, SCFSolver, GGHF, GGHF_mu
 from libdmet_preview_tpu.solvers.cc import (LCCSD, LCCD, CCSD_ITE,
     CCSD, CCD, MP2, BCCSD, TCCSD, RCCSD, UCCSD, GCCSD, UCCD, GCCD,
     UTCCSD, GTCCSD)
+from libdmet_preview_tpu.solvers.oo import OOMP2, OOCCD
 from libdmet_preview_tpu.solvers.casci import (CASCI, CASSCF, UCASCI,
                                                UCASSCF, GCASCI, GCASSCF,
                                                project_active_space)

@@ -81,15 +81,31 @@ def _antisymmetrize(g_chem):
 # CCSD residual (spin-orbital, Stanton JCP 94, 4334 form with full Fock)
 # ----------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("nocc",))
-def _residual(t1, t2, h_so, W, nocc):
+@partial(jax.jit, static_argnames=("nocc", "mp2"))
+def _residual(t1, t2, h_so, W, nocc, mp2=False):
     """Full CCSD residuals (R1, R2) == 0 at convergence.
 
-    W = <pq||rs> antisymmetrized physicist; slices o/v by nocc."""
+    W = <pq||rs> antisymmetrized physicist; slices o/v by nocc.
+
+    mp2=True truncates R2 to the NON-CANONICAL MP2 stationarity
+    condition (Hylleraas functional gradient): only the inhomogeneity
+    W_oovv and the one-body Fock contractions survive, R1 = 0.  This is
+    what makes orbital-optimized MP2 exact under arbitrary occ-virt
+    rotations of the reference determinant (reference
+    solver/mp.py:147-233 MP2AsFCISolver role in OO-MP2)."""
     nso = h_so.shape[0]
     o = slice(None, nocc)
     v = slice(nocc, None)
     f = h_so + jnp.einsum("piqi -> pq", W[:, o, :, o])
+
+    if mp2:
+        R1 = jnp.zeros_like(t1)
+        R2 = W[o, o, v, v]
+        tmp = jnp.einsum("ijae, be -> ijab", t2, f[v, v])
+        R2 = R2 + tmp - jnp.transpose(tmp, (0, 1, 3, 2))
+        tmp = jnp.einsum("imab, mj -> ijab", t2, f[o, o])
+        R2 = R2 - tmp + jnp.transpose(tmp, (1, 0, 2, 3))
+        return R1, R2
 
     fov, foo, fvv = f[o, v], f[o, o], f[v, v]
     Woooo = W[o, o, o, o]
@@ -206,7 +222,7 @@ class _AmpDIIS(object):
 
 def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
                       freeze_t1=False, lambda_sweeps=None, ite_dtau=None,
-                      level_shift=0.0):
+                      level_shift=0.0, mp2=False):
     # lambda_sweeps is consumed by the ADJOINT solve (approximate-lambda
     # variants); it does not affect the amplitude fixed point
     """Preconditioned fixed point t <- t + R/D with DIIS.
@@ -231,7 +247,7 @@ def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
                     space=diis_space)
     conv = False
     for it in range(max_cycle):
-        R1, R2 = _residual(t1, t2, h_so, W, nocc)
+        R1, R2 = _residual(t1, t2, h_so, W, nocc, mp2=mp2)
         if freeze_t1:
             R1 = jnp.zeros_like(R1)
         rnorm = float(jnp.max(jnp.abs(R1)) + jnp.max(jnp.abs(R2)))
@@ -255,7 +271,7 @@ def _solve_amplitudes(h_so, W, nocc, tol=1e-9, max_cycle=100, diis_space=8,
 
 def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
                    diis_space=8, freeze_t1=False, lambda_sweeps=None,
-                   ite_dtau=None, level_shift=0.0):
+                   ite_dtau=None, level_shift=0.0, mp2=False):
     # ite_dtau only affects the amplitude iteration; the adjoint solve is
     # a linear system independent of how the fixed point was reached;
     # level_shift enters only the Jacobi preconditioner (same damping as
@@ -280,7 +296,7 @@ def _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2, tol=1e-9, max_cycle=100,
     ntot = n1 + int(np.prod(s2))
 
     def Rt(t1_, t2_):
-        return _residual(t1_, t2_, h_so, W, nocc)
+        return _residual(t1_, t2_, h_so, W, nocc, mp2=mp2)
 
     def P2(x2):
         """Projector onto the ANTISYMMETRIC t2 subspace -- the full
@@ -569,9 +585,10 @@ def _t_star_bwd(nocc, opts, res, cot):
     w1, w2 = cot
     lam1, lam2 = _solve_adjoint(h_so, W, nocc, t1, t2, w1, w2,
                                 **dict(opts))
+    mp2 = dict(opts).get("mp2", False)
 
     def Rhw(h_, W_):
-        return _residual(t1, t2, h_, W_, nocc)
+        return _residual(t1, t2, h_, W_, nocc, mp2=mp2)
 
     _, vjp_hw = jax.vjp(Rhw, h_so, W)
     gh, gW = vjp_hw((lam1, lam2))
@@ -654,6 +671,8 @@ class CCSD(object):
             opts = opts + (("ite_dtau", float(self.ite_dtau)),)
         if getattr(self, "level_shift", 0.0):
             opts = opts + (("level_shift", float(self.level_shift)),)
+        if getattr(self, "mp2_residual", False):
+            opts = opts + (("mp2", True),)
         return opts
 
     # -- integral unpacking ------------------------------------------
@@ -698,7 +717,13 @@ class CCSD(object):
         Ca = mo[0]
         Cb = mo[1] if mo.shape[0] == 2 else mo[0]
         self._mo = (Ca, Cb, na, nb)
+        return self._energy_rdms(Ham, Ca, Cb, na, nb)
 
+    def _energy_rdms(self, Ham, Ca, Cb, na, nb):
+        """Total energy + response RDMs at FIXED MO coefficients (the
+        tail of run(); also the finalizer for the orbital-optimized
+        solvers, where the orbital-response term of the relaxed RDMs
+        vanishes at the OO stationary point)."""
         h1a, h1b, g_aa, g_bb, g_ab = self._unpack(Ham)
         opts = self._opts()
 

@@ -236,48 +236,91 @@ def make_hdiag(h1e, eri, norb, nelec):
 # ----------------------------------------------------------------------
 
 def davidson(matvec, hdiag, x0=None, tol=1e-11, max_cycle=200,
-             max_space=24, n_keep=3):
-    """Lowest eigenpair by Davidson with THICK RESTART: when the subspace
-    is full, it collapses onto the n_keep lowest Ritz vectors (their
-    matvec images are linear combinations of the stored ones, so the
-    restart costs no extra sigma builds) instead of a single-vector
-    restart -- keeps the convergence history (VERDICT r1 weak item 6;
-    reference delegates to pyscf lib.davidson)."""
+             max_space=30, n_keep=4, guard_cap=8):
+    """Lowest eigenpair by Davidson with THICK RESTART and GUARD ROOTS.
+
+    Thick restart: when the subspace is full it collapses onto the
+    lowest Ritz vectors (their matvec images are linear combinations of
+    the stored ones, so the restart costs no extra sigma builds) instead
+    of a single-vector restart -- keeps the convergence history
+    (reference delegates to pyscf lib.davidson).
+
+    Guard roots (cold start only): single-root Davidson has a symmetry
+    trap -- if the Ritz minimum of the current subspace lies in an
+    H-invariant sector (e.g. the spin-swap-antisymmetric triplet
+    determinants of an Sz=0 FCI block), every preconditioned residual
+    stays in that sector and the iteration converges, with a genuinely
+    ZERO residual, to the lowest EXCITED state of that sector -- even
+    when the subspace already overlaps the true ground state.  A fixed
+    number of guard roots cannot fix this either: a degenerate excited
+    manifold (the 3-fold triplet in a GHF-frame FCI space) absorbs any
+    fixed count.  The robust rule used here: keep converging Ritz roots
+    UPWARD until some converged root sits STRICTLY ABOVE root 0; the
+    higher root's residual expansion necessarily probes the
+    complementary sector, after which the lowest Ritz pair flips to the
+    global ground state.  Warm starts (x0 from a previous solve of a
+    nearby Hamiltonian) keep the fast single-root path."""
     n = hdiag.size
     hd = hdiag.ravel()
-    if x0 is None:
-        x0 = np.zeros(n)
-        x0[np.argmin(hd)] = 1.0
-    xs = []
-    ax = []
-    e_last = None
-    theta = None
-    rnorm = np.inf
-    u = x0 / np.linalg.norm(x0)
-    y = u
+    queue = []
+    cold = x0 is None
     rng = np.random.RandomState(7)
+    if cold:
+        # Seed a small block of lowest-diagonal determinants (a cheap
+        # pspace guess: after the queue drains, the Ritz step IS the
+        # dense diagonalization of this determinant sub-block) -- but
+        # ADMIX dense noise into every seed.  Pure determinant seeds are
+        # poison when they include symmetry-image pairs (e.g. the
+        # spin-swap partners of an Sz=0 block): the projected H then
+        # block-diagonalizes over the symmetry sectors, eigh returns
+        # sector-PURE Ritz vectors, and since H preserves the sectors the
+        # preconditioned-residual expansion refines only the sector of
+        # the current Ritz minimum.  A mixed seed keeps every Ritz vector
+        # mixed, so both sector Krylov spaces grow and the global ground
+        # state is found (Krylov of a mixed vector = direct sum of the
+        # sector Krylov spaces).
+        order = np.argsort(hd)
+        def _noisy(k):
+            ek = np.zeros(n)
+            ek[k] = 1.0
+            r = rng.randn(n)
+            return ek + (0.1 / np.linalg.norm(r)) * r
+        x0 = _noisy(order[0])
+        for k in order[1:min(4, n)]:
+            queue.append(_noisy(k))
+    ctol = max(tol * 10, 1e-9)
+    gap_tol = max(tol * 100, 1e-8)
+    guard_cap = int(max(2, min(guard_cap, n))) if cold else 1
+    xs, ax = [], []
+    theta, u, rnorm = None, None, np.inf
+    e_last = None
+    pend = [np.asarray(x0, dtype=np.float64).ravel()]
+    n_rand = 0
     for it in range(max_cycle):
-        # twice-orthogonalize y against the subspace (numerical safety)
-        for _ in range(2):
-            for xi in xs:
-                y = y - xi * np.dot(xi, y)
-        ny = np.linalg.norm(y)
-        if ny < 1e-12:
-            # subspace stagnation: the preconditioned residual collapsed
-            # into the span.  If already converged, done; otherwise
-            # recover with a random direction instead of returning an
-            # unconverged vector (3-band px/py symmetry regression).
-            if rnorm < max(tol * 10, 1e-9):
-                break
-            y = rng.randn(n)
-            for xi in xs:
-                y = y - xi * np.dot(xi, y)
+        added = 0
+        for y in pend:
+            y = np.array(y, dtype=np.float64)
+            # twice-orthogonalize against the subspace (numerical safety)
+            for _ in range(2):
+                for xi in xs:
+                    y = y - xi * np.dot(xi, y)
             ny = np.linalg.norm(y)
             if ny < 1e-12:
+                continue
+            y = y / ny
+            xs.append(y)
+            ax.append(np.asarray(matvec(y)).ravel())
+            added += 1
+        if not added:
+            # every candidate collapsed into the span
+            if queue:
+                pend = [queue.pop(0)]
+                continue
+            if len(xs) >= n or rnorm < ctol or n_rand >= 3:
                 break
-        y = y / ny
-        xs.append(y)
-        ax.append(np.asarray(matvec(y)).ravel())
+            n_rand += 1
+            pend = [rng.randn(n)]
+            continue
         m = len(xs)
         Hs = np.empty((m, m))
         for i in range(m):
@@ -285,28 +328,51 @@ def davidson(matvec, hdiag, x0=None, tol=1e-11, max_cycle=200,
                 Hs[i, j] = np.dot(xs[i], ax[j])
         Hs = 0.5 * (Hs + Hs.T)
         w, v = np.linalg.eigh(Hs)
-        theta = w[0]
-        u = sum(v[i, 0] * xs[i] for i in range(m))
-        Au = sum(v[i, 0] * ax[i] for i in range(m))
-        resid = Au - theta * u
-        rnorm = np.linalg.norm(resid)
+        # residuals of ascending Ritz roots, up to the first CONVERGED
+        # root strictly above root 0 (subspace algebra only, no matvecs)
+        k = min(guard_cap, m)
+        us, resids, rnorms = [], [], []
+        guards_ok = m >= n
+        for r in range(k):
+            ur = sum(v[i, r] * xs[i] for i in range(m))
+            Aur = sum(v[i, r] * ax[i] for i in range(m))
+            rr = Aur - w[r] * ur
+            us.append(ur)
+            resids.append(rr)
+            rnorms.append(np.linalg.norm(rr))
+            if r > 0 and rnorms[r] < ctol and w[r] > w[0] + gap_tol:
+                guards_ok = True
+                break
+        if not cold:
+            guards_ok = True
+        theta, u, rnorm = w[0], us[0], rnorms[0]
         # residual threshold sets the VECTOR quality: near-degenerate
         # states mix as rnorm/gap, so keep it tight (3-band px/py
         # symmetry test)
-        if e_last is not None and abs(theta - e_last) < tol \
-                and rnorm < max(tol * 10, 1e-9):
+        conv0 = (e_last is not None and abs(theta - e_last) < tol
+                 and rnorm < ctol)
+        if conv0 and guards_ok and not queue:
             return theta, u
         e_last = theta
-        denom = hd - theta
-        denom = np.where(np.abs(denom) < 1e-10, 1e-10, denom)
-        y = resid / denom
+        # expand the (up to 2) lowest unconverged roots among those seen
+        pend = []
+        for r in range(len(rnorms)):
+            if rnorms[r] > ctol:
+                denom = hd - w[r]
+                denom = np.where(np.abs(denom) < 1e-10, 1e-10, denom)
+                pend.append(resids[r] / denom)
+                if len(pend) >= 2:
+                    break
+        if queue:
+            pend.append(queue.pop(0))
         if m >= max_space:
-            # thick restart: keep the n_keep lowest Ritz pairs
-            keep = min(n_keep, m)
+            # thick restart: keep the lowest Ritz pairs, enough to cover
+            # the roots being converged
+            keep = min(max(n_keep, len(rnorms) + 1), m)
             xs_new, ax_new = [], []
-            for k in range(keep):
-                uk = sum(v[i, k] * xs[i] for i in range(m))
-                auk = sum(v[i, k] * ax[i] for i in range(m))
+            for r in range(keep):
+                uk = sum(v[i, r] * xs[i] for i in range(m))
+                auk = sum(v[i, r] * ax[i] for i in range(m))
                 for jx, xj in enumerate(xs_new):   # safety re-orth
                     c = np.dot(xj, uk)
                     uk = uk - c * xj
@@ -317,7 +383,8 @@ def davidson(matvec, hdiag, x0=None, tol=1e-11, max_cycle=200,
                 xs_new.append(uk / nk_)
                 ax_new.append(auk / nk_)
             xs, ax = xs_new, ax_new
-    log.warn("FCI Davidson not fully converged: resid=%.2e", rnorm)
+    if rnorm > ctol:
+        log.warn("FCI Davidson not fully converged: resid=%.2e", rnorm)
     return theta, u
 
 
