@@ -25,6 +25,7 @@ from libdmet_preview_tpu.models.hamiltonian import (
 from libdmet_preview_tpu.models.integral import Integral
 from libdmet_preview_tpu.ops import mfd, embham, fit as fit_mod
 from libdmet_preview_tpu.ops.vcor import (VcorLocal, VcorLocalPhSymm,
+                                          VcorDCAPhSymm,
                                           VcorSymm, VcorSymmBogo,
                                           VcorNonLocal, VcorKpoints,
                                           VcorRestricted)

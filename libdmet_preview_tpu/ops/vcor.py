@@ -544,6 +544,84 @@ def VcorLocalPhSymm(U, bogoliubov, ImpSize, subA, subB, r=None):
     return v
 
 
+def VcorDCAPhSymm(U, ImpSize, subA, subB):
+    """Particle-hole symmetric vcor in the DCA (translation-displacement)
+    parametrization (reference dmet/HubPhSymm.py:213-295): one parameter
+    per displacement class {v, -v} on the ImpSize torus, entering as
+
+        V[0, i, i+v] = +p, V[1, i, i+v] = -p   (i, i+v both in subA)
+                       -p,                +p   (both in subB)
+                       +p,                +p   (mixed)
+
+    for every site i, plus the fixed U/2 diagonal shift.  The DCA cluster
+    is translation invariant, so the vcor must be too -- this is the
+    momentum-cell analog of VcorLocalPhSymm."""
+    ImpSize = tuple(int(x) for x in np.atleast_1d(ImpSize))
+    log.eassert(len(ImpSize) in (1, 2), "ImpSize must be 1D or 2D")
+    subA, subB = set(subA), set(subB)
+    nscsites = int(np.prod(ImpSize))
+    log.eassert(len(subA) == len(subB),
+                "sublattices must have equal size")
+    log.eassert(subA | subB == set(range(nscsites)),
+                "sublattice designation problematic")
+
+    sites = list(it.product(*map(range, ImpSize)))
+    sitedict = dict(zip(sites, range(len(sites))))
+
+    # displacement classes {v, -v} on the torus
+    seen = set()
+    vectors = []
+    for s in sites:
+        vec = []
+        if s not in seen:
+            vec.append(np.asarray(s))
+            seen.add(s)
+        s1 = tuple((-np.asarray(s)) % ImpSize)
+        if s1 not in seen:
+            vec.append(np.asarray(s1))
+            seen.add(s1)
+        if vec:
+            vectors.append(vec)
+    nV = len(vectors)
+
+    entries = [[], [], [], [], []]
+
+    def add(p, s, i, j, c):
+        entries[0].append(p)
+        entries[1].append(s)
+        entries[2].append(i)
+        entries[3].append(j)
+        entries[4].append(c)
+
+    for idxp, vecs in enumerate(vectors):
+        for vec in vecs:
+            for idx1, site1 in enumerate(sites):
+                idx2 = sitedict[tuple((np.asarray(site1) + vec) % ImpSize)]
+                if idx1 in subA and idx2 in subA:
+                    add(idxp, 0, idx1, idx2, 1.0)
+                    add(idxp, 1, idx1, idx2, -1.0)
+                elif idx1 in subB and idx2 in subB:
+                    add(idxp, 0, idx1, idx2, -1.0)
+                    add(idxp, 1, idx1, idx2, 1.0)
+                else:
+                    add(idxp, 0, idx1, idx2, 1.0)
+                    add(idxp, 1, idx1, idx2, 1.0)
+
+    v = Vcor(nV, 2, nscsites, entries, restricted=False, bogoliubov=False)
+
+    shift = np.zeros((2, nscsites, nscsites))
+    shift[0] += np.eye(nscsites) * (U / 2.0)
+    shift[1] += np.eye(nscsites) * (U / 2.0)
+    base_eval = v.evaluate
+
+    def evaluate_shifted():
+        return base_eval() + shift
+
+    v.evaluate = evaluate_shifted
+    v.value = v.evaluate()
+    return v
+
+
 def VcorSymmBogo(restricted, nscsites, perms, spin_swap=None,
                  idx_range=None):
     """Point-group symmetric Bogoliubov vcor (reference

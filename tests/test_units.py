@@ -620,3 +620,68 @@ def test_restore_eri_roundtrip_s8():
     np.testing.assert_allclose(restore_eri(s8, norb, 8), s8, atol=1e-14)
     np.testing.assert_allclose(restore_eri(s8, norb, 1), g, atol=1e-14)
     np.testing.assert_allclose(restore_eri(s8, norb, 4), s4, atol=1e-14)
+
+
+def test_vcor_dca_phsymm():
+    """DCA ph-symmetric vcor (reference HubPhSymm.py:213-295
+    VcorDCAPhSymm): one parameter per displacement class {v, -v} on the
+    impurity torus, AFM sign structure, fixed U/2 diagonal shift."""
+    import itertools as it
+    from libdmet_preview_tpu.ops.vcor import VcorDCAPhSymm
+
+    U = 4.0
+    ImpSize = (4,)
+    subA, subB = [0, 2], [1, 3]
+    v = VcorDCAPhSymm(U, ImpSize, subA, subB)
+    # classes on Z_4: {0}, {1, 3}, {2}
+    assert v.length() == 3
+
+    rng = np.random.RandomState(0)
+    p = rng.randn(v.length())
+    v.update(p)
+    V = v.get()
+    assert V.shape == (2, 4, 4)
+
+    # behavioral spec transcribed from the reference loop
+    sites = [(i,) for i in range(4)]
+    sdict = {s: i for i, s in enumerate(sites)}
+    vecs_by_class = [[(0,)], [(1,), (3,)], [(2,)]]
+    want = np.zeros((2, 4, 4))
+    for idxp, vecs in enumerate(vecs_by_class):
+        for vec in vecs:
+            for i1, s1 in enumerate(sites):
+                i2 = sdict[((s1[0] + vec[0]) % 4,)]
+                if i1 in subA and i2 in subA:
+                    want[0, i1, i2] = p[idxp]
+                    want[1, i1, i2] = -p[idxp]
+                elif i1 in subB and i2 in subB:
+                    want[0, i1, i2] = -p[idxp]
+                    want[1, i1, i2] = p[idxp]
+                else:
+                    want[0, i1, i2] = p[idxp]
+                    want[1, i1, i2] = p[idxp]
+    want += (U / 2.0) * np.eye(4)
+    np.testing.assert_allclose(V, want, atol=1e-12)
+
+    # translation invariance and the {v, -v} pairing
+    assert abs(V[0, 0, 1] - V[0, 1, 2]) < 1e-12
+    assert abs(V[0, 0, 1] - V[0, 0, 3]) < 1e-12
+
+    # gradient consistent with evaluate
+    g = v.gradient()
+    assert g.shape == (3, 2, 4, 4)
+    for k in range(v.length()):
+        dp = np.zeros(v.length())
+        dp[k] = 1e-6
+        v.update(p + dp)
+        Vp = v.get()
+        v.update(p - dp)
+        Vm = v.get()
+        np.testing.assert_allclose((Vp - Vm) / 2e-6, g[k], atol=1e-7)
+
+    # assign() round-trips a representable target
+    v.update(p)
+    target = v.get() - (U / 2.0) * np.eye(4)
+    v2 = VcorDCAPhSymm(U, ImpSize, subA, subB)
+    v2.assign(target)
+    np.testing.assert_allclose(v2.param, p, atol=1e-10)
