@@ -294,6 +294,7 @@ class PbcCell(object):
         else:
             pair_iter = [(i, j) for i in range(len(self.shells))
                          for j in range(i + 1)]
+        gblk = 4096
         for i, j in pair_iter:
                 shi = self.shells[i]
                 shj = self.shells[j]
@@ -303,35 +304,34 @@ class PbcCell(object):
                 acc = np.zeros((shi.nc, shj.nc, nG), dtype=np.complex128)
                 logt_ft = -np.log(self.precision) * 1.5
                 lsum = shi.l + shj.l
-                # flat (t, u, v) term list with per-term (-iG)^tuv rows
-                tuv_list = [(t, u, v) for t in range(lsum + 1)
-                            for u in range(lsum + 1)
-                            for v in range(lsum + 1)]
-                mi_rows = np.stack([miG[0, t] * miG[1, u] * miG[2, v]
-                                    for (t, u, v) in tuv_list])  # (nt, nG)
-                for p, c12, P, (Ex, Ey, Ez), _sel in _pair_E3_imgs(
+                carts1, carts2 = CART[shi.l], CART[shj.l]
+                for p, c12, P, Es, _sel in _pair_E3_imgs(
                         shi, shj, imgs, logt_ft):
-                    # (nimg, nG): image phases x radial decay
-                    base = (c12 * (np.pi / p) ** 1.5) \
-                        * np.exp(-1j * (P @ Gv.T)) \
-                        * np.exp(-G2 / (4.0 * p))[None, :]
-                    # E3all[(c1, c2), term, img]
-                    nimg = base.shape[0]
-                    E3all = np.empty((shi.nc, shj.nc, len(tuv_list), nimg))
-                    for ii, (l1, m1, n1) in enumerate(CART[shi.l]):
-                        for jj, (l2, m2, n2) in enumerate(CART[shj.l]):
-                            for it_, (t, u, v) in enumerate(tuv_list):
-                                if t > l1 + l2 or u > m1 + m2 \
-                                        or v > n1 + n2:
-                                    E3all[ii, jj, it_] = 0.0
-                                else:
-                                    E3all[ii, jj, it_] = (
-                                        Ex[l1, l2, t] * Ey[m1, m2, u]
-                                        * Ez[n1, n2, v])
-                    # Z[c1c2, term, G] = sum_img E3all . base  (BLAS)
-                    Z = E3all.reshape(-1, nimg) @ base
-                    Z = Z.reshape(shi.nc, shj.nc, len(tuv_list), nG)
-                    acc += np.einsum("cdtg, tg -> cdg", Z, mi_rows)
+                    pref = (c12 * (np.pi / p) ** 1.5) \
+                        * np.exp(-G2 / (4.0 * p))       # (nG,)
+                    for g0 in range(0, nG, gblk):
+                        gs = slice(g0, min(g0 + gblk, nG))
+                        # (nimg, nGb): image phases x radial decay
+                        base = pref[gs][None, :] \
+                            * np.exp(-1j * (P @ Gv[gs].T))
+                        # SEPARABLE Hermite FT: contract the Hermite
+                        # index t against (-i G_d)^t per DIRECTION for
+                        # the (l+1)^2 component pairs (E[i, j, t] is
+                        # zero for t > i + j by construction), then
+                        # combine the three directions per Cartesian
+                        # pair -- O((l+1)^2 lsum + nc^2) G-rows instead
+                        # of the O(nc^2 lsum^3) dense-term contraction
+                        # (the d-shell wall: 36 x 125 terms -> 27 + 36)
+                        Ad = [np.einsum("abti, tg -> abig",
+                                        E[:, :, :lsum + 1],
+                                        miG[d, :lsum + 1, gs])
+                              for d, E in enumerate(Es)]
+                        for ii, (l1, m1, n1) in enumerate(carts1):
+                            for jj, (l2, m2, n2) in enumerate(carts2):
+                                acc[ii, jj, gs] += np.einsum(
+                                    "ig, ig, ig, ig -> g", base,
+                                    Ad[0][l1, l2], Ad[1][m1, m2],
+                                    Ad[2][n1, n2])
                 blk = np.moveaxis(acc, -1, 0)
                 f[:, i0:i1, j0:j1] = blk
                 if not stripe and i != j:
