@@ -695,6 +695,30 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
     interacting-bath path, spin-blocked cell ERIs for NIB.
 
     Returns (Lat, meta)."""
+    return _make_nio_lattice("afm", nk, a_ang, gmax, chol_tol, precision,
+                             basis_variant, cache_file)
+
+
+def make_nio_fm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
+                        precision=1e-10, basis_variant="solid",
+                        cache_file=None):
+    """FERROMAGNETIC NiO (reference example
+    /root/reference/examples/dmet/04-dmet-nio-fm/nio_fm.py, which fixes
+    cell.spin = 4 per double cell): the same rhombohedral double cell
+    and native integral stack as make_nio_afm_lattice, but both Ni
+    majority-spin aligned and the supercell UHF run at fixed
+    S_z = 2 per Ni (n_alpha - n_beta = 4 * nk).
+
+    The integral cache is SHARED with the AFM factory (same cell) --
+    only the UHF state and the downstream per-spin LO operators differ.
+    meta["nelec_ab"] carries (n_alpha, n_beta) for the spin-resolved
+    lattice filling.  Returns (Lat, meta)."""
+    return _make_nio_lattice("fm", nk, a_ang, gmax, chol_tol, precision,
+                             basis_variant, cache_file)
+
+
+def _make_nio_lattice(order, nk, a_ang, gmax, chol_tol, precision,
+                      basis_variant, cache_file):
     import jax
     import jax.numpy as jnp
     from libdmet_preview_tpu.ints.pbc import PbcCell, BOHR_PER_ANGSTROM
@@ -724,8 +748,8 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
     nlo = cell.nao // nk
     nsite = cell.nao
 
-    log.result("NiO AFM cell: nao = %d (%d per cell), nelec = %d",
-               nsite, nlo, cell.nelectron)
+    log.result("NiO %s cell: nao = %d (%d per cell), nelec = %d",
+               order.upper(), nsite, nlo, cell.nelectron)
     import os as _os
     cfile = None
     if cache_file is not None:
@@ -751,8 +775,8 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
             np.savez(tmp, S=S, hcore=hcore, eri=eri, e_nuc=e_nuc)
             _os.replace(tmp, cfile)
 
-    # AFM initial guess: Ni sublattice A majority-alpha d, B
-    # majority-beta; O closed shell (2s2 2p4)
+    # initial guess: AFM -- Ni sublattice A majority-alpha d, B
+    # majority-beta; FM -- both Ni majority-alpha; O closed shell
     nao_atom = {}
     for sym in ("Ni", "O"):
         nao_atom[sym] = sum({0: 1, 1: 3, 2: 6}[l]
@@ -763,7 +787,7 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
     for sym, _ in atoms:
         if sym == "Ni":
             # shell order: 3s, 4s, p(x3), d(x6)
-            up = ni_seen % 2 == 0
+            up = (ni_seen % 2 == 0) if order == "afm" else True
             da, db = (0.85, 0.55) if up else (0.55, 0.85)
             occs_a = [1.0, 0.5] + [1.0] * 3 + [da] * 6
             occs_b = [1.0, 0.5] + [1.0] * 3 + [db] * 6
@@ -775,7 +799,12 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
             dm0[1, p + i, p + i] = ob
         p += len(occs_a)
 
-    na = nb = cell.nelectron // 2
+    if order == "afm":
+        na = nb = cell.nelectron // 2
+    else:
+        sz2 = 4 * nk          # 2 unpaired electrons per Ni, 2 Ni per cell
+        na = (cell.nelectron + sz2) // 2
+        nb = cell.nelectron - na
     E_hf, dm = _uhf_incore(S, hcore, eri, dm0, na, nb, e_nuc=e_nuc,
                            tol=1e-9)
 
@@ -789,6 +818,7 @@ def make_nio_afm_lattice(nk=2, a_ang=4.17, gmax=None, chol_tol=1e-8,
     Lat, meta = _afm_oxide_tail(cell, nk, nlo, S, hcore, eri, e_nuc,
                                 dm, E_hf, chol_tol, mag_slices)
     meta["mag_ni"] = meta["mag_d"]
+    meta["nelec_ab"] = (na, nb)
     return Lat, meta
 
 

@@ -33,7 +33,7 @@ from jax import lax
 
 from libdmet_preview_tpu.ops import zlinalg
 from libdmet_preview_tpu.ops.fit import _cg_engine
-from libdmet_preview_tpu.ops.zlinalg import zrho_fermi, zrho_fermi_w
+from libdmet_preview_tpu.ops.zlinalg import rho_fermi_real, zrho_fermi_w
 
 
 def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
@@ -184,13 +184,12 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
         dV_emb = jnp.einsum("sRpi, Pspq, sRqj -> Psij", bR, dv, bR)
 
         # vcor fit in the fixed embedding basis: same math as
-        # ops.fit.FitVcorEmb finite-T (device CG through zrho_fermi)
+        # ops.fit.FitVcorEmb finite-T (device CG through rho_fermi_real)
         def err(p):
             Heff = embH1 + jnp.einsum("P, Psij -> sij", p, dV_emb)
             errs = 0.0
             for s in range(spin):
-                r1, _, _ = zrho_fermi(Heff[s], jnp.zeros_like(Heff[s]),
-                                      nelec2_emb, beta)
+                r1, _ = rho_fermi_real(Heff[s], nelec2_emb, beta)
                 errs = errs + jnp.sum((r1 - rho_target[s]) ** 2)
             return jnp.sqrt(errs / spin)
 

@@ -260,15 +260,14 @@ def _fit_cg_zero_t(p0, embH1, dV, Li, mask, target, ytol, gtol, nelec,
 @partial(jax.jit, static_argnames=("nelec2", "beta", "max_iter", "spin"))
 def _fit_cg_finite_t(p0, embH1, dV, Li, mask, target, ytol, gtol, nelec2,
                      beta, max_iter, spin):
-    from libdmet_preview_tpu.ops.zlinalg import zrho_fermi
+    from libdmet_preview_tpu.ops.zlinalg import rho_fermi_real
 
     def err(p):
         Heff = embH1 + jnp.einsum("P, Psij -> sij", p, dV)
         Horth = jnp.einsum("spq, sqr, skr -> spk", Li, Heff, Li)
         errs = 0.0
         for s in range(spin):
-            r_re, _, _ = zrho_fermi(Horth[s], jnp.zeros_like(Horth[s]),
-                                    nelec2[s], beta)
+            r_re, _ = rho_fermi_real(Horth[s], nelec2[s], beta)
             rho1 = jnp.einsum("qp, qr, rk -> pk", Li[s], r_re,
                               Li[s]) * mask[s]
             errs = errs + jnp.sum((rho1 - target[s]) ** 2)
@@ -509,7 +508,7 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
         # finite temperature: differentiate straight through the
         # degenerate-safe Fermi-density op (zlinalg.zrho_fermi custom JVP
         # == reference ftsystem.get_rho_grad analytic machinery)
-        from libdmet_preview_tpu.ops.zlinalg import zrho_fermi
+        from libdmet_preview_tpu.ops.zlinalg import rho_fermi_real
         embH1_j = jnp.asarray(embH1)
         dV_j = jnp.asarray(dV)
         mask_j = jnp.asarray(mask)
@@ -535,8 +534,7 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
             Horth = jnp.einsum("spq, sqr, skr -> spk", Li_j, Heff, Li_j)
             errs = 0.0
             for s in range(spin):
-                r_re, _, _ = zrho_fermi(Horth[s], jnp.zeros_like(Horth[s]),
-                                        nelec2[s], float(beta))
+                r_re, _ = rho_fermi_real(Horth[s], nelec2[s], float(beta))
                 rho1 = jnp.einsum("qp, qr, rk -> pk", Li_j[s], r_re,
                                   Li_j[s])
                 if C_act is not None:

@@ -140,6 +140,42 @@ def _zeigh_mf(h_re, h_im):
     return zeigh(h_re, h_im)
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def eigh_refined_real(h, iters=2, tau=1e-8):
+    """Plain-symmetric analog of zeigh_refined: f32 eigh seed + masked
+    first-order f64 refinement.  Returns (w, V), UNSORTED."""
+    n = h.shape[-1]
+    w32, V32 = jnp.linalg.eigh(h.astype(jnp.float32))
+    V = V32.astype(h.dtype)
+    I = jnp.eye(n, dtype=h.dtype)
+    scale = jnp.max(jnp.abs(w32)).astype(h.dtype) + 1e-30
+
+    def rayleigh(V):
+        T = jnp.einsum("...pi, ...pq, ...qj -> ...ij", V, h, V,
+                       optimize=True)
+        return T, jnp.diagonal(T, axis1=-2, axis2=-1)
+
+    for _ in range(iters):
+        G = jnp.einsum("...pi, ...pj -> ...ij", V, V, optimize=True)
+        V = V @ (1.5 * I - 0.5 * G)
+        T, lam = rayleigh(V)
+        d = lam[..., None, :] - lam[..., :, None]
+        mask = jnp.abs(d) > tau * scale
+        E = jnp.where(mask, T / jnp.where(mask, d, 1.0), 0.0)
+        V = V + V @ E
+    G = jnp.einsum("...pi, ...pj -> ...ij", V, V, optimize=True)
+    V = V @ (1.5 * I - 0.5 * G)
+    _, lam = rayleigh(V)
+    return lam, V
+
+
+def _eigh_mf_real(h):
+    level = _eigh_refine_level()
+    if level:
+        return eigh_refined_real(h, iters=level)
+    return jnp.linalg.eigh(h)
+
+
 @jax.jit
 def zfunc_from_eig(V, f2):
     """Matrix function F(H) from the embedding eigensystem.
@@ -309,6 +345,59 @@ def _zrho_fermi_bwd(nelec, beta, res, cot):
 
 zrho_fermi.defvjp(_zrho_fermi_fwd, _zrho_fermi_bwd)
 zrho_fermi_w.defvjp(_zrho_fermi_w_fwd, _zrho_fermi_w_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def rho_fermi_real(h, nelec2, beta):
+    """REAL-SYMMETRIC specialization of zrho_fermi for the embedding-fit
+    hot loops (ops.fit.FitVcorEmb / ops.fastpath): when the embedding
+    Hamiltonian is purely real, the doubled-spectrum embedding wastes an
+    eigh of size 2n on a block-diagonal matrix -- this op diagonalizes
+    the n x n symmetric matrix directly (TPU eigh cost is dominated by
+    the SEQUENTIAL QR iteration count, which scales with n).
+
+    `nelec2` keeps the doubled-spectrum convention (2x the physical
+    count), so rho_fermi_real(h, n2, b) == zrho_fermi(h, 0, n2, b)[0]
+    is a drop-in replacement.  Same degenerate-safe Daleckii-Krein
+    backward with chemical-potential feedback, reusing the forward
+    eigendecomposition.  Returns (rho, mu)."""
+    ew, V = _eigh_mf_real(h)
+    mu = _bisect_mu(ew, 0.5 * nelec2, beta)
+    occ = _fermi(ew, mu, beta)
+    rho = jnp.einsum("...pi, ...i, ...qi -> ...pq", V, occ, V)
+    return rho, mu
+
+
+def _rho_fermi_real_fwd(h, nelec2, beta):
+    ew, V = _eigh_mf_real(h)
+    mu = _bisect_mu(ew, 0.5 * nelec2, beta)
+    occ = _fermi(ew, mu, beta)
+    rho = jnp.einsum("...pi, ...i, ...qi -> ...pq", V, occ, V)
+    return (rho, mu), (ew, V, mu)
+
+
+def _rho_fermi_real_bwd(nelec2, beta, res, cot):
+    ew, V, mu = res
+    w_rho, w_mu = cot
+    f, K = _fermi_K(ew, mu, beta)
+    fp = -beta * f * (1.0 - f)
+    # the 2x doubled-count factors cancel between the dN = 0 numerator
+    # and denominator, so the single-spectrum sums give the same dmu
+    denom = jnp.sum(fp)
+    safe = jnp.abs(denom) > 1e-300
+    inv_denom = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+    W_eig = jnp.einsum("...pi, ...pq, ...qj -> ...ij", V, w_rho, V)
+    trace_term = jnp.einsum("...ii, ...i ->", W_eig, fp)
+    Mct = K * W_eig
+    diag_coeff = (w_mu - trace_term) * inv_denom
+    Mct = Mct + jnp.einsum("...i, ij -> ...ij", fp,
+                           jnp.eye(ew.shape[-1], dtype=ew.dtype)
+                           ) * diag_coeff
+    dh = jnp.einsum("...pi, ...ij, ...qj -> ...pq", V, Mct, V)
+    return (dh,)
+
+
+rho_fermi_real.defvjp(_rho_fermi_real_fwd, _rho_fermi_real_bwd)
 
 
 # ----------------------------------------------------------------------

@@ -87,3 +87,63 @@ def test_nio_afm_dmet():
     # degenerate pair denominators); measured fragment-scaled
     # E_corr = -1.78/cell -- assert finite, negative, bounded
     assert -3.0 < E_corr < -0.02
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="~15 min (shares the NiO integral cache); "
+                           "set RUN_SLOW=1")
+def test_nio_fm_dmet():
+    """FERROMAGNETIC NiO (reference example 04-dmet-nio-fm/nio_fm.py:
+    cell.spin = 4 per double cell).  Same cell/integrals as the AFM
+    test (shared disk cache); fixed-Sz supercell UHF, spin-resolved
+    lattice filling, IB UHF-DMET == lattice MF identity."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import libdmet_preview_tpu.dmet.hubbard as dmet
+    from libdmet_preview_tpu.models.abinitio import make_nio_fm_lattice
+    from libdmet_preview_tpu.ops import embham
+    from libdmet_preview_tpu.ops.vcor import VcorLocal
+    from libdmet_preview_tpu.solvers import SCFSolver
+
+    Lat, meta = make_nio_fm_lattice(
+        nk=2, cache_file=os.path.join(os.path.dirname(__file__),
+                                      os.pardir, ".cache"))
+    nsc = Lat.nscsites
+    cell = meta["cell"]
+    na, nb = meta["nelec_ab"]
+    assert na - nb == 8                       # S_z = 2 per Ni, 4 Ni (nk=2)
+
+    # aligned (FM) Ni d moments: both positive, translation-equivalent
+    mag = meta["mag_ni"]
+    assert mag[0] > 1.2 and mag[1] > 1.2
+    assert abs(mag[0] - mag[1]) < 1e-3
+
+    # total spin polarization of the UHF state
+    rdm1 = meta["rdm1_lo"]
+    sz2 = np.trace(rdm1[0]) - np.trace(rdm1[1])
+    assert abs(sz2 - (na - nb)) < 1e-8
+
+    # lattice (k-space stripe) mean field at spin-resolved filling ==
+    # supercell UHF
+    nk = Lat.ncells
+    filling = (na / (nk * nsc), nb / (nk * nsc))
+    vcor = VcorLocal(False, False, nsc)
+    vcor.assign(np.zeros((2, nsc, nsc)))
+    rho, Mu, res = dmet.HartreeFock(Lat, vcor, filling, None, ires=True)
+    assert abs(res["E"] - meta["E_hf"] / 2) < 2e-4
+
+    # interacting-bath UHF-DMET == the lattice mean field
+    ImpHam, H1e, basis = dmet.ConstructImpHam(Lat, rho, vcor,
+                                              matching=True,
+                                              int_bath=True)
+    basis_k = Lat.R2k_basis(basis)
+    rho_mf = np.asarray(embham.foldRho_k(Lat.rdm1_lo_k, basis_k))
+    nel = int(round(np.trace(rho_mf[0]) + np.trace(rho_mf[1])))
+    sz_emb = int(round(np.trace(rho_mf[0]) - np.trace(rho_mf[1])))
+    assert sz_emb == 4                        # S_z = 2 per Ni, 2 Ni/cell
+    hf = SCFSolver(restricted=False, Sz=sz_emb)
+    rhoEmb, EEmb = hf.run(ImpHam, nelec=nel, dm0=rho_mf, MaxIter=500)
+    _, E_hfdmet, _ = dmet.transformResults(
+        rhoEmb, EEmb, basis, ImpHam, H1e, lattice=Lat, last_dmu=0.0,
+        int_bath=True, solver=hf, solver_args={"nelec": nel})
+    assert abs(E_hfdmet * nsc - meta["E_hf"] / 2) < 5e-4

@@ -685,3 +685,45 @@ def test_vcor_dca_phsymm():
     v2 = VcorDCAPhSymm(U, ImpSize, subA, subB)
     v2.assign(target)
     np.testing.assert_allclose(v2.param, p, atol=1e-10)
+
+
+def test_rho_fermi_real_matches_doubled():
+    """rho_fermi_real (the n x n real-symmetric fit fast path) ==
+    zrho_fermi on the doubled embedding: forward, mu, value-grad, and
+    mu-grad, including an exactly degenerate pair."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops.zlinalg import zrho_fermi, rho_fermi_real
+
+    rng = np.random.RandomState(3)
+    n = 14
+    h = rng.randn(n, n)
+    h = (h + h.T) / 2
+    w, V = np.linalg.eigh(h)
+    w[4] = w[5]                           # exact degeneracy
+    h = V @ np.diag(w) @ V.T
+    nelec2, beta = 12, 40.0   # smooth N(mu): unique mu, exact comparison
+
+    r0, _, mu0 = zrho_fermi(jnp.asarray(h), jnp.zeros((n, n)), nelec2,
+                            beta)
+    r1, mu1 = rho_fermi_real(jnp.asarray(h), nelec2, beta)
+    assert float(jnp.max(jnp.abs(r0 - r1))) < 1e-12
+    assert abs(float(mu0 - mu1)) < 1e-8   # independent bisection brackets
+
+    tgt = rng.randn(n, n)
+    tgt = (tgt + tgt.T) / 2
+
+    g0 = jax.grad(lambda x: jnp.sum(
+        (zrho_fermi(x, jnp.zeros_like(x), nelec2, beta)[0] - tgt) ** 2
+    ))(jnp.asarray(h))
+    g1 = jax.grad(lambda x: jnp.sum(
+        (rho_fermi_real(x, nelec2, beta)[0] - tgt) ** 2
+    ))(jnp.asarray(h))
+    assert float(jnp.max(jnp.abs(g0 - g1))) < 1e-11
+
+    gm0 = jax.grad(lambda x: zrho_fermi(
+        x, jnp.zeros_like(x), nelec2, beta)[2])(jnp.asarray(h))
+    gm1 = jax.grad(lambda x: rho_fermi_real(
+        x, nelec2, beta)[1])(jnp.asarray(h))
+    # mu enters through its own bisection bracket -> ~1e-10 match
+    assert float(jnp.max(jnp.abs(gm0 - gm1))) < 1e-8
