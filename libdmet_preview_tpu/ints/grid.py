@@ -80,11 +80,63 @@ def becke_grid(mol, n_rad=50, n_theta=12, n_phi=24):
 
 
 def eval_ao(mol, coords):
-    """AO values on grid points: (nao, ngrid) for contracted s shells."""
+    """AO values on grid points: (nao, ngrid).  Handles the s-shell
+    `ints.gto.Mole` and the general-l `ints.md.MoleGeneral`."""
     coords = np.asarray(coords)
+    if hasattr(mol, "shell_slices"):
+        from libdmet_preview_tpu.utils.cubegen import eval_ao as _ev
+        return _ev(mol, coords).T
     out = np.zeros((mol.nao, len(coords)))
     for p, (cen, prims) in enumerate(mol.shells):
         r2 = np.sum((coords - cen) ** 2, axis=1)
         for alpha, coeff in prims:
             out[p] += coeff * np.exp(-alpha * r2)
+    return out
+
+
+def eval_ao_grad(mol, coords):
+    """Cartesian AO gradients on grid points: (3, nao, ngrid) — the
+    nabla chi_p needed by GGA functionals (sigma = |nabla rho|^2).
+
+    Analytic: for a Cartesian primitive x^l y^m z^n e^{-a r^2} the x
+    derivative is (l x^{l-1} - 2 a x^{l+1}) y^m z^n e^{-a r^2}; the
+    contracted-shell form keeps one radial sum R(r^2) = sum_i c_i
+    e^{-a_i r^2} and its primitive-weighted companion
+    Ra(r^2) = sum_i c_i a_i e^{-a_i r^2}."""
+    coords = np.asarray(coords)
+    ng = len(coords)
+    out = np.zeros((3, mol.nao, ng))
+    if hasattr(mol, "shell_slices"):        # general-l MoleGeneral
+        from libdmet_preview_tpu.ints.md import CART
+        for sh, (i0, i1) in zip(mol.shells, mol.shell_slices):
+            d = coords - sh.center
+            r2 = np.sum(d * d, axis=1)
+            R = np.zeros(ng)
+            Ra = np.zeros(ng)
+            for alpha, c in zip(sh.exps, sh.coefs):
+                e = c * np.exp(-alpha * r2)
+                R += e
+                Ra += alpha * e
+            for comp, lmn in enumerate(CART[sh.l]):
+                mono = (d[:, 0] ** lmn[0]) * (d[:, 1] ** lmn[1]) \
+                    * (d[:, 2] ** lmn[2])
+                for ax in range(3):
+                    li = lmn[ax]
+                    poly_d = np.zeros(ng)
+                    if li > 0:
+                        lmn_m = list(lmn)
+                        lmn_m[ax] = li - 1
+                        poly_d = li * (d[:, 0] ** lmn_m[0]) \
+                            * (d[:, 1] ** lmn_m[1]) * (d[:, 2] ** lmn_m[2])
+                    out[ax, i0 + comp] = poly_d * R \
+                        - 2.0 * d[:, ax] * mono * Ra
+        return out
+    for p, (cen, prims) in enumerate(mol.shells):
+        d = coords - cen
+        r2 = np.sum(d * d, axis=1)
+        Ra = np.zeros(ng)
+        for alpha, coeff in prims:
+            Ra += alpha * coeff * np.exp(-alpha * r2)
+        for ax in range(3):
+            out[ax, p] = -2.0 * d[:, ax] * Ra
     return out

@@ -664,12 +664,13 @@ def attach_ks(Lat, meta, xc="lsda", hyb=0.0, n_rad=60, n_theta=12,
     Lat.use_hcore_as_emb_ham = False
 
     ao_g = ks.ao_g
+    ao_grad_g = ks.ao_grad_g
     wts = ks.grid[1]
 
     def xc_dc(rho_lo_tot):
         rho_ao = C @ np.asarray(rho_lo_tot) @ C.T
         _, vxc_ao = eval_exc_vxc(rho_ao, ao_g, wts, restricted=True,
-                                 xc=xc)
+                                 xc=xc, ao_grad=ao_grad_g)
         return C.T @ vxc_ao @ C
 
     Lat.xc_dc = xc_dc

@@ -12,8 +12,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from libdmet_preview_tpu.utils import logger as log
-from libdmet_preview_tpu.ints.grid import becke_grid, eval_ao
-from libdmet_preview_tpu.ints.xc import eval_exc_vxc
+from libdmet_preview_tpu.ints.grid import becke_grid, eval_ao, \
+    eval_ao_grad
+from libdmet_preview_tpu.ints.xc import eval_exc_vxc, is_gga
 from libdmet_preview_tpu.ops.diis import DIIS
 
 
@@ -33,6 +34,8 @@ class RKS(object):
         self.grid = becke_grid(mol, n_rad=n_rad, n_theta=n_theta,
                                n_phi=n_phi)
         self.ao_g = eval_ao(mol, self.grid[0])
+        self.ao_grad_g = eval_ao_grad(mol, self.grid[0]) \
+            if is_gga(xc) else None
         self.e_tot = None
         self.mo_coeff = None
         self.mo_energy = None
@@ -49,7 +52,11 @@ class RKS(object):
         if self.xc is None:
             return 0.0, np.zeros_like(dm)
         return eval_exc_vxc(dm, self.ao_g, self.grid[1], restricted=True,
-                            xc=self.xc)
+                            xc=self.xc, ao_grad=self.ao_grad_g)
+
+    def _plus_u(self, dm):
+        """Hubbard-U hook (overridden by RKSpU); (E_U, v_U)."""
+        return 0.0, 0.0
 
     def kernel(self, dm0=None):
         mol = self.mol
@@ -73,7 +80,8 @@ class RKS(object):
         for it in range(self.max_cycle):
             vj, vk = self._jk(dm)
             exc, vxc = self._xc(dm)
-            f = h + vj + vxc
+            eU, vU = self._plus_u(dm)
+            f = h + vj + vxc + vU
             if self.hyb != 0.0:
                 f = f - 0.5 * self.hyb * vk
                 exc = exc - 0.25 * self.hyb * float(np.sum(vk * dm))
@@ -84,7 +92,7 @@ class RKS(object):
             C = A @ c
             dm = 2.0 * C[:, :nocc] @ C[:, :nocc].T
             e_tot = float(np.sum(h * dm) + 0.5 * np.sum(vj * dm)) \
-                + exc + mol.energy_nuc()
+                + exc + eU + mol.energy_nuc()
             if abs(e_tot - e_old) < self.conv_tol and it > 1:
                 self.converged = True
                 break
@@ -96,8 +104,10 @@ class RKS(object):
         # final potentials for downstream consumers (fock pieces)
         vj, vk = self._jk(dm)
         exc, vxc = self._xc(dm)
+        eU, vU = self._plus_u(dm)
         self.vj, self.vk, self.exc, self.vxc = vj, vk, exc, vxc
-        self.fock = h + vj + vxc - (0.5 * self.hyb) * vk
+        self.E_U = eU
+        self.fock = h + vj + vxc + vU - (0.5 * self.hyb) * vk
         return self.e_tot, dm
 
     run = kernel
@@ -116,8 +126,14 @@ class UKS(object):
         self.grid = becke_grid(mol, n_rad=n_rad, n_theta=n_theta,
                                n_phi=n_phi)
         self.ao_g = eval_ao(mol, self.grid[0])
+        self.ao_grad_g = eval_ao_grad(mol, self.grid[0]) \
+            if is_gga(xc) else None
         self.e_tot = None
         self.converged = False
+
+    def _plus_u(self, dm):
+        """Hubbard-U hook (overridden by UKSpU); (E_U, v_U)."""
+        return 0.0, 0.0
 
     def kernel(self, dm0=None):
         mol = self.mol
@@ -145,8 +161,13 @@ class UKS(object):
         for it in range(self.max_cycle):
             vj = np.einsum("pqrs, rs -> pq", eri, dm.sum(0))
             exc, vxc = eval_exc_vxc(dm, self.ao_g, self.grid[1],
-                                    restricted=False, xc=self.xc)
-            f = np.asarray([h + vj + vxc[0], h + vj + vxc[1]])
+                                    restricted=False, xc=self.xc,
+                                    ao_grad=self.ao_grad_g)
+            eU, vU = self._plus_u(dm)
+            vU = np.broadcast_to(np.asarray(vU), (2,) + h.shape) \
+                if np.ndim(vU) else np.zeros((2,) + h.shape)
+            f = np.asarray([h + vj + vxc[0] + vU[0],
+                            h + vj + vxc[1] + vU[1]])
             err = np.concatenate([(f[s] @ dm[s] @ S - S @ dm[s] @ f[s])
                                   for s in range(2)], axis=0)
             f = diis.update(f, err).reshape(f.shape)
@@ -161,7 +182,7 @@ class UKS(object):
             dm = np.asarray(dm_new)
             e_tot = float(np.sum(h * dm.sum(0))
                           + 0.5 * np.sum(vj * dm.sum(0))) \
-                + exc + mol.energy_nuc()
+                + exc + eU + mol.energy_nuc()
             if abs(e_tot - e_old) < self.conv_tol and it > 1:
                 self.converged = True
                 break
@@ -174,3 +195,67 @@ class UKS(object):
         return self.e_tot, dm
 
     run = kernel
+
+
+def _dudarev(P, U):
+    """Dudarev rotationally invariant +U on ONE per-spin local block P:
+    (E, dE/dP) = (U/2 (tr P - tr P^2 / 2), U/2 (1 - P))."""
+    eye = np.eye(len(P))
+    E = (U * 0.5) * (np.trace(P) - 0.5 * float(np.sum(P * P.T)))
+    return E, (U * 0.5) * (eye - 0.5 * (P + P.T))
+
+
+class RKSpU(RKS):
+    """Restricted KS-DFT+U: the Dudarev simplified rotationally
+    invariant correction on local-orbital projectors (reference
+    KRKSpU, /root/reference/libdmet/routine/krkspu.py:30-216:
+    v_U = SC [(U/2)(1 - P)] (SC)^H per spin,
+    E_U = sum (U/2)(tr P - tr P^2 / 2) per spin,
+    P the per-spin local-orbital occupation block).
+
+    C_ao_lo: (nao, nlo) local orbitals (Lowdin/IAO; the reference's
+    'minao' role).  U_idx: list of LO-index lists; U_val: matching U
+    (hartree)."""
+
+    def __init__(self, mol, C_ao_lo, U_idx, U_val, **kwargs):
+        super().__init__(mol, **kwargs)
+        S = mol.intor_ovlp()
+        self.SC = S @ np.asarray(C_ao_lo)
+        self.U_idx = [np.asarray(ix, dtype=int) for ix in U_idx]
+        self.U_val = [float(u) for u in U_val]
+
+    def _plus_u(self, dm):
+        vU = np.zeros_like(dm)
+        E_U = 0.0
+        for idx, U in zip(self.U_idx, self.U_val):
+            SCi = self.SC[:, idx]
+            P = 0.5 * (SCi.T @ dm @ SCi)          # per-spin block
+            E, dE = _dudarev(P, U)
+            E_U += 2.0 * E                         # two equal spins
+            vU += SCi @ dE @ SCi.T                 # dP/d(dm) carries 1/2
+        return E_U, vU
+
+
+class UKSpU(UKS):
+    """Unrestricted KS-DFT+U (reference KUKSpU,
+    /root/reference/libdmet/routine/kukspu.py:27-230): per-spin Dudarev
+    blocks on the same local projectors."""
+
+    def __init__(self, mol, C_ao_lo, U_idx, U_val, **kwargs):
+        super().__init__(mol, **kwargs)
+        S = mol.intor_ovlp()
+        self.SC = S @ np.asarray(C_ao_lo)
+        self.U_idx = [np.asarray(ix, dtype=int) for ix in U_idx]
+        self.U_val = [float(u) for u in U_val]
+
+    def _plus_u(self, dm):
+        vU = np.zeros_like(dm)
+        E_U = 0.0
+        for idx, U in zip(self.U_idx, self.U_val):
+            SCi = self.SC[:, idx]
+            for s in range(2):
+                P = SCi.T @ dm[s] @ SCi
+                E, dE = _dudarev(P, U)
+                E_U += E
+                vU[s] += SCi @ dE @ SCi.T
+        return E_U, vU

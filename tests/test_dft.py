@@ -174,3 +174,163 @@ def test_lsda_in_dmet_hring():
     # small correction on this gapped system)
     rho_ks_imp = np.asarray(Lat.rdm1_lo_R)[0, 0]
     assert np.abs(np.asarray(rhoImp)[0] * 2.0 - rho_ks_imp).max() < 0.05
+
+
+# ---------------------------------------------------------------------
+# GGA (PBE) — reference parity for the functional family the reference
+# gets from libxc (pdft_helper consumers run any KS functional; PBE is
+# the workhorse in its periodic examples).
+
+
+def test_pw92_matches_vwn5():
+    """PW92 and VWN5 are independent fits of the same uniform-gas data:
+    they must agree to ~1 mHa over the physical rs range at any zeta."""
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ints.xc import pw92_eps_c, _vwn_eps, \
+        _f_zeta, _FPP0
+    rs = jnp.asarray([0.5, 1.0, 2.0, 5.0, 10.0, 20.0])
+    for zeta in (0.0, 0.5, 0.999):
+        eP = _vwn_eps(rs, "P")
+        eF = _vwn_eps(rs, "F")
+        eA = _vwn_eps(rs, "A")
+        f = _f_zeta(zeta)
+        vwn = eP + eA * f / _FPP0 * (1.0 - zeta ** 4) \
+            + (eF - eP) * f * zeta ** 4
+        pw = pw92_eps_c(rs, zeta)
+        assert np.abs(np.asarray(pw - vwn)).max() < 2e-3
+
+
+def test_pbe_reduces_to_lda_at_zero_gradient():
+    """PBE with sigma = 0: Fx -> 1 (Slater) and H -> 0 (PW92)."""
+    from libdmet_preview_tpu.ints.xc import (pbe_exc_density,
+                                             ldapw_exc_density)
+    rng = np.random.RandomState(1)
+    ra = rng.rand(50) * 2.0 + 1e-3
+    rb = rng.rand(50) * 2.0 + 1e-3
+    z = np.zeros(50)
+    pbe0 = np.asarray(pbe_exc_density(ra, rb, z, z, z))
+    lda = np.asarray(ldapw_exc_density(ra, rb))
+    assert np.abs(pbe0 - lda).max() < 1e-12
+
+
+def test_eval_ao_grad_vs_fd():
+    """Analytic AO gradients == central finite differences, for the
+    s-shell Mole AND a general-l (p, d) MoleGeneral."""
+    from libdmet_preview_tpu.ints.gto import Mole
+    from libdmet_preview_tpu.ints.md import MoleGeneral
+    from libdmet_preview_tpu.ints.grid import eval_ao, eval_ao_grad
+    rng = np.random.RandomState(2)
+    pts = rng.randn(20, 3) * 1.5
+    eps = 1e-5
+    mols = [
+        Mole([("H", (0, 0, 0)), ("H", (0.2, -0.3, 1.4))], basis="sto-6g"),
+        MoleGeneral([("H", (0.1, 0.0, -0.2))], basis="pd",
+                    basis_data={("H", "pd"): [(1, [(0.8, 1.0),
+                                                   (0.3, 0.5)]),
+                                              (2, [(0.6, 1.0)])]}),
+    ]
+    for mol in mols:
+        grad = eval_ao_grad(mol, pts)
+        for ax in range(3):
+            dp = pts.copy()
+            dm = pts.copy()
+            dp[:, ax] += eps
+            dm[:, ax] -= eps
+            fd = (eval_ao(mol, dp) - eval_ao(mol, dm)) / (2 * eps)
+            assert np.abs(fd - grad[ax]).max() < 1e-8
+
+
+def test_pbe_vxc_autodiff_vs_fd(h2):
+    """The FULL PBE potential matrix (incl. the gradient-correction
+    -div[de/d(nabla rho)] term) from jax.grad == finite differences of
+    E_xc, restricted and unrestricted."""
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ints.grid import becke_grid, eval_ao, \
+        eval_ao_grad
+    from libdmet_preview_tpu.ints.xc import eval_exc_vxc, _exc_from_dm
+    g, w = becke_grid(h2, n_rad=40)
+    ao = eval_ao(h2, g)
+    aog = eval_ao_grad(h2, g)
+    rng = np.random.RandomState(0)
+    A = rng.randn(2, 2)
+    D = A @ A.T * 0.3 + 0.4 * np.eye(2)
+    eps = 1e-6
+
+    exc0, vxc0 = eval_exc_vxc(D, ao, w, restricted=True, xc="pbe",
+                              ao_grad=aog)
+    fd = np.zeros((2, 2))
+    for i in range(2):
+        for j in range(2):
+            Dp = D.copy()
+            Dp[i, j] += eps
+            fd[i, j] = (float(_exc_from_dm(
+                jnp.asarray(Dp), jnp.asarray(ao), jnp.asarray(w), True,
+                "pbe", jnp.asarray(aog))) - exc0) / eps
+    fd = 0.5 * (fd + fd.T)
+    assert np.abs(fd - vxc0).max() < 1e-6
+
+    Du = np.stack([0.6 * D, 0.4 * D])
+    excu, vxcu = eval_exc_vxc(Du, ao, w, restricted=False, xc="pbe",
+                              ao_grad=aog)
+    fdu = np.zeros((2, 2, 2))
+    for s in range(2):
+        for i in range(2):
+            for j in range(2):
+                Dp = Du.copy()
+                Dp[s, i, j] += eps
+                fdu[s, i, j] = (float(_exc_from_dm(
+                    jnp.asarray(Dp), jnp.asarray(ao), jnp.asarray(w),
+                    False, "pbe", jnp.asarray(aog))) - excu) / eps
+        fdu[s] = 0.5 * (fdu[s] + fdu[s].T)
+    assert np.abs(fdu - vxcu).max() < 1e-6
+
+
+def test_rks_pbe_h2(h2):
+    """RKS(PBE) on H2: converges; the gradient correction lowers E_xc
+    relative to LSDA (PBE's Fx >= 1) but stays a small correction."""
+    from libdmet_preview_tpu.solvers.ksdft import RKS
+    ks_l = RKS(h2, xc="lsda", n_rad=50)
+    ks_p = RKS(h2, xc="pbe", n_rad=50)
+    e_l, _ = ks_l.kernel()
+    e_p, _ = ks_p.kernel()
+    assert ks_l.converged and ks_p.converged
+    assert e_p < e_l          # Fx > 1 where s > 0: more negative Ex
+    assert abs(e_p - e_l) < 0.08
+    assert -1.3 < e_p < -0.9
+
+
+def test_uks_pbe_h_atom():
+    """Fully spin-polarized PBE (zeta = 1 guard path): the H atom in
+    UKS converges and improves on LSDA toward the exact -0.5."""
+    from libdmet_preview_tpu.ints.gto import Mole
+    from libdmet_preview_tpu.solvers.ksdft import UKS
+    mol = Mole([("H", (0, 0, 0))], basis="sto-6g")
+    uks_l = UKS(mol, xc="lsda", nelec=(1, 0), n_rad=50)
+    uks_p = UKS(mol, xc="pbe", nelec=(1, 0), n_rad=50)
+    e_l, _ = uks_l.kernel()
+    e_p, _ = uks_p.kernel()
+    assert uks_l.converged and uks_p.converged
+    assert e_p < e_l
+    assert abs(e_p - (-0.5)) < abs(e_l - (-0.5))
+
+
+def test_pbe_in_dmet_dc_identity():
+    """attach_ks(xc='pbe') installs a GGA double-counting evaluator:
+    xc_dc on the KS lattice density reproduces the molecular PBE vxc
+    rotated to LOs (consistency of the DFT-in-DMET plumbing)."""
+    from libdmet_preview_tpu.models.abinitio import (make_h_ring_lattice,
+                                                     attach_ks)
+    from libdmet_preview_tpu.ints.xc import eval_exc_vxc
+    Lat, meta = make_h_ring_lattice(ncells=3, atoms_per_cell=2,
+                                    r_bond=1.8, basis="sto-6g")
+    ks = attach_ks(Lat, meta, xc="pbe")
+    assert ks.converged
+    C = meta["C_ao_lo"]
+    S = meta["mole"].intor_ovlp()
+    SC = S @ C
+    rho_lo = SC.T @ ks.dm @ SC
+    v_dc = Lat.xc_dc(rho_lo)
+    _, vxc_ao = eval_exc_vxc(ks.dm, ks.ao_g, ks.grid[1],
+                             restricted=True, xc="pbe",
+                             ao_grad=ks.ao_grad_g)
+    assert np.abs(v_dc - C.T @ vxc_ao @ C).max() < 1e-12
