@@ -457,3 +457,162 @@ def get_checkerboard_order(rdm1, coords, species, offsets, d_dd,
         res["m_SC"] = sc["m_tot"]
         res["m_SC_detail"] = sc
     return res
+
+
+# ---------------------------------------------------------------------
+# Band structure along arbitrary k-paths, Fermi surface, ELF
+# (reference utils/plot.py:1095-1326 plot_bands/get_kdis/
+# get_fermi_surface/plot_fermi_surface and plot.py:324-633 ELF family).
+
+
+def get_kdis(kpts, kpts_sp=None):
+    """Cumulative distance along a k-path (reference plot.py:1133):
+    kpts (nk, d) Cartesian reciprocal coordinates.  Returns (kdis,
+    kdis_sp) with kdis_sp the positions of the special points (None if
+    kpts_sp not given)."""
+    kpts = np.asarray(kpts, dtype=float)
+    seg = np.linalg.norm(np.diff(kpts, axis=0), axis=1)
+    kdis = np.concatenate([[0.0], np.cumsum(seg)])
+    kdis_sp = None
+    if kpts_sp is not None:
+        kdis_sp = []
+        for ksp in np.asarray(kpts_sp, dtype=float):
+            i = int(np.argmin(np.linalg.norm(kpts - ksp, axis=1)))
+            kdis_sp.append(kdis[i])
+        kdis_sp = np.asarray(kdis_sp)
+    return kdis, kdis_sp
+
+
+def k_path(points, n_per_seg=30):
+    """Linear interpolation through special points: (nk, d) fractional
+    k-path (endpoints included once)."""
+    points = np.asarray(points, dtype=float)
+    path = [points[0][None]]
+    for a, b in zip(points[:-1], points[1:]):
+        t = np.linspace(0.0, 1.0, n_per_seg + 1)[1:, None]
+        path.append(a[None] * (1 - t) + b[None] * t)
+    return np.concatenate(path)
+
+
+def get_bands(h_R, kpts_frac, ovlp_R=None):
+    """Band energies along an ARBITRARY k-path by Fourier interpolation
+    of the stripe Hamiltonian (reference role: plot_bands input,
+    plot.py:1095; the stripe h(k) = sum_R e^{-2*pi*i k.R} h_R is exact
+    for any continuous k, not just the BvK mesh).
+
+    h_R: (ncells, n, n) translation stripes with integer cell offsets
+    implied by `offsets` = the lattice's R vectors in FRACTIONAL
+    multiples; pass a dict {tuple(R): block} or an (ncells, n, n) array
+    with kpts_frac given against the same 1D/2D/3D cell index order
+    used by ops.zlinalg.dft_tables (row-major over the kmesh).
+    kpts_frac: (nk, d) fractional coordinates.
+
+    Returns ew (nk, n) ascending eigenvalues (generalized when ovlp_R
+    is given)."""
+    if isinstance(h_R, dict):
+        Rs = np.asarray(list(h_R.keys()), dtype=float)
+        blocks = np.asarray([h_R[tuple(int(x) for x in R)] for R in Rs])
+    else:
+        blocks = np.asarray(h_R)
+        ncells = blocks.shape[0]
+        # 1D chain stripe order 0..N-1: recentre to the minimal image
+        # -N/2..N/2 so the Fourier interpolation is smooth off-mesh
+        R = np.arange(ncells, dtype=float)
+        Rs = np.where(R > ncells / 2, R - ncells, R)[:, None]
+    kpts = np.asarray(kpts_frac, dtype=float)
+    if kpts.ndim == 1:
+        kpts = kpts[:, None]
+    d = kpts.shape[1]
+    if Rs.shape[1] != d:
+        raise ValueError("k-path dim %d != stripe offset dim %d"
+                         % (d, Rs.shape[1]))
+    # minimal-image the offsets for smooth interpolation (1D: 0..N-1 ->
+    # centered -N/2..N/2)
+    phase = np.exp(-2.0j * np.pi * (kpts @ Rs.T))       # (nk, ncells)
+    h_k = np.einsum("kR, Rpq -> kpq", phase, blocks)
+    h_k = 0.5 * (h_k + np.conj(np.swapaxes(h_k, -1, -2)))
+    if ovlp_R is None:
+        return np.linalg.eigvalsh(h_k)
+    s_k = np.einsum("kR, Rpq -> kpq",
+                    phase, np.asarray(ovlp_R))
+    s_k = 0.5 * (s_k + np.conj(np.swapaxes(s_k, -1, -2)))
+    ew = []
+    for hk, sk in zip(h_k, s_k):
+        w, v = np.linalg.eigh(sk)
+        A = v @ np.diag(np.maximum(w, 1e-12) ** -0.5) @ v.conj().T
+        ew.append(np.linalg.eigvalsh(A.conj().T @ hk @ A))
+    return np.asarray(ew)
+
+
+def plot_bands(fname, kdis, ew, kdis_sp=None, labels_sp=None,
+               e_fermi=None):
+    """Band-structure plot (reference plot.py:1095; matplotlib-gated)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        log.warn("matplotlib not available; plotting disabled")
+        return None
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ew = np.asarray(ew)
+    for b in range(ew.shape[1]):
+        ax.plot(kdis, ew[:, b], color="C0", lw=1.2)
+    if kdis_sp is not None:
+        for x in kdis_sp:
+            ax.axvline(x, color="gray", lw=0.5)
+        if labels_sp is not None:
+            ax.set_xticks(kdis_sp)
+            ax.set_xticklabels(labels_sp)
+    if e_fermi is not None:
+        ax.axhline(e_fermi, color="red", ls="--", lw=0.8)
+    ax.set_ylabel("E (a.u.)")
+    fig.tight_layout()
+    fig.savefig(fname, dpi=150)
+    plt.close(fig)
+    return fname
+
+
+def get_fermi_surface(mo_energy_k, mu=0.0, sigma=0.1):
+    """Fermi-surface weight per k-point (reference plot.py:1204):
+    w(k) = sum_m exp(-((e_km - mu)/sigma)^2).  mo_energy_k (nk, nmo)
+    [or (spin, nk, nmo) -> per-spin weights]."""
+    e = np.asarray(mo_energy_k)
+    return np.sum(np.exp(-(((e - mu) / sigma) ** 2)), axis=-1)
+
+
+def eval_elf(mol, dm, coords, restricted=True, elf_reg=1e-10):
+    """Electron localization function on a set of points (reference
+    plot.py:324-633 plot_elf family, computed natively):
+
+        ELF = 1 / (1 + (D / D_h)^2),
+        D   = tau - |grad rho|^2 / (8 rho)   (per spin channel summed),
+        D_h = (3/10) (3 pi^2)^{2/3} rho^{5/3} (spin-scaled),
+
+    with tau = 1/2 sum_occ |grad phi|^2 evaluated from the density
+    matrix as tau = 1/2 sum_x grad_x ao^T D grad_x ao.
+
+    dm: total density matrix (restricted) or (2, nao, nao).
+    Returns ELF values (npts,)."""
+    from libdmet_preview_tpu.ints.grid import eval_ao, eval_ao_grad
+    ao = eval_ao(mol, coords)                   # (nao, npts)
+    aog = eval_ao_grad(mol, coords)             # (3, nao, npts)
+    dm = np.asarray(dm)
+    if restricted:
+        dms = [0.5 * dm, 0.5 * dm]
+    else:
+        dms = [dm[0], dm[1]]
+    D_tot = 0.0
+    Dh_tot = 0.0
+    cf = 0.3 * (3.0 * np.pi ** 2) ** (2.0 / 3.0)
+    for d in dms:
+        rho = np.einsum("pg, pq, qg -> g", ao, d, ao)
+        grad = 2.0 * np.einsum("pg, pq, xqg -> xg", ao, d, aog)
+        tau = 0.5 * np.einsum("xpg, pq, xqg -> g", aog, d, aog)
+        rho_s = np.maximum(rho, elf_reg)
+        D_tot = D_tot + (tau - np.sum(grad ** 2, axis=0)
+                         / (8.0 * rho_s))
+        # spin-scaled Thomas-Fermi kinetic density: 2^{2/3} cf rho^{5/3}
+        Dh_tot = Dh_tot + cf * 2.0 ** (2.0 / 3.0) * rho_s ** (5.0 / 3.0)
+    chi = D_tot / np.maximum(Dh_tot, elf_reg)
+    return 1.0 / (1.0 + chi ** 2)

@@ -178,3 +178,106 @@ def test_checkerboard_order_afm():
     assert np.allclose(res["charge_Cu"], 1.0)
     assert np.allclose(res["charge_O"], 1.9)
     assert abs(res["m_AFM_O"]) < 1e-12
+
+
+# ---------------------------------------------------------------------
+# band structure / Fermi surface / ELF (reference utils/plot.py
+# plot_bands:1095, get_kdis:1133, get_fermi_surface:1204, ELF:324-633)
+
+
+def test_get_bands_tight_binding_exact():
+    """Fourier interpolation of the stripe Hamiltonian reproduces the
+    analytic tight-binding band -2t cos(2 pi k) at ARBITRARY k (not
+    just the BvK mesh)."""
+    from libdmet_preview_tpu.utils.analysis import get_bands, k_path, \
+        get_kdis
+    t = 1.0
+    N = 8
+    h_R = np.zeros((N, 1, 1))
+    h_R[1, 0, 0] = -t
+    h_R[N - 1, 0, 0] = -t
+    kf = np.linspace(0.0, 0.5, 23)            # off-mesh points included
+    ew = get_bands(h_R, kf[:, None])
+    ref = -2.0 * t * np.cos(2 * np.pi * kf)
+    assert np.abs(ew[:, 0] - ref).max() < 1e-12
+    # path helper + distances
+    path = k_path(np.array([[0.0], [0.5]]), n_per_seg=10)
+    kdis, kdis_sp = get_kdis(path, kpts_sp=np.array([[0.0], [0.5]]))
+    assert abs(kdis[-1] - 0.5) < 1e-12
+    assert np.allclose(kdis_sp, [0.0, 0.5])
+
+
+def test_get_bands_generalized_with_overlap():
+    """Generalized eigenproblem branch: scaling the overlap rescales
+    nothing when S == I, and a constant S = c*I divides h by c."""
+    from libdmet_preview_tpu.utils.analysis import get_bands
+    N = 6
+    rng = np.random.RandomState(0)
+    h0 = rng.randn(2, 2)
+    h_R = np.zeros((N, 2, 2))
+    h_R[0] = h0 + h0.T
+    s_R = np.zeros((N, 2, 2))
+    s_R[0] = 2.0 * np.eye(2)
+    kf = np.linspace(0, 1, 7)[:, None]
+    e1 = get_bands(h_R, kf)
+    e2 = get_bands(h_R, kf, ovlp_R=s_R)
+    assert np.abs(e2 - e1 / 2.0).max() < 1e-12
+
+
+def test_fermi_surface_weights():
+    from libdmet_preview_tpu.utils.analysis import get_fermi_surface
+    e = np.array([[0.0, 1.0], [0.5, 2.0]])
+    w = get_fermi_surface(e, mu=0.0, sigma=0.1)
+    assert w.shape == (2,)
+    assert w[0] > w[1]          # a level exactly at mu dominates
+
+
+def test_elf_single_orbital_is_one():
+    """ELF == 1 identically for any 2-electron closed-shell (single
+    occupied orbital) system: tau == |grad rho|^2 / (8 rho) exactly."""
+    from libdmet_preview_tpu.ints.gto import Mole
+    from libdmet_preview_tpu.utils.analysis import eval_elf
+    mol = Mole([("He", (0, 0, 0))], basis="sto-3g")
+    # closed-shell 2e density in the 1-AO basis
+    dm = np.array([[2.0]])
+    rng = np.random.RandomState(3)
+    pts = rng.randn(40, 3)
+    elf = eval_elf(mol, dm, pts, restricted=True)
+    assert np.abs(elf - 1.0).max() < 1e-8
+
+
+def test_elf_uniformlike_below_one():
+    """A many-orbital delocalized density has ELF < 1 where orbitals
+    overlap (Pauli kinetic energy > 0)."""
+    from libdmet_preview_tpu.ints.gto import Mole
+    from libdmet_preview_tpu.utils.analysis import eval_elf
+    mol = Mole([("H", (0, 0, 0)), ("H", (0, 0, 1.4)),
+                ("H", (0, 0, 2.8)), ("H", (0, 0, 4.2))], basis="sto-6g")
+    S = mol.intor_ovlp()
+    w, v = np.linalg.eigh(S)
+    A = v @ np.diag(w ** -0.5) @ v.T
+    h = mol.intor_hcore()
+    e, c = np.linalg.eigh(A @ h @ A)
+    C = A @ c
+    dm = 2.0 * C[:, :2] @ C[:, :2].T
+    pts = np.array([[0.0, 0.0, z] for z in np.linspace(0.5, 3.5, 9)])
+    elf = eval_elf(mol, dm, pts, restricted=True)
+    assert np.all(elf < 1.0 - 1e-6)
+    assert np.all(elf > 0.0)
+
+
+def test_plot_bands_writes_file(tmp_path):
+    from libdmet_preview_tpu.utils.analysis import (get_bands, k_path,
+                                                    get_kdis, plot_bands)
+    N = 6
+    h_R = np.zeros((N, 1, 1))
+    h_R[1, 0, 0] = -1.0
+    h_R[N - 1, 0, 0] = -1.0
+    path = k_path(np.array([[0.0], [0.5]]), n_per_seg=12)
+    ew = get_bands(h_R, path)
+    kdis, kdis_sp = get_kdis(path, kpts_sp=np.array([[0.0], [0.5]]))
+    out = plot_bands(str(tmp_path / "bands.png"), kdis, ew,
+                     kdis_sp=kdis_sp, labels_sp=["G", "X"], e_fermi=0.0)
+    if out is not None:
+        import os
+        assert os.path.getsize(out) > 0
