@@ -78,18 +78,63 @@ def _syrk_kernel(fhi_i, flo_i, fhi_j, flo_j, out_val, out_comp,
         out_comp[:] = -comp[:]
 
 
+def _tri_ij(m):
+    """Compressed-lower-triangle linear index m -> (i, j) with i >= j:
+    the inverse of m = i (i + 1) / 2 + j, in traceable integer math
+    (float sqrt seed + exact fix-up; exact for any practical tile
+    count)."""
+    mf = m.astype(jnp.float32) if hasattr(m, "astype") else jnp.float32(m)
+    i = jnp.floor((jnp.sqrt(8.0 * mf + 1.0) - 1.0) * 0.5).astype(jnp.int32)
+    # float-precision fix-up (at most one step either way)
+    i = jnp.where((i + 1) * (i + 2) // 2 <= m, i + 1, i)
+    i = jnp.where(i * (i + 1) // 2 > m, i - 1, i)
+    j = m - i * (i + 1) // 2
+    return i, j
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def syrk_df(F, F2=None, interpret=False):
     """eri = F^T F2 for DF factors F/F2 (naux, npair), float64 in/out,
     via the split-fp32 Kahan Pallas kernel (F2=None -> the syrk F^T F;
     distinct F2 is the unrestricted ab cross block).  naux and npair
     must be padded to multiples of KB/TI by the caller
-    (see eri_from_df_pallas)."""
+    (see eri_from_df_pallas).
+
+    Symmetric (F2=None) case: the grid runs only the LOWER-TRIANGULAR
+    output tiles (a compressed-triangle 2D grid, i >= j), halving the
+    MXU work and the operand DMA of the full square; the upper triangle
+    is mirrored outside the kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     naux, npair = F.shape
     fhi, flo = split_f32(F)
-    fhi2, flo2 = (fhi, flo) if F2 is None else split_f32(F2)
+    nt = npair // TI
+    if F2 is None:
+        grid = (nt * (nt + 1) // 2, naux // KB)
+        spec_i = pl.BlockSpec((KB, TI),
+                              lambda m, k: (k, _tri_ij(m)[0]),
+                              memory_space=pltpu.VMEM)
+        spec_j = pl.BlockSpec((KB, TI),
+                              lambda m, k: (k, _tri_ij(m)[1]),
+                              memory_space=pltpu.VMEM)
+        spec_o = pl.BlockSpec((TI, TI),
+                              lambda m, k: _tri_ij(m),
+                              memory_space=pltpu.VMEM)
+        val, comp = pl.pallas_call(
+            _syrk_tri_kernel,
+            grid=grid,
+            in_specs=[spec_i, spec_i, spec_j, spec_j],
+            out_specs=[spec_o, spec_o],
+            out_shape=[jax.ShapeDtypeStruct((npair, npair), jnp.float32),
+                       jax.ShapeDtypeStruct((npair, npair), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((TI, TI), jnp.float32),
+                            pltpu.VMEM((TI, TI), jnp.float32)],
+            interpret=interpret,
+        )(fhi, flo, fhi, flo)
+        M = val.astype(jnp.float64) + comp.astype(jnp.float64)
+        L = jnp.tril(M)
+        return L + L.T - jnp.diag(jnp.diag(L))
+    fhi2, flo2 = split_f32(F2)
     grid = (npair // TI, npair // TI, naux // KB)
     spec_i = pl.BlockSpec((KB, TI), lambda i, j, k: (k, i),
                           memory_space=pltpu.VMEM)
@@ -109,6 +154,41 @@ def syrk_df(F, F2=None, interpret=False):
         interpret=interpret,
     )(fhi, flo, fhi2, flo2)
     return val.astype(jnp.float64) + comp.astype(jnp.float64)
+
+
+def _syrk_tri_kernel(fhi_i, flo_i, fhi_j, flo_j, out_val, out_comp,
+                     acc, comp):
+    """Same Kahan split-f32 accumulation as _syrk_kernel, on the
+    compressed-triangle grid (tile axis 0, K axis 1)."""
+    from jax.experimental import pallas as pl
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        comp[:] = jnp.zeros_like(comp)
+
+    dn = (((0,), (0,)), ((), ()))
+    hp = jax.lax.Precision.HIGHEST
+    t = jax.lax.dot_general(fhi_i[:], fhi_j[:], dimension_numbers=dn,
+                            preferred_element_type=jnp.float32,
+                            precision=hp)
+    t = t + jax.lax.dot_general(fhi_i[:], flo_j[:], dimension_numbers=dn,
+                                preferred_element_type=jnp.float32,
+                                precision=hp)
+    t = t + jax.lax.dot_general(flo_i[:], fhi_j[:], dimension_numbers=dn,
+                                preferred_element_type=jnp.float32,
+                                precision=hp)
+    y = t - comp[:]
+    s = acc[:] + y
+    comp[:] = (s - acc[:]) - y
+    acc[:] = s
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_val[:] = acc[:]
+        out_comp[:] = -comp[:]
 
 
 def dot_split(A, B):
