@@ -32,8 +32,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from libdmet_preview_tpu.ops import zlinalg
-from libdmet_preview_tpu.ops.fit import _cg_engine
-from libdmet_preview_tpu.ops.zlinalg import rho_fermi_real, zrho_fermi_w
+from libdmet_preview_tpu.ops.fit import _cg_engine, _cg_engine_ws
+from libdmet_preview_tpu.ops.zlinalg import (rho_fermi_real,
+                                             rho_fermi_real_ws,
+                                             zrho_fermi_w)
 
 
 def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
@@ -151,12 +153,15 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
         rho_R = (jnp.einsum("kR, skpq -> sRpq", cos_i, r_re)
                  - jnp.einsum("kR, skpq -> sRpq", sin_i, r_im)) / nk
 
-        # Gram-eigh Schmidt bath at FIXED basis for the fit
+        # Gram-eigh Schmidt bath at FIXED basis for the fit (refined
+        # f32-seed eigh on TPU: the bath only needs SOME orthonormal
+        # basis of the env-val column space, so unsorted/degenerate-
+        # mixed eigenvectors are exactly as good)
         flat = lax.stop_gradient(rho_R).reshape(spin, nk * nlo, nlo)
         env = flat[:, env_j][:, :, val_idx]
         G = jnp.einsum("spi, spj -> sij", env, env)
-        w, V = jnp.linalg.eigh(G)
-        w = jnp.maximum(w, 1e-14 * w[:, -1:])
+        w, V = zlinalg._eigh_mf_real(G)
+        w = jnp.maximum(w, 1e-14 * jnp.max(w, axis=-1, keepdims=True))
         u = jnp.einsum("spi, sij -> spj", env, V) / jnp.sqrt(w)[:, None, :]
         eye_b = jnp.eye(u.shape[-1], dtype=u.dtype)
         for _ in range(2):      # Newton-Schulz orthonormality cleanup
@@ -180,12 +185,29 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
             + jnp.einsum("skpq, skqj -> skpj", f_im_i, b_re)
         embH1 = (jnp.einsum("k, skpi, skpj -> sij", wk_j, b_re, hb_re)
                  + jnp.einsum("k, skpi, skpj -> sij", wk_j, b_im, hb_im)) / nk
-        # dV/dparam in the embedding basis (local vcor: one R sum)
-        dV_emb = jnp.einsum("sRpi, Pspq, sRqj -> Psij", bR, dv, bR)
+        # dV/dparam in the embedding basis (local vcor: one R sum);
+        # two-step contraction: the single 5-tensor einsum costs
+        # P*nk*nlo^2*neo^2 while (dv . bR) then (. bR) costs
+        # 2*P*nk*nlo*neo^2 -- nlo/2 x fewer f64 flops
+        dvb = jnp.einsum("Pspq, sRqj -> PsRpj", dv, bR)
+        dV_emb = jnp.einsum("sRpi, PsRpj -> Psij", bR, dvb)
 
         # vcor fit in the fixed embedding basis: same math as
-        # ops.fit.FitVcorEmb finite-T (device CG through rho_fermi_real)
-        def err(p):
+        # ops.fit.FitVcorEmb finite-T.  LIBDMET_TPU_FIT_WS=1 threads a
+        # WARM-STARTED Fermi-density op through the CG/line-search carry
+        # (each objective evaluation refines the previous eigenbasis with
+        # matmuls, exact-eigh fallback under a residual certificate).
+        # Measured on the real chip at the bench shapes (neo=32) the
+        # refinement+certificate overhead slightly exceeds the saved
+        # eigh work (41.9 vs 38.4 ms/iter), so the default is OFF; the
+        # op stays as an opt-in for larger embedding dims where an f64
+        # eigh dominates.
+        import os
+        use_ws = os.environ.get("LIBDMET_TPU_FIT_WS", "0") == "1"
+        nelec2_j = jnp.asarray(float(nelec2_emb))
+        beta_j = jnp.asarray(beta)
+
+        def err_plain(p):
             Heff = embH1 + jnp.einsum("P, Psij -> sij", p, dV_emb)
             errs = 0.0
             for s in range(spin):
@@ -193,8 +215,32 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
                 errs = errs + jnp.sum((r1 - rho_target[s]) ** 2)
             return jnp.sqrt(errs / spin)
 
-        fg = jax.value_and_grad(err)
-        p_new, err_end, _ = _cg_engine(fg, vparam, fit_max_iter, ytol, gtol)
+        def err_ws(p, Vws):
+            Heff = embH1 + jnp.einsum("P, Psij -> sij", p, dV_emb)
+            errs = 0.0
+            Vnew = []
+            for s in range(spin):
+                r1, _, Vs = rho_fermi_real_ws(Heff[s], nelec2_j, beta_j,
+                                              Vws[s])
+                Vnew.append(Vs)
+                errs = errs + jnp.sum((r1 - rho_target[s]) ** 2)
+            return jnp.sqrt(errs / spin), jnp.stack(Vnew)
+
+        if use_ws:
+            vg = jax.value_and_grad(err_ws, has_aux=True)
+
+            def fg(p, Vws):
+                (f, Vnew), g = vg(p, Vws)
+                return f, g, Vnew
+
+            V0 = jnp.broadcast_to(jnp.eye(neo, dtype=embH1.dtype),
+                                  (spin, neo, neo))
+            p_new, err_end, _ = _cg_engine_ws(fg, vparam, V0,
+                                              fit_max_iter, ytol, gtol)
+        else:
+            fg_p = jax.value_and_grad(err_plain)
+            p_new, err_end, _ = _cg_engine(fg_p, vparam, fit_max_iter,
+                                           ytol, gtol)
         if chol_L is None:
             return p_new, err_end, embH1, rho_R, basis
         # embedding-ERI transform (once per DMET iteration).  On TPU

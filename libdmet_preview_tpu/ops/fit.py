@@ -248,6 +248,69 @@ def _cg_engine(fg, x0, max_iter, ytol, gtol, dx_tol=1e-7):
     return st[0], st[1], jnp.max(jnp.abs(st[2]))
 
 
+def _cg_engine_ws(fg, x0, aux0, max_iter, ytol, gtol, dx_tol=1e-7):
+    """_cg_engine with a warm-start carry: fg(x, aux) -> (f, grad, aux')
+    threads an auxiliary state (e.g. the eigenbasis of the warm-started
+    Fermi-density op) through every objective evaluation, INCLUDING the
+    line-search trials -- each evaluation seeds the next, so the
+    per-evaluation eigh collapses to refinement-only matmuls.
+    Returns (x, f, max|g|)."""
+    from jax import lax
+    f0, g0, aux = fg(x0, aux0)
+    ytol = jnp.asarray(ytol, x0.dtype)
+    gtol = jnp.asarray(gtol, x0.dtype)
+    done0 = jnp.max(jnp.abs(g0)) < gtol * 0.1
+
+    def cond(st):
+        return (~st[7]) & (st[6] < max_iter)
+
+    def body(st):
+        x, f, g, d, step0, n_small, it, _, aux = st
+        dg0 = jnp.dot(g, d)
+        d = jnp.where(dg0 >= 0, -g, d)
+        dg = jnp.where(dg0 >= 0, -jnp.dot(g, g), dg0)
+
+        def ls_cond(ls):
+            return (~ls[3]) & (ls[4] < 30)
+
+        def ls_body(ls):
+            alpha, fN, gN, found, j, aux = ls
+            f_try, g_try, aux = fg(x + alpha * d, aux)
+            ok = f_try <= f + 1e-4 * alpha * dg
+            fN = jnp.where(ok, f_try, fN)
+            gN = jnp.where(ok, g_try, gN)
+            return (jnp.where(ok, alpha, alpha * 0.4), fN, gN,
+                    found | ok, j + 1, aux)
+
+        alpha, f_new, g_new, found, _, aux = lax.while_loop(
+            ls_cond, ls_body,
+            (step0, f, g, jnp.asarray(False), jnp.asarray(0, jnp.int32),
+             aux))
+
+        step0_new = jnp.clip(alpha * 2.5, 1e-4, 1.0)
+        dx = jnp.max(jnp.abs(alpha * d)) if d.size else jnp.asarray(
+            0.0, x.dtype)
+        beta_pr = jnp.maximum(0.0, jnp.dot(g_new, g_new - g)
+                              / jnp.maximum(jnp.dot(g, g), 1e-30))
+        d_new = -g_new + beta_pr * d
+        df = f - f_new
+        n_small_new = jnp.where(df < ytol, n_small + 1, 0)
+        done = (~found) | (n_small_new >= 2) | (dx < dx_tol) \
+            | (jnp.max(jnp.abs(g_new)) < gtol * 0.1)
+        x_out = jnp.where(found, x + alpha * d, x)
+        f_out = jnp.where(found, f_new, f)
+        g_out = jnp.where(found, g_new, g)
+        d_out = jnp.where(found, d_new, d)
+        return (x_out, f_out, g_out, d_out, step0_new, n_small_new,
+                it + 1, done, aux)
+
+    st = lax.while_loop(cond, body, (
+        x0, f0, g0, -g0, jnp.asarray(1.0, x0.dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), done0,
+        aux))
+    return st[0], st[1], jnp.max(jnp.abs(st[2]))
+
+
 @partial(jax.jit, static_argnames=("nelec", "thr_deg", "max_iter"))
 def _fit_cg_zero_t(p0, embH1, dV, Li, mask, target, ytol, gtol, nelec,
                    thr_deg, max_iter):

@@ -80,15 +80,19 @@ def _syrk_kernel(fhi_i, flo_i, fhi_j, flo_j, out_val, out_comp,
 
 def _tri_ij(m):
     """Compressed-lower-triangle linear index m -> (i, j) with i >= j:
-    the inverse of m = i (i + 1) / 2 + j, in traceable integer math
+    the inverse of m = i (i + 1) / 2 + j, in traceable PURE-int32 math
     (float sqrt seed + exact fix-up; exact for any practical tile
-    count)."""
-    mf = m.astype(jnp.float32) if hasattr(m, "astype") else jnp.float32(m)
+    count).  int32 throughout -- the Mosaic scalar core cannot lower
+    the int64 that x64-mode weak types would promote to."""
+    one = jnp.int32(1)
+    two = jnp.int32(2)
+    m = jnp.asarray(m).astype(jnp.int32)
+    mf = m.astype(jnp.float32)
     i = jnp.floor((jnp.sqrt(8.0 * mf + 1.0) - 1.0) * 0.5).astype(jnp.int32)
     # float-precision fix-up (at most one step either way)
-    i = jnp.where((i + 1) * (i + 2) // 2 <= m, i + 1, i)
-    i = jnp.where(i * (i + 1) // 2 > m, i - 1, i)
-    j = m - i * (i + 1) // 2
+    i = jnp.where(((i + one) * (i + two)) // two <= m, i + one, i)
+    i = jnp.where((i * (i + one)) // two > m, i - one, i)
+    j = m - (i * (i + one)) // two
     return i, j
 
 

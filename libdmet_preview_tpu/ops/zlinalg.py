@@ -401,6 +401,128 @@ rho_fermi_real.defvjp(_rho_fermi_real_fwd, _rho_fermi_real_bwd)
 
 
 # ----------------------------------------------------------------------
+# warm-started Fermi density: refine a carried eigenbasis instead of
+# re-diagonalizing (the TPU fit hot loop evaluates rho(H + dH) for a
+# long sequence of SMALL dH -- a fresh 32x32 f32 eigh costs ~0.3 ms of
+# sequential iteration on the chip while a masked refinement pass is
+# ~0.15 ms of pure matmuls; carrying the basis across the CG line
+# search turns the per-evaluation eigh into refinement-only, with an
+# exact-eigh fallback under lax.cond whenever the refinement residual
+# says the warm start was too far)
+# ----------------------------------------------------------------------
+
+_WS_RTOL = 1e-7
+
+
+def _refine_from(h, V0, iters=2, tau=1e-8):
+    """Masked first-order eigenbasis refinement starting at V0
+    (same scheme as eigh_refined_real, arbitrary starting basis).
+    Returns (lam, V, resid) -- resid = max |offdiag(V^T h V)|, the
+    convergence certificate."""
+    n = h.shape[-1]
+    I = jnp.eye(n, dtype=h.dtype)
+    V = V0
+
+    def rayleigh(V):
+        T = jnp.einsum("...pi, ...pq, ...qj -> ...ij", V, h, V,
+                       optimize=True)
+        return T, jnp.diagonal(T, axis1=-2, axis2=-1)
+
+    scale = None
+    for _ in range(iters):
+        G = jnp.einsum("...pi, ...pj -> ...ij", V, V, optimize=True)
+        V = V @ (1.5 * I - 0.5 * G)
+        T, lam = rayleigh(V)
+        if scale is None:
+            scale = jnp.max(jnp.abs(lam)) + 1e-30
+        d = lam[..., None, :] - lam[..., :, None]
+        mask = jnp.abs(d) > tau * scale
+        E = jnp.where(mask, T / jnp.where(mask, d, 1.0), 0.0)
+        V = V + V @ E
+    G = jnp.einsum("...pi, ...pj -> ...ij", V, V, optimize=True)
+    V = V @ (1.5 * I - 0.5 * G)
+    T, lam = rayleigh(V)
+    off = T - jnp.eye(h.shape[-1], dtype=h.dtype) * lam[..., None, :]
+    # exclude masked (near-degenerate) pairs from the certificate: the
+    # consumers are invariant under rotations inside those subspaces
+    d = lam[..., None, :] - lam[..., :, None]
+    live = jnp.abs(d) > tau * scale
+    resid = jnp.max(jnp.abs(jnp.where(live, off, 0.0)))
+    return lam, V, resid
+
+
+def _eig_ws(h, V0):
+    """(lam, V) via warm-started refinement with exact-eigh fallback.
+    One refinement pass (quadratic contraction) + the residual
+    certificate: the certificate is what guarantees correctness, the
+    single pass is the cost gamble."""
+    lam_r, V_r, resid = _refine_from(h, V0, iters=1)
+    scale = jnp.max(jnp.abs(lam_r)) + 1e-30
+    ok = resid < _WS_RTOL * scale
+
+    def warm(_):
+        return lam_r, V_r
+
+    def fresh(_):
+        lam, V = _eigh_mf_real(h)
+        return lam, V
+
+    from jax import lax
+    return lax.cond(ok, warm, fresh, None)
+
+
+@jax.custom_vjp
+def rho_fermi_real_ws(h, nelec2, beta, V0):
+    """rho_fermi_real with a WARM-STARTED eigenbasis: V0 is the carried
+    approximate eigenbasis (e.g. from the previous fit step); the op
+    refines it (matmuls only) and falls back to the full eigh when the
+    residual certificate fails -- identical results either way.
+
+    Returns (rho, mu, V) with V the converged basis to carry forward.
+    V0 is a pure computational hint: its cotangent is ZERO (rho does
+    not depend on V0 at convergence).  Pass V0 = I (or anything
+    non-orthogonal to the true basis) to force the fresh-eigh path.
+    nelec2/beta follow rho_fermi_real conventions but ride as traced
+    values here (shape-static)."""
+    ew, V = _eig_ws(h, V0)
+    mu = _bisect_mu(ew, 0.5 * nelec2, beta)
+    occ = _fermi(ew, mu, beta)
+    rho = jnp.einsum("...pi, ...i, ...qi -> ...pq", V, occ, V)
+    return rho, mu, V
+
+
+def _rho_fermi_real_ws_fwd(h, nelec2, beta, V0):
+    ew, V = _eig_ws(h, V0)
+    mu = _bisect_mu(ew, 0.5 * nelec2, beta)
+    occ = _fermi(ew, mu, beta)
+    rho = jnp.einsum("...pi, ...i, ...qi -> ...pq", V, occ, V)
+    return (rho, mu, V), (ew, V, mu, beta)
+
+
+def _rho_fermi_real_ws_bwd(res, cot):
+    ew, V, mu, beta = res
+    w_rho, w_mu, _w_V = cot        # basis cotangent discarded (gauge)
+    f, K = _fermi_K(ew, mu, beta)
+    fp = -beta * f * (1.0 - f)
+    denom = jnp.sum(fp)
+    safe = jnp.abs(denom) > 1e-300
+    inv_denom = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+    W_eig = jnp.einsum("...pi, ...pq, ...qj -> ...ij", V, w_rho, V)
+    trace_term = jnp.einsum("...ii, ...i ->", W_eig, fp)
+    Mct = K * W_eig
+    diag_coeff = (w_mu - trace_term) * inv_denom
+    Mct = Mct + jnp.einsum("...i, ij -> ...ij", fp,
+                           jnp.eye(ew.shape[-1], dtype=ew.dtype)
+                           ) * diag_coeff
+    dh = jnp.einsum("...pi, ...ij, ...qj -> ...pq", V, Mct, V)
+    return (dh, jnp.zeros_like(mu), jnp.zeros_like(mu),
+            jnp.zeros_like(V))
+
+
+rho_fermi_real_ws.defvjp(_rho_fermi_real_ws_fwd, _rho_fermi_real_ws_bwd)
+
+
+# ----------------------------------------------------------------------
 # DFT phase tables for cell meshes
 # ----------------------------------------------------------------------
 

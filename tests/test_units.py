@@ -727,3 +727,62 @@ def test_rho_fermi_real_matches_doubled():
         x, nelec2, beta)[1])(jnp.asarray(h))
     # mu enters through its own bisection bracket -> ~1e-10 match
     assert float(jnp.max(jnp.abs(gm0 - gm1))) < 1e-8
+
+
+def test_rho_fermi_real_ws_matches_exact():
+    """Warm-started Fermi density == rho_fermi_real for every seeding
+    regime: exact basis, perturbed basis (refinement path), identity
+    (fallback path); values, mu, and gradients."""
+    import jax
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops.zlinalg import (rho_fermi_real,
+                                                 rho_fermi_real_ws)
+    rng = np.random.RandomState(0)
+    n = 12
+    h = rng.randn(n, n)
+    h = jnp.asarray(h + h.T)
+    nelec2, beta = 12, 800.0
+    rho_ref, mu_ref = rho_fermi_real(h, nelec2, beta)
+
+    w, V_exact = np.linalg.eigh(np.asarray(h))
+    Q = rng.randn(n, n) * 1e-4
+    V_pert = np.linalg.qr(V_exact + Q)[0]
+    seeds = {
+        "exact": jnp.asarray(V_exact),
+        "perturbed": jnp.asarray(V_pert),
+        "identity": jnp.eye(n),
+    }
+    # accuracy contract: the fresh-eigh fallback (identity seed) is the
+    # exact op; warm-started paths are certified to fit-grade accuracy
+    # (residual < _WS_RTOL * scale => rho error ~ resid / gap)
+    tols = {"exact": 1e-9, "perturbed": 5e-6, "identity": 1e-9}
+    for name, V0 in seeds.items():
+        rho, mu, V = rho_fermi_real_ws(h, jnp.asarray(float(nelec2)),
+                                       jnp.asarray(beta), V0)
+        assert np.abs(np.asarray(rho) - np.asarray(rho_ref)).max() \
+            < tols[name], name
+        assert abs(float(mu) - float(mu_ref)) < tols[name], name
+        # the returned basis is orthonormal and diagonalizes h
+        Vn = np.asarray(V)
+        assert np.abs(Vn.T @ Vn - np.eye(n)).max() < 1e-9, name
+        T = Vn.T @ np.asarray(h) @ Vn
+        # warm paths: offdiagonal residual bounded by the certificate
+        assert np.abs(T - np.diag(np.diag(T))).max() < 5e-6, name
+
+    # gradients: d/dh of a scalar functional agrees with the exact op,
+    # and the V0 cotangent is exactly zero
+    M = jnp.asarray(rng.randn(n, n))
+
+    def loss_ref(hh):
+        return jnp.sum(rho_fermi_real(hh, nelec2, beta)[0] * M)
+
+    def loss_ws(hh, V0):
+        return jnp.sum(rho_fermi_real_ws(hh, jnp.asarray(float(nelec2)),
+                                         jnp.asarray(beta), V0)[0] * M)
+
+    g_ref = jax.grad(loss_ref)(h)
+    for name, V0 in seeds.items():
+        g_h, g_V0 = jax.grad(loss_ws, argnums=(0, 1))(h, V0)
+        assert np.abs(np.asarray(g_h) - np.asarray(g_ref)).max() \
+            < max(tols[name] * 10, 1e-8), name
+        assert np.abs(np.asarray(g_V0)).max() == 0.0, name
