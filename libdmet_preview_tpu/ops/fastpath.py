@@ -192,18 +192,27 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
         dvb = jnp.einsum("Pspq, sRqj -> PsRpj", dv, bR)
         dV_emb = jnp.einsum("sRpi, PsRpj -> Psij", bR, dvb)
 
-        # vcor fit in the fixed embedding basis: same math as
-        # ops.fit.FitVcorEmb finite-T.  LIBDMET_TPU_FIT_WS=1 threads a
-        # WARM-STARTED Fermi-density op through the CG/line-search carry
-        # (each objective evaluation refines the previous eigenbasis with
-        # matmuls, exact-eigh fallback under a residual certificate).
-        # Measured on the real chip at the bench shapes (neo=32) the
-        # refinement+certificate overhead slightly exceeds the saved
-        # eigh work (41.9 vs 38.4 ms/iter), so the default is OFF; the
-        # op stays as an opt-in for larger embedding dims where an f64
-        # eigh dominates.
+        # vcor fit in the fixed embedding basis: same objective as
+        # ops.fit.FitVcorEmb finite-T.  Engine selection
+        # (LIBDMET_TPU_FIT_ENGINE = lm | cg | ws):
+        #   lm  -- Levenberg-Marquardt with the exact Daleckii-Krein
+        #          Jacobian (ops.fit._lm_engine_ft): all P parameter
+        #          directions share ONE eigh per iteration; DEFAULT ON
+        #          TPU, where every objective evaluation is bound by the
+        #          latency of a small sequential eigh (measured: the
+        #          20-step CG fit is ~30 of the 38 ms/iteration).
+        #   cg  -- Polak-Ribiere CG, one value_and_grad per step;
+        #          DEFAULT ON CPU (bit-matches the facade FitVcorEmb
+        #          engine, tests/test_fastpath.py).
+        #   ws  -- CG through the warm-started Fermi-density op
+        #          (rho_fermi_real_ws); measured slightly slower than
+        #          cg at neo=32 on the chip, kept for larger embeddings.
         import os
-        use_ws = os.environ.get("LIBDMET_TPU_FIT_WS", "0") == "1"
+        engine = os.environ.get("LIBDMET_TPU_FIT_ENGINE",
+                                "lm" if _tpu else "cg")
+        use_ws = engine == "ws"
+        if os.environ.get("LIBDMET_TPU_FIT_WS", "0") == "1":  # legacy
+            use_ws = True
         nelec2_j = jnp.asarray(float(nelec2_emb))
         beta_j = jnp.asarray(beta)
 
@@ -237,6 +246,11 @@ def make_dmet_iteration(lattice, vcor, filling, beta=1000.0,
                                   (spin, neo, neo))
             p_new, err_end, _ = _cg_engine_ws(fg, vparam, V0,
                                               fit_max_iter, ytol, gtol)
+        elif engine == "lm":
+            from libdmet_preview_tpu.ops.fit import _lm_engine_ft
+            p_new, err_end, _ = _lm_engine_ft(
+                vparam, embH1, dV_emb, rho_target, nelec2_emb, beta,
+                fit_max_iter, ytol, gtol)
         else:
             fg_p = jax.value_and_grad(err_plain)
             p_new, err_end, _ = _cg_engine(fg_p, vparam, fit_max_iter,

@@ -311,6 +311,117 @@ def _cg_engine_ws(fg, x0, aux0, max_iter, ytol, gtol, dx_tol=1e-7):
     return st[0], st[1], jnp.max(jnp.abs(st[2]))
 
 
+def _lm_engine_ft(p0, embH1, dV_emb, target, nelec2, beta, max_iter,
+                  ytol, gtol, lam0=1e-3):
+    """Finite-T embedding vcor fit by LEVENBERG-MARQUARDT with the exact
+    Jacobian from the Daleckii-Krein divided-difference formula -- the
+    TPU-shaped alternative to sequential CG (reference FitVcorEmb runs
+    scipy CG with one analytic gradient per step, slater.py:1092):
+
+      every objective evaluation on the chip is dominated by the
+      LATENCY of one small eigh, not by flops.  CG pays ~2-3 eigh
+      latencies per step and needs ~20 steps.  Here all P parameter
+      directions share the ONE eigh per iteration: in the eigenbasis of
+      Heff the derivative of the Fermi density along dV_P is
+
+        J_P = K o M_P - dmu_P diag(f'),   M_P = V^T dV_P V,
+        dmu_P = sum_i f'_i (M_P)_ii / sum_i f'_i          [dN = 0]
+
+      (K the divided-difference table, degenerate-safe), a BATCHED
+      matmul over P that the MXU eats whole.  The residual is rotated
+      into the same frame (Frobenius norm is orthogonally invariant),
+      the normal equations are P x P, and one LM iteration costs ~one
+      eigh latency -- convergence in O(5) iterations vs CG's ~45
+      evaluations, with identical minima (same objective).
+
+    Returns (p, err, max|grad err|) matching _cg_engine conventions;
+    stopping tests mirror _cg_engine (ytol twice / gtol / max_iter)."""
+    from jax import lax
+    from libdmet_preview_tpu.ops import zlinalg as _zl
+    spin = embH1.shape[0]
+    n = embH1.shape[-1]
+    P = p0.shape[0]
+    half = 0.5 * float(nelec2)
+    eyeP = jnp.eye(P, dtype=p0.dtype)
+
+    def state(p):
+        """(err, J (P, spin*n*n), r (spin*n*n)) at p; one eigh/spin."""
+        Heff = embH1 + jnp.einsum("P, Psij -> sij", p, dV_emb)
+        errs = 0.0
+        Js, rs = [], []
+        for s in range(spin):
+            ew, V = _zl._eigh_mf_real(Heff[s])
+            mu = _zl._bisect_mu(ew, half, beta)
+            occ = _zl._fermi(ew, mu, beta)
+            tt = V.T @ target[s] @ V
+            r = jnp.diag(occ) - tt
+            f, K = _zl._fermi_K(ew, mu, beta)
+            fp = -beta * f * (1.0 - f)
+            denom = jnp.sum(fp)
+            safe = jnp.abs(denom) > 1e-300
+            inv_den = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0),
+                                0.0)
+            tmp = jnp.einsum("Ppq, qj -> Ppj", dV_emb[:, s], V)
+            M = jnp.einsum("pi, Ppj -> Pij", V, tmp)
+            dmu = jnp.einsum("Pii, i -> P", M, fp) * inv_den
+            J = K[None] * M \
+                - dmu[:, None, None] * jnp.diag(fp)[None]
+            Js.append(J.reshape(P, n * n))
+            rs.append(r.reshape(n * n))
+            errs = errs + jnp.sum(r * r)
+        err = jnp.sqrt(errs / spin)
+        return err, jnp.concatenate(Js, axis=1), jnp.concatenate(rs)
+
+    err0, J0, r0 = state(p0)
+    g0 = (J0 @ r0) / jnp.maximum(err0 * spin, 1e-300)
+    done0 = jnp.max(jnp.abs(g0)) < gtol * 0.1
+
+    def cond(st):
+        return (~st[7]) & (st[6] < max_iter)
+
+    def solve_ir(A, b, iters=2):
+        """SPD solve as f32 LU + f64 iterative refinement -- TPU has no
+        f64 LuDecomposition (same split-precision pattern as the
+        f32-seeded refined eigh); 2 refinements recover ~1e-13 relative
+        at the LM-damped conditioning."""
+        from jax.scipy.linalg import lu_factor, lu_solve
+        lu, piv = lu_factor(A.astype(jnp.float32))
+        x = lu_solve((lu, piv), b.astype(jnp.float32)).astype(A.dtype)
+        for _ in range(iters):
+            res = b - A @ x
+            x = x + lu_solve((lu, piv),
+                             res.astype(jnp.float32)).astype(A.dtype)
+        return x
+
+    def body(st):
+        p, err, J, r, lam, n_small, it, _ = st
+        A = J @ J.T
+        Ad = A + lam * jnp.diag(jnp.diag(A)) \
+            + (1e-10 * jnp.trace(A) / P + 1e-30) * eyeP
+        dp = solve_ir(Ad, -(J @ r))
+        p_try = p + dp
+        err_t, J_t, r_t = state(p_try)
+        ok = err_t < err
+        p_n = jnp.where(ok, p_try, p)
+        err_n = jnp.where(ok, err_t, err)
+        J_n = jnp.where(ok, J_t, J)
+        r_n = jnp.where(ok, r_t, r)
+        lam_n = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-12), lam * 8.0)
+        df = err - err_n
+        n_small_n = jnp.where(df < ytol, n_small + 1, 0)
+        g = (J_n @ r_n) / jnp.maximum(err_n * spin, 1e-300)
+        done = (n_small_n >= 2) | (jnp.max(jnp.abs(g)) < gtol * 0.1) \
+            | (lam_n > 1e8)
+        return (p_n, err_n, J_n, r_n, lam_n, n_small_n, it + 1, done)
+
+    st = lax.while_loop(cond, body, (
+        p0, err0, J0, r0, jnp.asarray(lam0, p0.dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), done0))
+    p_f, err_f, J_f, r_f = st[0], st[1], st[2], st[3]
+    g_f = (J_f @ r_f) / jnp.maximum(err_f * spin, 1e-300)
+    return p_f, err_f, jnp.max(jnp.abs(g_f))
+
+
 @partial(jax.jit, static_argnames=("nelec", "thr_deg", "max_iter"))
 def _fit_cg_zero_t(p0, embH1, dV, Li, mask, target, ytol, gtol, nelec,
                    thr_deg, max_iter):
