@@ -372,6 +372,17 @@ def _lm_engine_ft(p0, embH1, dV_emb, target, nelec2, beta, max_iter,
         err = jnp.sqrt(errs / spin)
         return err, jnp.concatenate(Js, axis=1), jnp.concatenate(rs)
 
+    return _lm_loop(state, p0, spin, max_iter, ytol, gtol, lam0)
+
+
+def _lm_loop(state, p0, spin, max_iter, ytol, gtol, lam0=1e-3):
+    """The LM accept/reject loop shared by the LM fit engines.
+    state: traceable p -> (err, J (P, m), r (m,)) with
+    err = sqrt(r.r / spin); grad err = J r / (err spin)."""
+    from jax import lax
+    P = p0.shape[0]
+    eyeP = jnp.eye(P, dtype=p0.dtype)
+
     err0, J0, r0 = state(p0)
     g0 = (J0 @ r0) / jnp.maximum(err0 * spin, 1e-300)
     done0 = jnp.max(jnp.abs(g0)) < gtol * 0.1
@@ -420,6 +431,54 @@ def _lm_engine_ft(p0, embH1, dV_emb, target, nelec2, beta, max_iter,
     p_f, err_f, J_f, r_f = st[0], st[1], st[2], st[3]
     g_f = (J_f @ r_f) / jnp.maximum(err_f * spin, 1e-300)
     return p_f, err_f, jnp.max(jnp.abs(g_f))
+
+
+@partial(jax.jit, static_argnames=("nelec2", "max_iter", "spin"))
+def _fit_lm_finite_t(p0, embH1, dV, Li, mask, target, ytol, gtol,
+                     nelec2, beta, max_iter, spin):
+    """Finite-T FitVcorEmb objective (overlap-Cholesky rotation Li +
+    residual mask, identical to _fit_cg_finite_t) minimized by LM with
+    the exact Daleckii-Krein Jacobian.  With W = Li[s]^T V the chain
+    rule collapses to batched matmuls shared across all P directions:
+
+      M_P = W^T dV_P W,
+      dRho1_P = mask o (W (K o M_P - dmu_P diag f') W^T).
+    """
+    from libdmet_preview_tpu.ops import zlinalg as _zl
+    n = embH1.shape[-1]
+    P = p0.shape[0]
+
+    def state(p):
+        Heff = embH1 + jnp.einsum("P, Psij -> sij", p, dV)
+        Horth = jnp.einsum("spq, sqr, skr -> spk", Li, Heff, Li)
+        errs = 0.0
+        Js, rs = [], []
+        for s in range(spin):
+            ew, V = _zl._eigh_mf_real(Horth[s])
+            mu = _zl._bisect_mu(ew, 0.5 * nelec2[s], beta)
+            occ = _zl._fermi(ew, mu, beta)
+            W = Li[s].T @ V
+            rho1 = jnp.einsum("pi, i, qi -> pq", W, occ, W)
+            d = rho1 * mask[s] - target[s]
+            f, K = _zl._fermi_K(ew, mu, beta)
+            fp = -beta * f * (1.0 - f)
+            denom = jnp.sum(fp)
+            safe = jnp.abs(denom) > 1e-300
+            inv_den = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0),
+                                0.0)
+            tmp = jnp.einsum("Ppq, qj -> Ppj", dV[:, s], W)
+            M = jnp.einsum("pi, Ppj -> Pij", W, tmp)
+            dmu = jnp.einsum("Pii, i -> P", M, fp) * inv_den
+            core = K[None] * M - dmu[:, None, None] * jnp.diag(fp)[None]
+            J = jnp.einsum("pi, Pij, qj -> Ppq", W, core, W) \
+                * mask[s][None]
+            Js.append(J.reshape(P, n * n))
+            rs.append(d.reshape(n * n))
+            errs = errs + jnp.sum(d * d)
+        err = jnp.sqrt(errs / spin)
+        return err, jnp.concatenate(Js, axis=1), jnp.concatenate(rs)
+
+    return _lm_loop(state, p0, spin, max_iter, ytol, gtol)
 
 
 @partial(jax.jit, static_argnames=("nelec", "thr_deg", "max_iter"))
@@ -736,21 +795,39 @@ def FitVcorEmb(rho, lattice, basis, vcor, beta, MaxIter=300, imp_fit=False,
     method = kwargs.get("method", "CG").upper()
     ytol = kwargs.get("ytol", 1e-7)
     gtol = kwargs.get("gtol", 1e-3)
-    if method == "CG" and kwargs.get("C_act", None) is not None:
+    if method in ("CG", "LM") and kwargs.get("C_act", None) is not None:
         # the fused lax.while_loop CG engine bakes in the mask residual;
         # active-space residuals go through the host-driven CG instead
         x, err_end, gnorm = minimize_cg(fun_grad, vcor.param,
                                         max_iter=MaxIter, ytol=ytol,
                                         gtol=gtol)
         x, err_end, gnorm = np.asarray(x), float(err_end), float(gnorm)
-    elif method == "CG":
-        # whole fit in ONE device dispatch (lax.while_loop CG); identical
-        # math to minimize_cg below
+    elif method in ("CG", "LM"):
+        # whole fit in ONE device dispatch (lax.while_loop engine).
+        # Finite-T engine selection: explicit method="LM", or -- for the
+        # default method -- Levenberg-Marquardt with the shared-eigh
+        # Daleckii-Krein Jacobian on TPU (one eigh latency per
+        # iteration; see _lm_engine_ft) and CG elsewhere; override with
+        # LIBDMET_TPU_FIT_ENGINE=cg|lm.
         p0 = jnp.asarray(vcor.param)
         if beta < np.inf:
-            x, err_end, gnorm = _fit_cg_finite_t(
-                p0, embH1_j, dV_j, Li_j, mask_j, target_j, ytol, gtol,
-                nelec2, float(beta), int(MaxIter), spin)
+            use_lm = method == "LM"
+            if not use_lm:
+                import os as _os
+                _eng = _os.environ.get("LIBDMET_TPU_FIT_ENGINE")
+                try:
+                    _on_tpu = jax.default_backend() == "tpu"
+                except Exception:
+                    _on_tpu = False
+                use_lm = (_eng == "lm") or (_eng is None and _on_tpu)
+            if use_lm:
+                x, err_end, gnorm = _fit_lm_finite_t(
+                    p0, embH1_j, dV_j, Li_j, mask_j, target_j, ytol,
+                    gtol, nelec2, float(beta), int(MaxIter), spin)
+            else:
+                x, err_end, gnorm = _fit_cg_finite_t(
+                    p0, embH1_j, dV_j, Li_j, mask_j, target_j, ytol,
+                    gtol, nelec2, float(beta), int(MaxIter), spin)
         else:
             x, err_end, gnorm = _fit_cg_zero_t(
                 p0, jnp.asarray(embH1), jnp.asarray(dV), jnp.asarray(Li),

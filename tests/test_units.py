@@ -830,3 +830,49 @@ def test_lm_engine_ft_matches_cg():
     assert float(err_lm) < 1e-6            # achievable target reached
     assert float(err_lm) <= float(err_cg) + 1e-8
     assert err_start > 1e-2                # the problem was nontrivial
+
+
+def test_fit_lm_finite_t_matches_cg_masked():
+    """The facade LM engine handles the full FitVcorEmb objective --
+    overlap-Cholesky rotation Li + residual mask -- and matches the CG
+    engine's minimum on an achievable masked target."""
+    import jax.numpy as jnp
+    from libdmet_preview_tpu.ops.fit import (_fit_cg_finite_t,
+                                             _fit_lm_finite_t)
+    from libdmet_preview_tpu.ops.zlinalg import rho_fermi_real
+
+    rng = np.random.RandomState(9)
+    spin, n, P = 2, 8, 6
+    beta = 300.0
+    nelec2 = (8, 6)
+    embH1 = rng.randn(spin, n, n)
+    embH1 = jnp.asarray(embH1 + embH1.transpose(0, 2, 1))
+    dV = rng.randn(P, spin, n, n) * 0.3
+    dV = jnp.asarray(dV + dV.transpose(0, 1, 3, 2))
+    # nontrivial (but well-conditioned) overlap Cholesky-inverse
+    S = np.eye(n) + 0.1 * rng.randn(n, n)
+    S = S @ S.T
+    Li_m = np.linalg.inv(np.linalg.cholesky(S))
+    Li = jnp.asarray(np.stack([Li_m, np.eye(n)]))
+    mask = np.zeros((spin, n, n))
+    mask[:, :5, :5] = 1.0            # impurity-window fit mask
+    mask = jnp.asarray(mask)
+
+    p_true = jnp.asarray(rng.randn(P) * 0.2)
+    Ht = embH1 + jnp.einsum("P, Psij -> sij", p_true, dV)
+    tgt = []
+    for s in range(spin):
+        Ho = Li[s] @ Ht[s] @ Li[s].T
+        r, _ = rho_fermi_real(Ho, nelec2[s], beta)
+        tgt.append((Li[s].T @ r @ Li[s]) * mask[s])
+    target = jnp.stack(tgt)
+
+    p0 = jnp.zeros(P)
+    p_cg, err_cg, _ = _fit_cg_finite_t(p0, embH1, dV, Li, mask, target,
+                                       1e-12, 1e-9, nelec2, beta, 40,
+                                       spin)
+    p_lm, err_lm, _ = _fit_lm_finite_t(p0, embH1, dV, Li, mask, target,
+                                       1e-12, 1e-9, nelec2, beta, 40,
+                                       spin)
+    assert float(err_lm) < 1e-6
+    assert float(err_lm) <= float(err_cg) + 1e-8
