@@ -7,8 +7,10 @@ native integral engine and the AFT-streamed embedding ERIs
 at the nio/hchain scale; the reference runs this class of workload via
 PySCF kmf + GDF).
 
-RUN_SLOW-gated: ~17 min one-time integral generation (disk-cached under
-.cache/ afterwards) + ~4 min per DMET iteration.  Internal anchors from
+RUN_SLOW-gated: the one-time integral generation is disk-cached under
+.cache/ afterwards; its cost is strongly hardware-dependent (~17 min on
+the round-3 build host, ~2 h cold on a single-core box) + ~4 min per
+DMET iteration.  Internal anchors from
 the first completed runs (commit history):
   supercell RHF E/cell    = -10.0930031640
   one-shot DMET(CCSD)     = -10.2082668828
