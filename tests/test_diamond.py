@@ -18,7 +18,9 @@ import pytest
 
 
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
-                    reason="~90 s integral generation; set RUN_SLOW=1")
+                    reason="integral generation is hardware-dependent "
+                           "(~90 s on the round-2 build host, >1 h cold "
+                           "on a single-core box); set RUN_SLOW=1")
 def test_diamond_one_iteration():
     import jax
     jax.config.update("jax_platforms", "cpu")
